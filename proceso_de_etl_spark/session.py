@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode is a single JVM with N threads; on a real cluster the same
+configs apply per-executor. AQE is the load-bearing setting at scale:
+it re-plans shuffles at runtime (partition coalescing, skew-join
+splitting, dynamic broadcast) which is what makes a fixed
+``shuffle.partitions`` safe to pick statically here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "proceso_de_etl_spark", cpus: str | None = None) -> SparkSession:
+    """Create (or fetch) the session.
+
+    UTC timezone is pinned so timestamp semantics match ANSI-SQL
+    engines (the DuckDB oracle, a warehouse sink) exactly. Arrow is
+    enabled so the few Pandas-UDF operators (minhash, multimodal)
+    transfer columnar batches instead of pickled rows.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS), which the
+        # parquet reader rejects; read as long and convert in catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -12,21 +12,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from proceso_de_etl_spark.operators import etl
 from proceso_de_etl_spark.plans import tpch
+
+_MODULES = (etl, tpch)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return tpch.q3_shipping_priority(spark, "/root/testdata/sf0.001")
+    """Flagship: the reference's full star-schema ETL (SURVEY.md §2.1
+    E11) on /root/testdata/sf0.001; driver checks rows>0."""
+    return etl.etl_star_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(tpch.QUERIES)
+    for m in _MODULES:
+        out.update(m.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
-    out.update(tpch.ORACLES)
+    for m in _MODULES:
+        out.update(m.ORACLES)
     return out

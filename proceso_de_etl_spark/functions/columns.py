@@ -43,4 +43,4 @@ def clean_id(c: ColumnOrName, prefix: str) -> Column:
     single codegen'd expression: non-numeric leftovers become NULL
     exactly like ``errors='coerce'``.
     """
-    return F.try_cast(F.regexp_replace(_col(c).cast("string"), f"^{prefix}", ""), "bigint")
+    return F.regexp_replace(_col(c).cast("string"), f"^{prefix}", "").try_cast("bigint")

@@ -1,0 +1,424 @@
+"""ETL-parity operators: the reference pipeline's semantics (SURVEY.md
+§2.1), re-expressed as distributed Spark plans.
+
+The reference (main.py at /root/reference) is a driver-side pandas
+program: dict-based FK maps (main.py:103-115), ``isin`` validity
+filters (main.py:141), set-difference placeholder synthesis
+(main.py:123-127), read-the-PK-column conditional loads
+(main.py:45-59). None of those survive 100 TB — every one is
+re-expressed here as a join:
+
+    dict FK map        → broadcast hash join against the dimension
+    isin filter        → left-semi join
+    set difference     → left-anti join
+    conditional load   → left-anti join on PK against the sink
+    duplicated(email)  → window count over the key
+    drop_duplicates    → row_number over a deterministic order
+
+Each operator is generic (takes DataFrames/column names); the
+``*_query`` wrappers bind them to the testdata star schema so the
+driver's DuckDB gate can verify semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from proceso_de_etl_spark.functions.columns import clean_id, dsum
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+
+# --------------------------------------------------------------------------
+# Generic operators
+# --------------------------------------------------------------------------
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """drop_duplicates(keep='first') (reference main.py:122) with an
+    EXPLICIT total order — pandas keep-first depends on file order,
+    which a distributed engine must not; callers state the order."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def extract_dimension(df: DataFrame, value_col: str, id_col: str, name_col: str) -> DataFrame:
+    """Distinct values → dimension with dense, stable surrogate keys
+    (reference main.py:92-100 + IDENTITY columns in its DDL). A
+    dense_rank over the natural order replaces the DB's autoincrement:
+    deterministic, re-runnable, and computable in parallel.
+
+    The unpartitioned rank window is safe BY CONSTRUCTION: it runs
+    after ``distinct()``, so only the dimension's few distinct values
+    pass through one partition — never the fact rows. Do not replace
+    with monotonically_increasing_id (unstable across runs)."""
+    distinct = df.select(F.col(value_col).alias(name_col)).dropna().distinct()
+    w = W.orderBy(F.col(name_col))
+    return distinct.select(
+        F.dense_rank().over(w).cast("bigint").alias(id_col), name_col
+    )
+
+
+def fk_assign(fact: DataFrame, dim: DataFrame, fact_key: str, dim_name: str) -> DataFrame:
+    """Business key → surrogate key (reference main.py:133,142,150):
+    pandas ``.map(dict)`` becomes a broadcast join — the dimension is
+    small by construction, so no shuffle of the fact side."""
+    return fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_name], "left")
+
+
+def synthesize_placeholders(
+    masters: DataFrame, required_keys: DataFrame, key: str, synth: dict[str, Column]
+) -> DataFrame:
+    """Referential-integrity placeholders (reference main.py:123-127):
+    keys referenced by facts but absent from the master table get
+    synthesized master rows, so no fact is dropped on FK violation.
+    Set-difference = left-anti join; the synthesized columns are
+    declarative expressions over the key."""
+    missing = required_keys.select(key).distinct().join(masters, key, "left_anti")
+    placeholders = missing.select(key, *[expr.alias(name) for name, expr in synth.items()])
+    return masters.select(key, *synth.keys()).unionByName(placeholders)
+
+
+def resolve_unique_conflicts(
+    df: DataFrame, unique_col: str, replacement: Column
+) -> DataFrame:
+    """Unique-constraint conflict resolution (reference main.py:128-129):
+    every row in a duplicated group gets a synthesized replacement
+    value (the reference flags with ``duplicated(keep=False)``)."""
+    w = W.partitionBy(unique_col)
+    return (
+        df.withColumn("__n", F.count("*").over(w))
+        .withColumn(unique_col, F.when(F.col("__n") > 1, replacement).otherwise(F.col(unique_col)))
+        .drop("__n")
+    )
+
+
+def incremental_new_rows(incoming: DataFrame, existing: DataFrame, pk: str) -> DataFrame:
+    """Idempotent conditional append (reference main.py:45-59): the
+    reference reads the sink's whole PK column to the driver and
+    filters with isin; at scale that is a left-anti join on the PK."""
+    return incoming.join(existing.select(pk), pk, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked query bindings on the testdata star schema
+# --------------------------------------------------------------------------
+
+def etl_clean_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — limpiar_id (main.py:38-41): strip 'C' prefix, coerce to
+    numeric with NULL on failure. Dirty ids are synthesized from
+    customer keys ('C123', and a poison 'Cxx7' pattern for the coerce
+    path) so the oracle can reproduce them."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey"),
+        F.when(F.col("c_custkey") % 11 == 0, F.concat(F.lit("Cxx"), F.col("c_custkey").cast("string")))
+        .otherwise(F.concat(F.lit("C"), F.col("c_custkey").cast("string")))
+        .alias("dirty_id"),
+    )
+    return dirty.select(
+        "c_custkey", "dirty_id", clean_id(F.col("dirty_id"), "C").alias("clean")
+    )
+
+
+ORACLES["etl_clean_id"] = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 11 = 0 THEN 'Cxx' || CAST(c_custkey AS VARCHAR)
+            ELSE 'C' || CAST(c_custkey AS VARCHAR) END AS dirty_id,
+       TRY_CAST(regexp_replace(
+           CASE WHEN c_custkey % 11 = 0 THEN 'Cxx' || CAST(c_custkey AS VARCHAR)
+                ELSE 'C' || CAST(c_custkey AS VARCHAR) END, '^C', '') AS BIGINT) AS clean
+FROM customer
+"""
+
+
+def etl_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — drop_duplicates keep-first (main.py:122) on lineitem by
+    orderkey, first = lowest linenumber."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # linenumber alone is not unique in this data — the order must be
+    # total or "first" is nondeterministic (the pandas reference gets
+    # file order for free; a parallel engine must spell it out).
+    order = [F.col(c) for c in ("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")]
+    return dedup_keep_first(li, ["l_orderkey"], order).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+ORACLES["etl_dedup_keep_first"] = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+
+def etl_dim_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — dimension extraction with surrogate keys (main.py:92-100)
+    from part categories (the reference's Categorias table)."""
+    part = load_table(spark, sf_dir, "part")
+    return extract_dimension(part, "p_type", "id_categoria", "nombre")
+
+
+ORACLES["etl_dim_extract"] = """
+SELECT CAST(dense_rank() OVER (ORDER BY nombre) AS BIGINT) AS id_categoria, nombre
+FROM (SELECT DISTINCT p_type AS nombre FROM part WHERE p_type IS NOT NULL)
+"""
+
+
+def etl_fk_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — FK assignment via broadcast join (main.py:133): parts get
+    their category surrogate key; counts per key prove the mapping."""
+    part = load_table(spark, sf_dir, "part")
+    dim = extract_dimension(part, "p_type", "id_categoria", "nombre")
+    mapped = fk_assign(part, dim, "p_type", "nombre")
+    return mapped.groupBy("id_categoria", "nombre").agg(
+        F.count("*").alias("n_products"),
+        dsum("p_retailprice").alias("sum_price"),
+    )
+
+
+ORACLES["etl_fk_map"] = """
+WITH dim AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY nombre) AS BIGINT) AS id_categoria, nombre
+  FROM (SELECT DISTINCT p_type AS nombre FROM part WHERE p_type IS NOT NULL)
+)
+SELECT id_categoria, nombre, COUNT(*) AS n_products,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part LEFT JOIN dim ON p_type = nombre
+GROUP BY id_categoria, nombre
+"""
+
+
+def etl_placeholders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — referential-integrity placeholders (main.py:123-127).
+
+    Masters are customers with c_custkey % 7 <> 0 (simulating an
+    incomplete master file); orders still reference all customers, so
+    the %7 keys must be synthesized — Cliente_<id> / placeholder
+    email, exactly the reference's scheme."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    masters = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey"), F.col("c_name").alias("nombre"),
+        F.concat(F.lit("real_"), F.col("c_custkey").cast("string"), F.lit("@mail.com")).alias("email"),
+    )
+    required = orders.select(F.col("o_custkey").alias("c_custkey"))
+    key = F.col("c_custkey").cast("string")
+    return synthesize_placeholders(
+        masters,
+        required,
+        "c_custkey",
+        {
+            "nombre": F.concat(F.lit("Cliente_"), key),
+            "email": F.concat(F.lit("cliente_"), key, F.lit("@mail.com")),
+        },
+    ).withColumn("is_placeholder", F.col("nombre").startswith("Cliente_"))
+
+
+ORACLES["etl_placeholders"] = """
+WITH masters AS (
+  SELECT c_custkey, c_name AS nombre,
+         'real_' || CAST(c_custkey AS VARCHAR) || '@mail.com' AS email
+  FROM customer WHERE c_custkey % 7 <> 0
+),
+missing AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM masters)
+)
+SELECT c_custkey, nombre, email, nombre LIKE 'Cliente\\_%' ESCAPE '\\' AS is_placeholder FROM (
+  SELECT c_custkey, nombre, email FROM masters
+  UNION ALL
+  SELECT c_custkey,
+         'Cliente_' || CAST(c_custkey AS VARCHAR),
+         'cliente_' || CAST(c_custkey AS VARCHAR) || '@mail.com'
+  FROM missing
+)
+"""
+
+
+def etl_conflict_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — duplicate-email conflict resolution (main.py:128-129):
+    synthesized emails collide on c_custkey % 40; every member of a
+    duplicated group gets the placeholder address."""
+    cust = load_table(spark, sf_dir, "customer")
+    with_email = cust.select(
+        "c_custkey",
+        F.concat(F.lit("user"), (F.col("c_custkey") % 40).cast("string"), F.lit("@mail.com")).alias("email"),
+    )
+    return resolve_unique_conflicts(
+        with_email,
+        "email",
+        F.concat(F.lit("cliente_"), F.col("c_custkey").cast("string"), F.lit("@placeholder.com")),
+    )
+
+
+ORACLES["etl_conflict_resolve"] = """
+SELECT c_custkey,
+       CASE WHEN COUNT(*) OVER (PARTITION BY email) > 1
+            THEN 'cliente_' || CAST(c_custkey AS VARCHAR) || '@placeholder.com'
+            ELSE email END AS email
+FROM (SELECT c_custkey,
+             'user' || CAST(c_custkey % 40 AS VARCHAR) || '@mail.com' AS email
+      FROM customer)
+"""
+
+
+def etl_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — validity filter as a left-semi join (main.py:141's isin):
+    lineitems whose order is still open."""
+    li = load_table(spark, sf_dir, "lineitem")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return li.join(open_orders, li.l_orderkey == open_orders.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+ORACLES["etl_semi_filter"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def etl_dropna_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 — null-rejecting load filter (main.py:143,152,160): rows
+    with nulls in required FK columns are dropped before load. Nulls
+    are induced via NULLIF on zero discounts so both engines see the
+    same null set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("discount"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("returnflag"),
+    )
+    loaded = staged.dropna(subset=["discount", "returnflag"])
+    return loaded.groupBy("returnflag").agg(
+        F.count("*").alias("n_rows"), dsum(F.col("discount"), 6).alias("sum_disc")
+    )
+
+
+ORACLES["etl_dropna_load"] = """
+SELECT returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+FROM (SELECT NULLIF(l_discount, 0.0) AS discount,
+             NULLIF(l_returnflag, 'N') AS returnflag
+      FROM lineitem)
+WHERE discount IS NOT NULL AND returnflag IS NOT NULL
+GROUP BY returnflag
+"""
+
+
+def etl_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 — idempotent conditional append (main.py:45-59): orders
+    before 1999 are 'already in the sink'; only the rest load."""
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderdate") < F.expr("TIMESTAMP '1999-01-01 00:00:00'"))
+    new_rows = incremental_new_rows(orders, existing, "o_orderkey")
+    return new_rows.groupBy("o_orderstatus").agg(F.count("*").alias("n_new"))
+
+
+ORACLES["etl_incremental_antijoin"] = """
+SELECT o_orderstatus, COUNT(*) AS n_new
+FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY o_orderstatus
+"""
+
+
+def etl_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 — the full reference pipeline (main.py:197-214) as one
+    declarative plan: extract → dimension build → placeholder
+    synthesis → FK assignment via broadcast joins → fact load →
+    BI rollup. Facts are order lines (opinions), categories come from
+    part types (Categorias), priorities play Clasificaciones, and the
+    incomplete-master simulation (%7) exercises the placeholder path.
+
+    Scale: dims are broadcast; the single fact-fact shuffle is
+    lineitem ⋈ orders on orderkey; the placeholder anti-join runs on
+    the distinct key set, not the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    dim_cat = extract_dimension(part, "p_type", "id_categoria", "categoria")
+    dim_pri = extract_dimension(orders, "o_orderpriority", "id_clasificacion", "clasificacion")
+
+    masters = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", F.col("c_name").alias("nombre")
+    )
+    clientes = synthesize_placeholders(
+        masters,
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        {"nombre": F.concat(F.lit("Cliente_"), F.col("c_custkey").cast("string"))},
+    ).withColumn("is_placeholder", F.col("nombre").startswith("Cliente_"))
+
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(dim_cat), F.col("p_type") == dim_cat.categoria)
+        .join(F.broadcast(dim_pri), F.col("o_orderpriority") == dim_pri.clasificacion)
+        .join(F.broadcast(clientes), orders.o_custkey == clientes.c_custkey)
+    )
+    return fact.groupBy("id_categoria", "categoria", "id_clasificacion", "clasificacion", "is_placeholder").agg(
+        F.count("*").alias("n_opiniones"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("ingresos"),
+    )
+
+
+ORACLES["etl_star_flagship"] = """
+WITH dim_cat AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY categoria) AS BIGINT) AS id_categoria, categoria
+  FROM (SELECT DISTINCT p_type AS categoria FROM part WHERE p_type IS NOT NULL)
+),
+dim_pri AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY clasificacion) AS BIGINT) AS id_clasificacion, clasificacion
+  FROM (SELECT DISTINCT o_orderpriority AS clasificacion FROM orders WHERE o_orderpriority IS NOT NULL)
+),
+masters AS (
+  SELECT c_custkey, c_name AS nombre FROM customer WHERE c_custkey % 7 <> 0
+),
+clientes AS (
+  SELECT c_custkey, nombre, nombre LIKE 'Cliente\\_%' ESCAPE '\\' AS is_placeholder FROM (
+    SELECT c_custkey, nombre FROM masters
+    UNION ALL
+    SELECT o_custkey, 'Cliente_' || CAST(o_custkey AS VARCHAR)
+    FROM (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM masters))
+  )
+)
+SELECT id_categoria, categoria, id_clasificacion, clasificacion, is_placeholder,
+       COUNT(*) AS n_opiniones,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS ingresos
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN dim_cat ON p_type = categoria
+JOIN dim_pri ON o_orderpriority = clasificacion
+JOIN clientes ON o_custkey = c_custkey
+GROUP BY id_categoria, categoria, id_clasificacion, clasificacion, is_placeholder
+"""
+
+QUERIES = {
+    "etl_clean_id": etl_clean_id,
+    "etl_dedup_keep_first": etl_dedup_keep_first,
+    "etl_dim_extract": etl_dim_extract,
+    "etl_fk_map": etl_fk_map,
+    "etl_placeholders": etl_placeholders,
+    "etl_conflict_resolve": etl_conflict_resolve,
+    "etl_semi_filter": etl_semi_filter,
+    "etl_dropna_load": etl_dropna_load,
+    "etl_incremental_antijoin": etl_incremental_antijoin,
+    "etl_star_flagship": etl_star_flagship,
+}

@@ -12,10 +12,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from proceso_de_etl_spark.operators import etl
+from proceso_de_etl_spark.operators import etl, events, relational, windows
 from proceso_de_etl_spark.plans import tpch
 
-_MODULES = (etl, tpch)
+_MODULES = (etl, tpch, windows, events, relational)
 
 
 def entry(spark: SparkSession) -> DataFrame:

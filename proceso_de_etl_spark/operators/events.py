@@ -1,0 +1,238 @@
+"""Event-stream operators, batch form (SURVEY.md §2.2 A23-A26).
+
+These are the batch twins of the streaming jobs in ``streaming/``:
+sessionization, time-bucketed aggregation, funnel analysis, as-of
+join, and JSON property extraction over the ``events`` table.
+
+Timestamps in OUTPUTS are emitted as epoch-microsecond BIGINTs
+(``unix_micros``) — exact, engine-neutral values that hash stably;
+raw timestamps stay internal.
+
+Scale: everything partitions by ``user_id`` (high cardinality, no
+global windows); the as-of join is the union-tag/last-carry-forward
+formulation — one shuffle on user_id, no per-row Python, no
+correlated subquery that would nested-loop at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from proceso_de_etl_spark.functions.columns import dsum
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Assign gap-based session ids per user: a new session starts
+    when the gap since the previous event exceeds ``gap_minutes``.
+    lag + conditional cumsum over a total per-user order."""
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.unix_micros(F.col("ts")) - prev_ts > gap_us), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("bigint"),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23 — per-session rollup: event count, value sum, duration."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 6).alias("session_value"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+        )
+    )
+
+
+ORACLES["events_sessionize"] = """
+WITH seq AS (
+  SELECT user_id, event_id, value, ts,
+         lag(epoch_us(ts)) OVER w AS prev_us,
+         epoch_us(ts) AS ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sess AS (
+  SELECT user_id, event_id, value, ts_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — fixed-window (hourly) aggregation via the native
+    ``F.window`` operator; output keyed by epoch-us window start."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), 6).alias("value_sum"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+ORACLES["events_tumbling_window"] = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25 — ordered funnel signup → click → purchase per user: one
+    conditional-min aggregation pass (no self-joins)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.unix_micros("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.filter(
+        F.col("t_signup").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_signup") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    )
+
+
+ORACLES["events_funnel"] = """
+SELECT user_id,
+       MIN(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t_signup,
+       MIN(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+       MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+FROM events
+GROUP BY user_id
+HAVING t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+   AND t_signup < t_click AND t_click < t_purchase
+"""
+
+
+def asof_join_last_prior(
+    left: DataFrame, right: DataFrame, on: str, left_ts: str, right_ts: str, value_col: str
+) -> DataFrame:
+    """A26 — as-of join (each left row gets the last prior right
+    value) via union-tag + last(ignorenulls) carry-forward: one sort
+    per key partition instead of a per-row lookup. Right rows order
+    before left rows at equal timestamps (strictly-prior semantics).
+    """
+    lt = left.withColumn("__k", F.lit(1)).withColumn("__v", F.lit(None).cast("double"))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias(left_ts),
+            F.lit(0).alias("__k"),
+            F.col(value_col).alias("__v"),
+        )
+    )
+    allr = lt.select(on, left_ts, "__k", "__v", *[c for c in left.columns if c not in (on, left_ts)]) \
+        .unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.asc(left_ts), F.asc("__k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = allr.withColumn("asof_value", F.last("__v", ignorenulls=True).over(w))
+    return carried.filter(F.col("__k") == 1).drop("__k", "__v")
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the value of the user's last prior click."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("click_value")
+    )
+    out = asof_join_last_prior(purchases, clicks, "user_id", "ts", "cts", "click_value")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "value",
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
+ORACLES["events_asof_join"] = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value, 1 AS k, NULL::DOUBLE AS v
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, NULL, NULL, 0 AS k, value AS v
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, ts, event_id, value, k,
+         last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, k ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM tagged
+)
+SELECT user_id, event_id, epoch_us(ts) AS purchase_ts_us, value,
+       asof_value AS last_click_value
+FROM carried WHERE k = 1
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: the ``props`` JSON column's ``k`` key,
+    summed per event type (exact BIGINT sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("k_count"),
+    )
+
+
+ORACLES["events_json_extract"] = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES = {
+    "events_sessionize": events_sessionize,
+    "events_tumbling_window": events_tumbling_window,
+    "events_funnel": events_funnel,
+    "events_asof_join": events_asof_join,
+    "events_json_extract": events_json_extract,
+}

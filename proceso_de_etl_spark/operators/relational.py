@@ -1,0 +1,240 @@
+"""Relational extras (SURVEY.md §2.2 A15-A22, A27-A28): multi-level
+aggregation (rollup / cube / grouping sets), pivot / unpivot, set
+operations, exact + approximate distincts, percentiles, and a
+salted-join skew strategy.
+
+Percentile outputs are rounded to 6 decimals on both engine and
+oracle sides: interpolation arithmetic is the one place where two
+engines legitimately differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.functions.columns import dsum
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — rollup (returnflag → linestatus → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+ORACLES["agg_rollup"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — cube over returnflag × linestatus."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+ORACLES["agg_cube"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 — explicit GROUPING SETS via the engine's SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+ORACLES["agg_grouping_sets"] = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — pivot linestatus into columns (values enumerated, so the
+    plan needs no extra distinct-discovery pass — required at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_fulfilled")
+    )
+
+
+ORACLES["agg_pivot"] = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty_open,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS qty_fulfilled
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 — unpivot (melt) part measures into (metric, value) rows
+    via ``stack`` — generated columnar-side, no Python."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+ORACLES["agg_unpivot"] = """
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 — set operations on yearly buyer sets: INTERSECT (bought in
+    both 1996 and 1997) and EXCEPT (1996 but not 1998), tagged and
+    unioned into one result."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select(
+            F.col("o_custkey").alias("custkey")
+        ).distinct()
+
+    both = buyers(1996).intersect(buyers(1997)).withColumn("tag", F.lit("in_96_and_97"))
+    only = buyers(1996).exceptAll(buyers(1998)).withColumn("tag", F.lit("in_96_not_98"))
+    return both.unionByName(only)
+
+
+ORACLES["set_ops_customers"] = """
+SELECT custkey, 'in_96_and_97' AS tag FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+UNION ALL
+SELECT custkey, 'in_96_not_98' FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+)
+"""
+
+
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — exact distinct counts per group (expand + two-phase agg
+    under the hood; the approximate sketch variant is agg_approx)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLES["agg_distinct_exact"] = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — sketch-based aggregates (HLL distinct, quantile sketch).
+    Rows-only check: sketches are engine-specific by design; the exact
+    twins (agg_distinct_exact / agg_percentiles) carry the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — exact interpolated percentiles of event values per type
+    (rounded to 6dp on both sides — see module docstring)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.25), 6).alias("p25"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.75), 6).alias("p75"),
+    )
+
+
+ORACLES["agg_percentiles"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events
+GROUP BY event_type
+"""
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str, salt_col, n_salts: int = 8) -> DataFrame:
+    """A27 — skew-mitigating join: replicate the small side across
+    ``n_salts`` shards and split the hot fact key by a deterministic
+    salt, so one hot key spreads over n_salts reducers instead of
+    melting one. AQE's skew-join handles moderate skew automatically;
+    this is the explicit strategy for known-pathological keys."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    dim_rep = dim.select("*", salts)
+    fact_s = fact.withColumn("__salt", salt_col % n_salts)
+    return fact_s.join(F.broadcast(dim_rep), [key, "__salt"]).drop("__salt")
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join of events against the per-type dimension; result
+    provably equals the plain join (the oracle computes it un-salted).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    )
+    joined = salted_join(ev, dim, "event_type", F.col("event_id"), 8)
+    return joined.groupBy("event_type", "type_total").agg(
+        F.count("*").alias("n"), dsum(F.col("value"), 6).alias("value_sum")
+    )
+
+
+ORACLES["skew_salted_join"] = """
+WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type)
+SELECT e.event_type, d.type_total, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type, d.type_total
+"""
+
+QUERIES = {
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_pivot": agg_pivot,
+    "agg_unpivot": agg_unpivot,
+    "set_ops_customers": set_ops_customers,
+    "agg_distinct_exact": agg_distinct_exact,
+    "agg_approx": agg_approx,
+    "agg_percentiles": agg_percentiles,
+    "skew_salted_join": skew_salted_join,
+}

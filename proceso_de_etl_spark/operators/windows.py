@@ -1,0 +1,116 @@
+"""Window-function operators (SURVEY.md §2.2 A11-A14).
+
+All windows are keyed (partitioned) — the data for one key fits one
+task at any scale; there is no global window anywhere in the engine's
+fact paths. Running sums accumulate in DECIMAL inside the frame so
+the running values are exact and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from proceso_de_etl_spark.functions.columns import money
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — top-3 parts by retail price per brand; row_number with a
+    total order (price desc, partkey) so results are deterministic."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+ORACLES["window_topk_per_group"] = """
+SELECT p_brand, rk, p_partkey, p_name, p_retailprice
+FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rk
+      FROM part)
+WHERE rk <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — running spend per customer over order date. The frame
+    accumulates DECIMAL (exact at every prefix), cast to double at
+    the edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+ORACLES["window_running_sum"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — per-user event value delta vs previous event (lag over a
+    total order: ts then event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+ORACLES["window_lag_delta"] = """
+SELECT event_id, user_id, value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS delta
+FROM events
+"""
+
+
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — dense_rank + quartile bucket of customers by balance
+    within market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.dense_rank().over(w).cast("bigint").alias("bal_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+    )
+
+
+ORACLES["window_rank_ntile"] = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS bal_rank,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS bal_quartile
+FROM customer
+"""
+
+QUERIES = {
+    "window_topk_per_group": window_topk_per_group,
+    "window_running_sum": window_running_sum,
+    "window_lag_delta": window_lag_delta,
+    "window_rank_ntile": window_rank_ntile,
+}

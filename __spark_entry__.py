@@ -12,10 +12,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from proceso_de_etl_spark.operators import etl, events, relational, windows
+from proceso_de_etl_spark.operators import (
+    dedup,
+    etl,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    text_analysis,
+    windows,
+)
 from proceso_de_etl_spark.plans import tpch
 
-_MODULES = (etl, tpch, windows, events, relational)
+_MODULES = (etl, tpch, windows, events, relational, dedup, similarity, text_analysis, multimodal)
 
 
 def entry(spark: SparkSession) -> DataFrame:

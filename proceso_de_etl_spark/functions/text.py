@@ -1,0 +1,77 @@
+"""Text-analysis column expressions (SURVEY.md §2.3 T8-T11).
+
+Everything here is JVM-side (split / filter / regexp / md5 — no
+Python UDFs in the hot path). Each Spark builder has a paired SQL
+fragment builder so the DuckDB oracles apply the *same* definition —
+one source of truth for tokenization and stopword lists.
+
+Portability constraints honored by design:
+- tokenization = lower + split on ``[^a-z0-9]+`` + drop empties
+  (identical semantics in Java regex and RE2);
+- hashes that cross engines use md5 hex strings (identical
+  everywhere), never xxhash64/hash (engine-internal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Per-language stopword marker sets for the n-gram/stopword lang-ID
+# heuristic. Tiny by design: the operator's shape (tokenize → set
+# hits → argmax) is what matters; swap in real lists in production.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "los", "una"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+    "de": ("der", "die", "und", "das", "ein", "ist", "nicht"),
+}
+LANG_PRIORITY = ("en", "es", "fr", "de", "zh")
+CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(c: Column) -> Column:
+    """lower → split on non-alphanumeric runs → drop empties."""
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{TOKEN_SPLIT}'), x -> x <> '')"
+    )
+
+
+def stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the marker set (with repetition)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def stop_hits_sql(toks_expr: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks_expr}, x -> x IN ({inlist})))"
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined). Empty array when the
+    document has fewer than n tokens (F.sequence would otherwise
+    descend and produce garbage)."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(toks_expr: str, n: int = 3) -> str:
+    # duckdb list slicing is 1-based inclusive: t[i:i+n-1] = n items;
+    # range(1, len-n+2) is end-exclusive = 1 .. len-n+1.
+    return (
+        f"list_transform(range(1, len({toks_expr}) - {n - 2}), "
+        f"i -> array_to_string(({toks_expr})[i:i+{n - 1}], ' '))"
+    )

@@ -1,0 +1,299 @@
+"""Deduplication family over ``documents`` / ``embeddings``
+(SURVEY.md §2.3 T1-T5): the core of any LLM training-data pipeline.
+
+Scale design, per variant:
+- exact (T1): hash-groupBy — one shuffle on the content hash; the
+  hash is computed scan-side so only (hash, id) moves.
+- n-gram Jaccard (T4): the exact-pair baseline. The shingle self-join
+  is quadratic in documents-per-shingle — correct at validation
+  scale, and the reference point the sketch variants are judged
+  against. At 100 TB you run T2 instead.
+- MinHash+LSH (T2): the scale path — O(n) signatures, banded bucket
+  join generates only probable-pair candidates, exact verification
+  only on candidates. Band/row counts tune recall vs shuffle volume
+  ((1 - j^r)^b miss probability).
+- SimHash (T3): constant-size 60-bit fingerprint per doc; banded
+  hamming candidates; one bigint per doc crosses the shuffle.
+- embedding cosine (T5): semantic near-dup; brute-force pair join
+  baseline here, LSH-bucketed variant in similarity.py (T7).
+
+Hashes that must agree with the DuckDB oracle are md5 hex strings
+(portable); engine-internal steps (simhash) may use xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.functions.text import shingles, shingles_sql, tokens, tokens_sql
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+_TOKS_SQL = tokens_sql("text")
+_SH_SQL = shingles_sql(_TOKS_SQL)
+
+JACCARD_THRESHOLD = 0.8
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingle sets + per-doc size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(tokens(F.col("text"))))).alias("sh")
+    )
+
+
+def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact pair Jaccard from an exploded (doc_id, sh) set table."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — exact dedup, keep-first (lowest doc_id). The corpus is
+    documents plus re-keyed copies of every 10th doc (the testdata
+    has no verbatim dups; the synthesized view makes keep-first
+    observable and is reproducible in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    hashed = corpus.select("doc_id", F.md5(F.lower("text")).alias("content_hash"))
+    return hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+ORACLES["dedup_exact"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(lower(text)) AS content_hash,
+       MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — exact 3-gram Jaccard near-dup pairs (j >= 0.8)."""
+    return exact_jaccard_pairs(_doc_shingles(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+"""
+
+MINHASH_PERMS = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def minhash_signatures(sh: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
+    """One minhash per salted hash family member: min(md5(i || ':' ||
+    shingle)) per doc — the classic k-hash-functions construction
+    with portable string hashes; one aggregation pass computes all k.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(n_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signature, hash each band, bucket-join: only docs
+    agreeing on a full band ever meet — the O(n²) pair space never
+    materializes."""
+    rows = n_perms // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig")) for b in range(bands)])
+        ).alias("bs"),
+    ).select("doc_id", "bs.band_idx", "bs.sig")
+    x = stacked.select(F.col("doc_id").alias("a"), "band_idx", "sig")
+    y = stacked.select(F.col("doc_id").alias("b"), "band_idx", "sig")
+    return (
+        x.join(y, ["band_idx", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — MinHash + LSH near-dup: signatures → banded candidates →
+    exact Jaccard verification on candidates only. (Rows-only check:
+    recall is probabilistic by construction; the exact twin
+    dedup_ngram_jaccard carries the value oracle.)"""
+    sh = _doc_shingles(spark, sf_dir)
+    candidates = lsh_candidate_pairs(minhash_signatures(sh))
+    exact = exact_jaccard_pairs(sh, JACCARD_THRESHOLD)
+    return exact.join(candidates, ["a", "b"], "left_semi")
+
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+# Tight by design: word-salad docs share vocabulary, so loose radii
+# (hamming 10 ≈ 2.5k pairs at 500 docs) drown in false positives.
+HAMMING_MAX = 3
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash: per-token xxhash64, each bit position votes
+    +count/-count, sign → bit. One groupBy(doc) computes all bits."""
+    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    counted = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    h = F.xxhash64("tok")
+    bit_sums = counted.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.col("cnt")).otherwise(-F.col("cnt"))
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fp: Column = F.lit(0).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — SimHash near-dup: banded 15-bit buckets propose
+    candidates, hamming distance <= HAMMING_MAX confirms. (Rows-only:
+    candidate recall is probabilistic, like any banded sketch.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    stacked = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("sig"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bs.band_idx", "bs.sig")
+    x = stacked.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band_idx", "sig")
+    y = stacked.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "band_idx", "sig")
+    pairs = (
+        x.join(y, ["band_idx", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("bigint"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return pairs.select("a", "b", "hamming")
+
+
+# The synthetic embeddings carry no planted near-dups (max pairwise
+# cosine ≈ 0.51 at sf0.01); 0.45 selects the top tail so the operator
+# has observable output. Production near-dup would use 0.9+.
+COSINE_THRESHOLD = 0.45
+
+
+def dot_cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from float32 arrays, computed in double end-to-end
+    (float32 kernels — e.g. DuckDB's list_dot_product — drift too far
+    for stable comparison; measured during design)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (norm_a * norm_b)
+
+
+def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — semantic near-dup: embedding pairs with cosine >=
+    threshold. Brute-force pair join (the correctness baseline —
+    similarity.py's LSH buckets are the scale path)."""
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", dot_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+ORACLES["dedup_embedding_cosine"] = f"""
+WITH elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+dots AS (
+  SELECT ea.vec_id AS a, eb.vec_id AS b, SUM(ea.x * eb.x) AS dot
+  FROM elems ea JOIN elems eb ON ea.i = eb.i AND ea.vec_id < eb.vec_id
+  GROUP BY ea.vec_id, eb.vec_id
+)
+SELECT a, b, ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+WHERE dot / (na.norm * nb.norm) >= {COSINE_THRESHOLD}
+"""
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (SURVEY.md §2.3 T12).
+
+Images/audio/video are opaque ``binary`` columns plus a typed
+metadata struct; per-batch feature extraction runs through
+``mapInPandas`` (Arrow batches — the shape real multimodal decode
+takes on Spark). The container has no image/audio libs, so the
+decode step is STUBBED: a deterministic byte-level featureizer
+stands in, and the real-codec branch raises NotImplementedError
+loudly rather than faking support.
+
+Scale: mapInPandas streams Arrow batches — constant memory per task
+regardless of corpus size; binary payloads never pass through a
+Python row object. Partitioning stays whatever the scan produced
+(no shuffle is introduced).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+_FORMATS = ("png", "wav", "mp4")
+_STUB_FORMATS = set(_FORMATS)  # formats the deterministic stub accepts
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, fmt string, n_bytes bigint, byte_mean double, hist array<double>"
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-Arrow-batch feature extraction. Deterministic stand-in for
+    decode: byte length, mean byte value, 8-bin byte histogram
+    (normalized). A real deployment swaps the body per format
+    (PIL/librosa/pyav) — the Spark-side contract stays identical."""
+    for pdf in batches:
+        out = []
+        for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+            if fmt not in _STUB_FORMATS:
+                raise NotImplementedError(
+                    f"decode for format {fmt!r} requires codec libs not in this image"
+                )
+            data = bytes(payload)
+            n = len(data)
+            hist = [0] * 8
+            for byte in data:
+                hist[byte >> 5] += 1
+            total = float(n) if n else 1.0
+            out.append(
+                {
+                    "doc_id": doc_id,
+                    "fmt": fmt,
+                    "n_bytes": n,
+                    "byte_mean": (sum(data) / total) if n else 0.0,
+                    "hist": [h / total for h in hist],
+                }
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "fmt", "n_bytes", "byte_mean", "hist"])
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model a multimodal table: binary payload (here: utf-8 text
+    bytes standing in for media bytes) + typed metadata struct."""
+    fmt = F.element_at(F.array(*[F.lit(f) for f in _FORMATS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        fmt.alias("fmt"),
+        F.struct(
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — binary column → Arrow-batched feature extraction.
+    (Rows-only: the feature values are deterministic, but the
+    operator's point is the mapInPandas plumbing, which has no SQL
+    equivalent.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return media.select("doc_id", "fmt", "payload").mapInPandas(
+        _extract_features, schema=FEATURE_SCHEMA
+    )
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+}

@@ -1,0 +1,168 @@
+"""Similarity search over the embedding column (SURVEY.md §2.3
+T6-T7): brute-force cosine top-k as the exactness baseline, and a
+random-hyperplane LSH bucketed variant as the scale path.
+
+Scale: brute force is O(queries × corpus) — fine for a small query
+set against a broadcastable corpus, wrong for all-pairs at 100 TB.
+The LSH variant hashes each vector once into a 16-bit bucket
+(deterministic pseudo-hyperplanes), so candidate generation is an
+equi-join on the bucket id; re-ranking touches only bucket-mates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.operators.dedup import dot_cosine, with_norm
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+N_QUERIES = 20  # vec_id < 20 act as the query set
+TOP_K = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — exact cosine top-k: broadcast the (small) query set
+    against the corpus, window-rank per query. The corpus side never
+    shuffles — at scale this is one scan + a per-query heap."""
+    from pyspark.sql import Window as W
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("norm").alias("qn")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("norm").alias("cn")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+ORACLES["ann_cosine_topk"] = f"""
+WITH elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.x * c.x) / (nq.norm * nc.norm) AS cosine
+  FROM elems q
+  JOIN elems c ON q.i = c.i AND q.vec_id <> c.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id, nq.norm, nc.norm
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+N_TABLES = 16  # independent hash tables (union of candidates)
+PLANES_PER_TABLE = 5  # 2^5 = 32 buckets per table
+EMB_DIM = 64
+
+
+def _plane_weights(table: int, n_planes: int = PLANES_PER_TABLE, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes: sign of
+    md5(table, plane, dim). Engine-independent and seed-free."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{table}:{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(emb_col, planes: list[list[float]]):
+    """Bucket id within one table: bit j = sign of <x, w_j>."""
+    bucket = F.lit(0).cast("bigint")
+    for j, w in enumerate(planes):
+        warr = F.array(*[F.lit(v) for v in w])
+        dot = F.aggregate(
+            F.zip_with(emb_col, warr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def with_lsh_tables(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Explode each vector into (table_idx, bucket) rows — multi-table
+    LSH: a close pair only needs to agree in ONE table, so recall
+    compounds: miss = prod_t (1 - p_match^planes). One table with
+    more bits has near-zero recall on sparse data (measured: 1/100
+    at 12 bits / 500 vectors)."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"),
+                hyperplane_bucket(F.col(col), _plane_weights(t)).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return emb.withColumn("tb", F.explode(buckets)).select(
+        "*", F.col("tb.table_idx").alias("table_idx"), F.col("tb.bucket").alias("bucket")
+    ).drop("tb")
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — LSH-bucketed ANN: hash into N_TABLES independent bucket
+    tables, equi-join per (table, bucket), dedup candidates, re-rank
+    exactly within candidates. (Rows-only: approximate recall by
+    construction; ann_cosine_topk is the exact oracle twin.)"""
+    from pyspark.sql import Window as W
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    tabled = with_lsh_tables(emb)
+    queries = tabled.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_idx", "bucket"
+    )
+    corpus = tabled.select(F.col("vec_id").alias("neighbor_id"), "table_idx", "bucket")
+    candidates = (
+        corpus.join(F.broadcast(queries), ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}

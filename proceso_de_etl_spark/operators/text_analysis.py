@@ -1,0 +1,170 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.3
+T8-T11): language ID, quality scoring, token counting, document
+fingerprinting. All pure column expressions — these run inside
+whole-stage codegen, one scan, no shuffle except final aggregation;
+at 100 TB they are scan-bound, which is the best case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    CJK_PATTERN,
+    STOPWORDS,
+    shingles,
+    shingles_sql,
+    stop_hits,
+    stop_hits_sql,
+    tokens,
+    tokens_sql,
+)
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+_TOKS_SQL = tokens_sql("text")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — stopword/char-class language scoring with a deterministic
+    priority-ordered argmax (en > es > fr > de > zh on ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[stop_hits(t, ws).cast("bigint").alias(f"s_{lang}") for lang, ws in STOPWORDS.items()],
+        F.regexp_count(F.col("text"), F.lit(CJK_PATTERN)).cast("bigint").alias("s_zh"),
+    )
+    s = {k: F.col(f"s_{k}") for k in ("en", "es", "fr", "de", "zh")}
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+_SCORES_SQL = ",\n       ".join(
+    f"CAST({stop_hits_sql(_TOKS_SQL, ws)} AS BIGINT) AS s_{lang}"
+    for lang, ws in STOPWORDS.items()
+)
+ORACLES["text_lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_SCORES_SQL},
+       CAST(len(regexp_extract_all(text, '{CJK_PATTERN}')) AS BIGINT) AS s_zh
+  FROM documents
+)
+SELECT *,
+       CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+            WHEN s_de >= s_zh THEN 'de'
+            ELSE 'zh' END AS predicted_lang
+FROM scored
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 — heuristic quality score: length saturation, punctuation
+    ratio, stopword density; one deterministic double in [0,1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(t).cast("double")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]")).cast("double")
+    stops = stop_hits(t, STOPWORDS["en"]).cast("double")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stops / F.greatest(n_tokens, F.lit(1.0))
+    len_sat = F.least(n_tokens / 64.0, F.lit(1.0))
+    score = 0.4 * len_sat + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(
+        stop_ratio * 4.0, F.lit(1.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_STOPS_EN_SQL = stop_hits_sql(_TOKS_SQL, STOPWORDS["en"])
+ORACLES["text_quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len({_TOKS_SQL}) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) AS punct,
+         CAST({_STOPS_EN_SQL} AS DOUBLE) AS stops
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+       ROUND(stops / greatest(n_tokens, 1.0), 6) AS stop_ratio,
+       ROUND(0.4 * least(n_tokens / 64.0, 1.0)
+           + 0.3 * (1.0 - punct / greatest(n_chars, 1.0))
+           + 0.3 * least(stops / greatest(n_tokens, 1.0) * 4.0, 1.0), 6) AS quality_score
+FROM base
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — whitespace token count + a BPE-ish regex unit count
+    (letter runs / single digits / punctuation marks), the standard
+    cheap token estimator for budget planning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(BPE_ISH_PATTERN)).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+ORACLES["text_token_count"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 — shingle-hash document fingerprint: md5 over 3-gram
+    shingles, sketched as (count, lexicographic min, max). md5 hex is
+    engine-portable; the min/max pair is the 2-sketch of the hash
+    set — the same construction minhash extends to k perms."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")))
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(sh)).cast("bigint").alias("n_shingles"),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )
+
+
+_SH_SQL = shingles_sql(_TOKS_SQL)
+ORACLES["text_fingerprint"] = f"""
+SELECT doc_id,
+       CAST(len(list_distinct({_SH_SQL})) AS BIGINT) AS n_shingles,
+       list_min(list_transform({_SH_SQL}, s -> md5(s))) AS fp_min,
+       list_max(list_transform({_SH_SQL}, s -> md5(s))) AS fp_max
+FROM documents
+"""
+
+QUERIES = {
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}

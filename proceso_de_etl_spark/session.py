@@ -25,6 +25,14 @@ def get_spark(app_name: str = "proceso_de_etl_spark", cpus: str | None = None) -
     transfer columnar batches instead of pickled rows.
     """
     cpus = cpus or DEFAULT_CPUS
+    # Python workers are spawned by the JVM with the JVM's env — they
+    # don't see driver-side sys.path edits. Exporting the package
+    # parent here makes mapInPandas/pandas-UDF closures importable no
+    # matter where the driver process was launched from.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_parent + (os.pathsep + existing if existing else "")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -23,8 +23,20 @@ from proceso_de_etl_spark.operators import (
     windows,
 )
 from proceso_de_etl_spark.plans import tpch
+from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 
-_MODULES = (etl, tpch, windows, events, relational, dedup, similarity, text_analysis, multimodal)
+_MODULES = (
+    etl,
+    tpch,
+    windows,
+    events,
+    relational,
+    dedup,
+    similarity,
+    text_analysis,
+    multimodal,
+    streaming_jobs,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

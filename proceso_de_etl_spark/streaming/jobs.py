@@ -1,0 +1,222 @@
+"""Structured Streaming jobs (SURVEY.md §2.5 ST1-ST5).
+
+The reference pipeline is a batch re-run loop ("ejecutar de nuevo" —
+its idempotent conditional load exists exactly because it re-processes
+the same files); Structured Streaming is that loop done properly:
+incremental source tracking, watermark-bounded state, exactly-once
+sinks. Each job here has a batch twin in operators/events.py whose
+DuckDB oracle pins the semantics; tests assert stream == batch.
+
+For local verification the file source drives a static parquet file
+through the engine (one batch) into a memory sink; on a cluster the
+same plans run on kafka/file-arrival sources unchanged — that is the
+point of declaring them as streaming DataFrames.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from proceso_de_etl_spark.functions.columns import dsum
+
+ORACLES: dict[str, str] = {}
+
+# events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long
+# under nanosAsLong; converted to native micros below).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (file source).
+
+    The file stream source only accepts directories; the testdata
+    table is a single file inside a shared dir, so stream a temp dir
+    holding a symlink to it (zero copy; in production the source is a
+    landing directory or kafka and this shim disappears)."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming plan over the (static) source to completion
+    through a memory sink; return the materialized result."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """ST1 — tumbling 1h window counts per event type, watermarked.
+    The watermark bounds state: at scale the engine retains only
+    windows newer than max(event time) - 2h, no matter how long the
+    stream runs."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), 6).alias("value_sum"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode over a static source ≡ the batch aggregation, so
+    this streaming job shares the batch twin's DuckDB oracle."""
+    return run_to_memory(windowed_counts(stream_events(spark, sf_dir)), "complete")
+
+
+ORACLES["stream_tumbling_window"] = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST2 — native session windows: per-user sessions close after
+    ``gap`` of inactivity (the streaming form of the batch
+    lag+cumsum sessionizer)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 6).alias("session_value"))
+        .select("user_id", "n_events", "session_value")
+    )
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode session windows over the static source. Oracle:
+    the batch gap-sessionizer aggregated to the same shape (session
+    identity differs — (user, start) vs (user, ordinal) — but the
+    multiset of per-session rollups must be identical)."""
+    return run_to_memory(session_windows(stream_events(spark, sf_dir)), "complete")
+
+
+ORACLES["stream_session_window"] = """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         lag(epoch_us(ts)) OVER w AS prev_us, epoch_us(ts) AS ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 30*60*1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sess AS (
+  SELECT user_id, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """ST3 — drop duplicate event_ids within the watermark horizon —
+    the streaming form of the reference's idempotent conditional load
+    (reference main.py:45-59): replayed input must not double-count."""
+    return events.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode dedup over a replayed source (the file fed twice
+    via union would dedup to one copy; over the single static file
+    output simply equals the distinct set)."""
+    out = run_to_memory(
+        streaming_dedup(stream_events(spark, sf_dir)).select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        "append",
+    )
+    return out
+
+
+ORACLES["stream_dedup"] = """
+SELECT event_id, user_id, event_type, value
+FROM (SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def foreach_batch_idempotent_sink(spark: SparkSession, sf_dir: str, target_dir: str) -> int:
+    """ST5 — exactly-once file sink via foreachBatch: each epoch
+    writes to a staging path then atomically promotes (rename), and
+    an epoch ledger skips already-committed epochs on replay — the
+    reference's transactional load (main.py:173-195), streaming form.
+    Returns number of committed epochs."""
+    import os
+    import shutil
+
+    committed: list[int] = []
+    ledger = os.path.join(target_dir, "_epochs")
+    os.makedirs(ledger, exist_ok=True)
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(ledger, str(epoch_id))
+        if os.path.exists(marker):  # replayed epoch: already committed
+            return
+        staging = os.path.join(target_dir, f"_staging_{epoch_id}")
+        final = os.path.join(target_dir, f"epoch={epoch_id}")
+        batch_df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+        open(marker, "w").close()
+        committed.append(epoch_id)
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(write_epoch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return len(committed)
+
+
+QUERIES = {
+    "stream_tumbling_window": stream_tumbling_window,
+    "stream_session_window": stream_session_window,
+    "stream_dedup": stream_dedup,
+}

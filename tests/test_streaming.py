@@ -1,0 +1,70 @@
+"""Streaming jobs vs their batch twins (SURVEY.md §5.4)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from proceso_de_etl_spark.sources.catalog import load_table
+from proceso_de_etl_spark.streaming import jobs, stateful
+from tests.conftest import SF_SMOKE
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    from proceso_de_etl_spark.operators.events import events_tumbling_window
+
+    got = jobs.stream_tumbling_window(spark, SF_SMOKE)
+    want = events_tumbling_window(spark, SF_SMOKE)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stream_session_equals_batch_sessionize(spark):
+    from proceso_de_etl_spark.operators.events import events_sessionize
+
+    got = jobs.stream_session_window(spark, SF_SMOKE)
+    want = events_sessionize(spark, SF_SMOKE).select(
+        "user_id", "n_events", "session_value"
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_stream_dedup_keeps_distinct_ids(spark):
+    out = jobs.stream_dedup(spark, SF_SMOKE)
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids))
+    total = load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert len(ids) == total
+
+
+def test_stateful_running_totals_match_batch(spark):
+    stream = jobs.stream_events(spark, SF_SMOKE)
+    out = jobs.run_to_memory(stateful.running_user_totals(stream), "update")
+    # final state per user (last emitted row wins; single batch here)
+    got = {r.user_id: (r.n_events, r.value_sum) for r in out.collect()}
+    want_df = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    want = {r.user_id: (r.n, r.v) for r in want_df.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert math.isclose(got[u][1], want[u][1], rel_tol=1e-9)
+
+
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    target = str(tmp_path / "sink")
+    n1 = jobs.foreach_batch_idempotent_sink(spark, SF_SMOKE, target)
+    assert n1 >= 1
+    rows = spark.read.parquet(f"{target}/epoch=*").count()
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert rows == total
+    # replaying the same stream (fresh query, epoch ids restart at 0)
+    # must not duplicate: the ledger skips committed epochs.
+    n2 = jobs.foreach_batch_idempotent_sink(spark, SF_SMOKE, target)
+    assert n2 == 0
+    assert spark.read.parquet(f"{target}/epoch=*").count() == total

@@ -63,7 +63,9 @@ def shingles(toks: Column, n: int = 3) -> Column:
         count >= 1,
         F.transform(
             F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            # element_at is O(1); building each shingle via slice()
+            # allocates a subarray per shingle (measurably slower)
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
 

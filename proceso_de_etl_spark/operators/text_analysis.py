@@ -31,8 +31,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 — stopword/char-class language scoring with a deterministic
     priority-ordered argmax (en > es > fr > de > zh on ties)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    scored = docs.select(
+    # materialize the token array once (projection boundary) — see
+    # dedup._doc_shingles for why inlining re-runs the regex split
+    staged = docs.select("doc_id", "lang", "text", tokens(F.col("text")).alias("toks"))
+    t = F.col("toks")
+    scored = staged.select(
         "doc_id",
         "lang",
         *[stop_hits(t, ws).cast("bigint").alias(f"s_{lang}") for lang, ws in STOPWORDS.items()],
@@ -73,8 +76,10 @@ FROM scored
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 — heuristic quality score: length saturation, punctuation
     ratio, stopword density; one deterministic double in [0,1]."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
     n_chars = F.length("text").cast("double")
     n_tokens = F.size(t).cast("double")
     punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]")).cast("double")
@@ -143,11 +148,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable; the min/max pair is the 2-sketch of the hash
     set — the same construction minhash extends to k perms."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(tokens(F.col("text")))
-    hashes = F.transform(sh, lambda s: F.md5(s))
-    return docs.select(
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", shingles(F.col("toks")).alias("sh")
+    )
+    hashes = F.transform(F.col("sh"), lambda s: F.md5(s))
+    return staged.select(
         "doc_id",
-        F.size(F.array_distinct(sh)).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(F.col("sh"))).cast("bigint").alias("n_shingles"),
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),
     )

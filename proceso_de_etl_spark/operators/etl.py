@@ -410,6 +410,58 @@ JOIN clientes ON o_custkey = c_custkey
 GROUP BY id_categoria, categoria, id_clasificacion, clasificacion, is_placeholder
 """
 
+def etl_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 — partitioned fact write + partition-pruned read: the
+    reference's yearly date-range partitioning (its README §2.3) as
+    ``partitionBy(year)`` parquet. The year filter on the read side
+    resolves to PartitionFilters — pruned directories are never
+    listed, the exact effect the reference's design was after.
+    """
+    import tempfile
+
+    from proceso_de_etl_spark.sources.io import write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    target = tempfile.mkdtemp(prefix="fact_partitioned_")
+    write_parquet(li, target, partition_by=["ship_year"])
+    back = spark.read.parquet(target).filter(F.col("ship_year") == 1997)
+    return back.groupBy(F.month("l_shipdate").cast("bigint").alias("ship_month")).agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+ORACLES["etl_partition_prune"] = """
+SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE year(l_shipdate) = 1997
+GROUP BY 1
+"""
+
+
+def etl_atomic_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 — atomic multi-table load (main.py:173-195): dims + fact
+    staged, promoted all-or-nothing, manifest returned. (Rows-only:
+    the observable is the commit protocol, exercised end-to-end here
+    and failure-tested in tests/test_io.py.)"""
+    import tempfile
+
+    from proceso_de_etl_spark.sources.atomic import atomic_write_tables
+
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    dim_cat = extract_dimension(part, "p_type", "id_categoria", "categoria")
+    dim_pri = extract_dimension(orders, "o_orderpriority", "id_clasificacion", "clasificacion")
+    root = tempfile.mkdtemp(prefix="atomic_load_")
+    atomic_write_tables(root, {"dim_categoria": dim_cat, "dim_clasificacion": dim_pri})
+    manifest = [
+        (name, spark.read.parquet(f"{root}/{name}").count()) for name in ("dim_categoria", "dim_clasificacion")
+    ]
+    return spark.createDataFrame(manifest, "table_name string, n_rows bigint")
+
+
 QUERIES = {
     "etl_clean_id": etl_clean_id,
     "etl_dedup_keep_first": etl_dedup_keep_first,
@@ -421,4 +473,6 @@ QUERIES = {
     "etl_dropna_load": etl_dropna_load,
     "etl_incremental_antijoin": etl_incremental_antijoin,
     "etl_star_flagship": etl_star_flagship,
+    "etl_partition_prune": etl_partition_prune,
+    "etl_atomic_write": etl_atomic_write,
 }

@@ -1,0 +1,64 @@
+"""Batch sources & sinks (SURVEY.md §2.4 S1-S4).
+
+The reference ingests CSV (reference main.py:78-86, pandas read_csv)
+and loads SQL Server. Here every format goes through explicit
+schemas — schema inference is a full extra pass over the data, which
+at 100 TB is not a default anyone wants; malformed handling is a
+declared policy, not an accident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
+) -> DataFrame:
+    """CSV with explicit schema. ``mode``:
+    - PERMISSIVE: malformed rows → nulls (optionally captured whole
+      in ``corrupt_column``) — the reference's errors='coerce' policy;
+    - DROPMALFORMED: silently drop;
+    - FAILFAST: abort the job (strict ingestion gates).
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+    )
+    if corrupt_column:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Columnar sink; with ``partition_by`` the layout implements the
+    reference's fact-table partitioning design (its README §2.3 —
+    yearly date-range partitions) so date-filtered reads prune whole
+    directories instead of scanning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -1,0 +1,90 @@
+"""Source/sink coverage (SURVEY.md §2.4): format roundtrips, schema'd
+reads, malformed-row policies, partitioned writes with pruning."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proceso_de_etl_spark.sources.catalog import load_table
+from proceso_de_etl_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_csv,
+    write_orc,
+    write_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _sample(spark):
+    return load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    p = str(tmp_path / "csv")
+    write_csv(df, p)
+    back = read_csv(spark, p, "c_custkey bigint, c_name string, c_acctbal double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    p = str(tmp_path / "json")
+    df.write.json(p)
+    back = read_json(spark, p, "c_custkey bigint, c_name string, c_acctbal double")
+    assert back.count() == df.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = _sample(spark)
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_malformed_policies(spark, tmp_path):
+    raw = tmp_path / "raw.csv"
+    raw.write_text("id,v\n1,10\nbad-row,not-a-number\n3,30\n")
+    schema = "id bigint, v bigint"
+
+    permissive = read_csv(spark, str(raw), schema, mode="PERMISSIVE")
+    rows = {r.id: r.v for r in permissive.collect()}
+    assert rows[1] == 10 and rows[3] == 30 and rows[None] is None
+
+    dropped = read_csv(spark, str(raw), schema, mode="DROPMALFORMED")
+    # count() would prune every column and the parser would never see
+    # the malformed cells — materialize the columns to apply the policy
+    assert len(dropped.collect()) == 2
+
+    with pytest.raises(Exception):
+        read_csv(spark, str(raw), schema, mode="FAILFAST").collect()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    p = str(tmp_path / "fact")
+    write_parquet(li, p, partition_by=["ship_year"])
+    back = spark.read.parquet(p).filter(F.col("ship_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_year" in plan.split("PartitionFilters")[1][:200]
+    want = li.filter(F.col("ship_year") == 1997).count()
+    assert back.count() == want
+
+
+def test_jdbc_gated_with_actionable_error(spark):
+    from proceso_de_etl_spark.sources.jdbc import jdbc_available, read_jdbc_partitioned
+
+    assert not jdbc_available(spark, "com.microsoft.sqlserver.jdbc.SQLServerDriver")
+    with pytest.raises(RuntimeError, match="classpath"):
+        read_jdbc_partitioned(
+            spark, "jdbc:sqlserver://h;databaseName=OpinionDB", "Clientes",
+            "IdCliente", 0, 1000, 8,
+        )

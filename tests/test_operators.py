@@ -1,0 +1,112 @@
+"""Unit semantics on tiny literal frames (SURVEY.md §5.2) — the edge
+cases the sf-level oracle comparisons can't isolate."""
+
+from pyspark.sql import functions as F
+
+from proceso_de_etl_spark.functions.columns import clean_id
+from proceso_de_etl_spark.operators.etl import (
+    dedup_keep_first,
+    incremental_new_rows,
+    resolve_unique_conflicts,
+    synthesize_placeholders,
+)
+from proceso_de_etl_spark.operators.events import asof_join_last_prior, sessionize
+
+
+def test_clean_id_semantics(spark):
+    df = spark.createDataFrame(
+        [("C1",), ("C23",), ("42",), ("Cxx",), (None,), ("CC7",)], "raw string"
+    )
+    got = {r.raw: r.c for r in df.select("raw", clean_id(F.col("raw"), "C").alias("c")).collect()}
+    # strips ONE leading prefix; coerces failures to NULL (pandas
+    # to_numeric(errors='coerce') parity, reference main.py:38-41)
+    assert got == {"C1": 1, "C23": 23, "42": 42, "Cxx": None, None: None, "CC7": None}
+
+
+def test_dedup_keep_first_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 2), (1, "a", 9), (2, "z", 1)], "k long, ord string, v long"
+    )
+    got = dedup_keep_first(df, ["k"], [F.col("ord")]).collect()
+    assert {(r.k, r.ord, r.v) for r in got} == {(1, "a", 9), (2, "z", 1)}
+
+
+def test_placeholders_only_for_missing(spark):
+    masters = spark.createDataFrame([(1, "uno")], "k long, nombre string")
+    required = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    out = synthesize_placeholders(
+        masters, required, "k", {"nombre": F.concat(F.lit("Cliente_"), F.col("k").cast("string"))}
+    )
+    got = {(r.k, r.nombre) for r in out.collect()}
+    assert got == {(1, "uno"), (2, "Cliente_2"), (3, "Cliente_3")}
+
+
+def test_conflict_resolution_hits_whole_group(spark):
+    df = spark.createDataFrame(
+        [(1, "dup@x"), (2, "dup@x"), (3, "ok@x")], "id long, email string"
+    )
+    out = resolve_unique_conflicts(df, "email", F.concat(F.lit("p"), F.col("id").cast("string")))
+    got = {r.id: r.email for r in out.collect()}
+    # BOTH members of the dup group are replaced (reference keep=False)
+    assert got == {1: "p1", 2: "p2", 3: "ok@x"}
+
+
+def test_incremental_antijoin(spark):
+    incoming = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "pk long, v string")
+    existing = spark.createDataFrame([(2, "x")], "pk long, v string")
+    got = {r.pk for r in incremental_new_rows(incoming, existing, "pk").collect()}
+    assert got == {1, 3}
+
+
+def test_sessionize_gap_boundary(spark):
+    base = 1_700_000_000_000_000  # epoch micros
+    gap_us = 30 * 60 * 1_000_000
+    rows = [
+        (1, 10, base),
+        (1, 11, base + gap_us),      # exactly the gap → SAME session (> breaks)
+        (1, 12, base + 2 * gap_us + 1),  # 1us beyond → new session
+        (2, 20, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long").select(
+        "user_id", "event_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert got == {10: 1, 11: 1, 12: 2, 20: 1}
+
+
+def test_asof_join_strictly_prior(spark):
+    base = 1_700_000_000_000_000
+    left = spark.createDataFrame(
+        [(1, 100, base + 50)], "user_id long, event_id long, us long"
+    ).select("user_id", "event_id", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 1.0, base + 10), (1, 2.0, base + 50), (1, 3.0, base + 60)],
+        "user_id long, v double, us long",
+    ).select("user_id", F.col("v"), F.timestamp_micros("us").alias("cts"))
+    out = asof_join_last_prior(left, right, "user_id", "ts", "cts", "v").collect()
+    # the equal-timestamp right row (2.0) counts as prior (right rows
+    # order before left at ties); the later row (3.0) never matches
+    assert len(out) == 1 and out[0].asof_value == 2.0
+
+
+def test_atomic_writer_rollback_leaves_finals(spark, tmp_path):
+    import pytest
+
+    from proceso_de_etl_spark.sources.atomic import atomic_write_tables
+
+    root = str(tmp_path / "wh")
+    ok = spark.createDataFrame([(1,)], "a long")
+    atomic_write_tables(root, {"t1": ok})
+    assert spark.read.parquet(f"{root}/t1").count() == 1
+
+    class Boom:
+        def __getattr__(self, _):
+            raise RuntimeError("write failed")
+
+    with pytest.raises(Exception):
+        atomic_write_tables(root, {"t1": spark.createDataFrame([(2,), (3,)], "a long"), "t2": Boom()})
+    # failed transaction must not have touched the committed t1
+    assert spark.read.parquet(f"{root}/t1").count() == 1
+    import os
+
+    assert not os.path.exists(f"{root}/t2")

@@ -1,0 +1,61 @@
+"""Property tests (SURVEY.md §5.5): engine expressions vs pure-Python
+reference semantics on generated inputs."""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from proceso_de_etl_spark.functions.columns import clean_id
+from proceso_de_etl_spark.functions.text import tokens
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_clean_id(s: str | None, prefix: str) -> int | None:
+    """Pure-python reference of the reference's limpiar_id
+    (main.py:38-41): strip one leading prefix, int or None."""
+    if s is None:
+        return None
+    stripped = re.sub(f"^{re.escape(prefix)}", "", s)
+    try:
+        return int(stripped)
+    except ValueError:
+        return None
+
+
+@given(st.lists(st.one_of(
+    st.integers(0, 10**12).map(lambda n: f"C{n}"),
+    st.integers(0, 10**12).map(str),
+    st.text(alphabet="Cx0123456789", max_size=8),
+), min_size=1, max_size=30))
+@SET
+def test_clean_id_matches_python_reference(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [r.c for r in df.select(clean_id(F.col("raw"), "C").alias("c")).collect()]
+    want = [_py_clean_id(v, "C") for v in values]
+    # Spark try_cast overflows to NULL beyond bigint — mirror that
+    want = [w if (w is None or abs(w) <= 2**63 - 1) else None for w in want]
+    assert got == want
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"), max_codepoint=127),
+    max_size=120,
+), min_size=1, max_size=20))
+@SET
+def test_tokenizer_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r.t) for r in df.select(tokens(F.col("text")).alias("t")).collect()]
+    want = [_py_tokens(t) for t in texts]
+    assert got == want

@@ -22,12 +22,13 @@ from proceso_de_etl_spark.operators import (
     text_analysis,
     windows,
 )
-from proceso_de_etl_spark.plans import tpch
+from proceso_de_etl_spark.plans import tpch, tpch_ext
 from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 
 _MODULES = (
     etl,
     tpch,
+    tpch_ext,
     windows,
     events,
     relational,

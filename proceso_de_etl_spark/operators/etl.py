@@ -108,6 +108,33 @@ def incremental_new_rows(incoming: DataFrame, existing: DataFrame, pk: str) -> D
 # Oracle-checked query bindings on the testdata star schema
 # --------------------------------------------------------------------------
 
+def etl_extract_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — extract + schema conformance (main.py:78-86): raw source
+    columns renamed to the warehouse's canonical names, typed casts
+    applied declaratively, derived load-date column attached — the
+    pandas read_csv+rename phase as a pure projection (all pushdown-
+    friendly; the scan reads only the referenced columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("id_evento"),
+        F.col("user_id").alias("id_cliente"),
+        F.col("event_type").alias("tipo"),
+        F.col("value").cast("double").alias("valor"),
+        # ISO string, not DATE: engines disagree on whether a date
+        # materializes as date or midnight-timestamp client-side
+        F.date_format("ts", "yyyy-MM-dd").alias("fecha"),
+        F.unix_micros("ts").alias("ts_us"),
+    ).filter(F.col("valor").isNotNull())
+
+
+ORACLES["etl_extract_conform"] = """
+SELECT event_id AS id_evento, user_id AS id_cliente, event_type AS tipo,
+       CAST(value AS DOUBLE) AS valor, strftime(ts, '%Y-%m-%d') AS fecha,
+       epoch_us(ts) AS ts_us
+FROM events WHERE value IS NOT NULL
+"""
+
+
 def etl_clean_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — limpiar_id (main.py:38-41): strip 'C' prefix, coerce to
     numeric with NULL on failure. Dirty ids are synthesized from
@@ -463,6 +490,7 @@ def etl_atomic_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "etl_extract_conform": etl_extract_conform,
     "etl_clean_id": etl_clean_id,
     "etl_dedup_keep_first": etl_dedup_keep_first,
     "etl_dim_extract": etl_dim_extract,

@@ -16,8 +16,11 @@ from proceso_de_etl_spark.operators import (
     dedup,
     etl,
     events,
+    ml,
     multimodal,
+    pipeline,
     relational,
+    sampling,
     similarity,
     text_analysis,
     windows,
@@ -36,6 +39,9 @@ _MODULES = (
     similarity,
     text_analysis,
     multimodal,
+    sampling,
+    pipeline,
+    ml,
     streaming_jobs,
 )
 

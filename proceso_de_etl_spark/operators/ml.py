@@ -1,0 +1,98 @@
+"""Iterative algorithms on DataFrames: Lloyd's k-means over the
+embedding column (SURVEY.md §2.3 adjunct — the clustering step of
+corpus curation / IVF index building).
+
+Shape of the computation, which is what matters at scale:
+- centroids live on the DRIVER (k × dim doubles — tiny) and are
+  broadcast into each iteration's assignment expression;
+- each iteration is one scan + one groupBy(cluster) over the corpus;
+- the corpus never moves to the driver and never re-shuffles between
+  iterations (assignment is a per-row expression).
+
+Deterministic: init = lowest-k vec_ids, distance ties break to the
+lower cluster id. (Rows-only check: mean accumulation order makes
+the last float ulp run-dependent, so no cross-engine value oracle.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+K = 3
+N_ITER = 5
+
+
+def _sq_dist(emb: Column, centroid: list[float]) -> Column:
+    carr = F.array(*[F.lit(v) for v in centroid])
+    return F.aggregate(
+        F.zip_with(emb, carr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding") -> DataFrame:
+    """argmin over k distance expressions, ties to the lower id."""
+    dists = F.array(*[_sq_dist(F.col(emb_col), c) for c in centroids])
+    return df.withColumn(
+        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint")
+    )
+
+
+def kmeans_fit(df: DataFrame, k: int = K, n_iter: int = N_ITER, emb_col: str = "embedding") -> list[list[float]]:
+    """Lloyd iterations; centroids round-trip through the driver
+    (k × dim values), the data stays distributed."""
+    dim_df = df.select(F.size(emb_col).alias("d")).limit(1).collect()
+    dim = dim_df[0].d
+    init = df.orderBy("vec_id").limit(k).select(emb_col).collect()
+    centroids = [[float(v) for v in row[0]] for row in init]
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, centroids, emb_col)
+        sums = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at(F.col(emb_col), i + 1).cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = {r["cluster"]: r for r in sums.collect()}
+        centroids = [
+            [rows[c][f"s{i}"] / rows[c]["n"] for i in range(dim)] if c in rows else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the embeddings; report per-cluster size, inertia, and
+    purity against the generator's label column (external validation
+    of cluster recovery)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb)
+    assigned = assign_clusters(emb, centroids)
+    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in centroids])
+    assigned = assigned.withColumn("dist", F.array_min(dists))
+    label_counts = assigned.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster")
+    return (
+        label_counts.withColumn("cluster_n", F.sum("n").over(w))
+        .withColumn("rk", F.row_number().over(w.orderBy(F.desc("n"), F.asc("label"))))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("cluster_n").alias("n_points"),
+            F.col("label").alias("majority_label"),
+            F.round(F.col("n") / F.col("cluster_n"), 4).alias("purity"),
+        )
+    )
+
+
+QUERIES = {
+    "ml_kmeans_embeddings": ml_kmeans_embeddings,
+}

@@ -1,0 +1,63 @@
+"""End-to-end training-corpus cleaning pipeline — the flagship
+composition of the training-data operators (SURVEY.md §2.3), the
+document-side analogue of the reference's star ETL:
+
+    quality gate → language gate → near-dup removal (keep lowest id)
+
+Each stage is one of the already-verified operators; composing them
+stays a single declarative plan (Catalyst fuses the scans), and the
+whole chain is reproduced in the DuckDB oracle by the same CTE
+composition — the pipeline's output is value-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.operators import dedup as dedup_ops
+from proceso_de_etl_spark.operators.text_analysis import (
+    ORACLES as TEXT_ORACLES,
+    text_lang_id,
+    text_quality_score,
+)
+from proceso_de_etl_spark.operators.dedup import ORACLES as DEDUP_ORACLES
+
+ORACLES: dict[str, str] = {}
+
+QUALITY_MIN = 0.5
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality ≥ 0.5, predicted language 'en', and from every exact
+    3-gram near-dup pair (j ≥ 0.8) only the lowest doc_id survives."""
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lang = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    dup_pairs = dedup_ops.dedup_ngram_jaccard(spark, sf_dir)
+    # drop the higher id of each pair: any doc appearing as `b` loses
+    losers = dup_pairs.select(F.col("b").alias("doc_id")).distinct()
+    return (
+        quality.join(lang, "doc_id")
+        .filter((F.col("quality_score") >= QUALITY_MIN) & (F.col("predicted_lang") == "en"))
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "quality_score")
+    )
+
+
+def _subquery(sql: str, name: str) -> str:
+    return f"{name} AS (SELECT * FROM ({sql.strip().rstrip(';')}))"
+
+
+ORACLES["pipeline_clean_corpus"] = f"""
+WITH {_subquery(TEXT_ORACLES["text_quality_score"], "quality")},
+{_subquery(TEXT_ORACLES["text_lang_id"], "lang")},
+{_subquery(DEDUP_ORACLES["dedup_ngram_jaccard"], "dups")}
+SELECT quality.doc_id, quality_score
+FROM quality JOIN lang ON quality.doc_id = lang.doc_id
+WHERE quality_score >= {QUALITY_MIN}
+  AND predicted_lang = 'en'
+  AND quality.doc_id NOT IN (SELECT b FROM dups)
+"""
+
+QUERIES = {
+    "pipeline_clean_corpus": pipeline_clean_corpus,
+}

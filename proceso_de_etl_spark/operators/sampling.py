@@ -1,0 +1,56 @@
+"""Deterministic sampling / splitting (training-data pipeline staple).
+
+Splits must be REPRODUCIBLE across runs, engines, and cluster sizes —
+``rand()`` is none of those. Assignment here is pure arithmetic on
+the key (an LCG step mod 100), so any engine computes the same split
+and late-arriving rows land deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+TRAIN_PCT = 80
+
+
+def split_bucket(key: Column) -> Column:
+    """Deterministic 0-99 bucket from an integer key (LCG step —
+    engine-portable integer arithmetic, no hash builtin needed)."""
+    return ((key * F.lit(1103515245) + F.lit(12345)) % 100).cast("bigint")
+
+
+def assign_split(df: DataFrame, key: str, train_pct: int = TRAIN_PCT) -> DataFrame:
+    return df.withColumn(
+        "split",
+        F.when(split_bucket(F.col(key)) < train_pct, "train").otherwise("holdout"),
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/holdout accounting per language: deterministic
+    assignment, aggregated so the split proportions are auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+ORACLES["sample_stratified"] = f"""
+SELECT lang,
+       CASE WHEN (doc_id * 1103515245 + 12345) % 100 < {TRAIN_PCT}
+            THEN 'train' ELSE 'holdout' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+}

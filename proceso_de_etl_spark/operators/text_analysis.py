@@ -169,8 +169,122 @@ SELECT doc_id,
 FROM documents
 """
 
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by frequency with
+    document frequency — the vocabulary table every tokenizer build
+    starts from. One explode + two-level aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    stats = tok.groupBy("tok").agg(
+        F.count("*").alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("term_count"), F.asc("tok"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "tok", "term_count", "doc_freq")
+    )
+
+
+ORACLES["text_vocab_topk"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+stats AS (
+  SELECT tok, COUNT(*) AS term_count, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY tok
+)
+SELECT CAST(row_number() OVER (ORDER BY term_count DESC, tok ASC) AS BIGINT) AS rank,
+       tok, term_count, doc_freq
+FROM stats
+QUALIFY rank <= 50
+"""
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf = term_count/doc_len, idf = ln((N+1)/(df+1));
+    top-3 terms per document by score. All double arithmetic is
+    bit-identical cross-engine except ln's last ulp, absorbed by the
+    6dp rounding; ranking ties break on the term itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    n = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    doc_len = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (F.col("c") / F.col("len"))
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+ORACLES["text_tfidf_topterms"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+doc_len AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         (CAST(c AS DOUBLE) / len)
+         * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS tfidf
+  FROM tf JOIN doc_len ON tf.doc_id = doc_len.doc_id
+       JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rk,
+       tok, ROUND(tfidf, 6) AS tfidf
+FROM scored
+QUALIFY rk <= 3
+"""
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition score: 1 - distinct/total shingles — high values
+    flag boilerplate/spam (a standard corpus-quality dimension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", shingles(F.col("toks")).alias("sh")
+    )
+    total = F.size("sh").cast("double")
+    distinct = F.size(F.array_distinct("sh")).cast("double")
+    return staged.select(
+        "doc_id",
+        total.cast("bigint").alias("n_shingles"),
+        F.round(
+            F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0)), 6
+        ).alias("repetition_ratio"),
+    )
+
+
+ORACLES["text_repetition_ratio"] = f"""
+WITH s AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
+SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+       ROUND(CASE WHEN len(sh) > 0
+                  THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                  ELSE 0.0 END, 6) AS repetition_ratio
+FROM s
+"""
+
 QUERIES = {
     "text_lang_id": text_lang_id,
+    "text_vocab_topk": text_vocab_topk,
+    "text_tfidf_topterms": text_tfidf_topterms,
+    "text_repetition_ratio": text_repetition_ratio,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,

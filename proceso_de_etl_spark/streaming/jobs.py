@@ -215,8 +215,63 @@ def foreach_batch_idempotent_sink(spark: SparkSession, sf_dir: str, target_dir: 
     return len(committed)
 
 
+def interval_join_purchases_clicks(events: DataFrame, events2: DataFrame) -> DataFrame:
+    """ST6 — stream-stream interval join: each purchase pairs with the
+    same user's clicks from the preceding hour. Watermarks on both
+    sides bound the join state — the engine can discard click state
+    older than purchase-watermark − 1h, which is what makes a
+    stream-stream join runnable forever."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("pts", "2 hours")
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("pts").alias("purchase_ts_us"),
+        F.unix_micros("cts").alias("click_ts_us"),
+    )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    return run_to_memory(interval_join_purchases_clicks(ev1, ev2), "append")
+
+
+ORACLES["stream_interval_join"] = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_ts_us, epoch_us(c.ts) AS click_ts_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,
+    "stream_interval_join": stream_interval_join,
 }

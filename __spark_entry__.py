@@ -21,6 +21,7 @@ from proceso_de_etl_spark.operators import (
     pipeline,
     relational,
     sampling,
+    scd,
     similarity,
     text_analysis,
     windows,
@@ -42,6 +43,7 @@ _MODULES = (
     sampling,
     pipeline,
     ml,
+    scd,
     streaming_jobs,
 )
 

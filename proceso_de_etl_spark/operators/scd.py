@@ -1,0 +1,143 @@
+"""Slowly-changing-dimension (SCD2) merge — the warehouse-grade form
+of the reference's idempotent dimension load (reference main.py:61-74
+only ever appends new names; SCD2 also tracks attribute CHANGES with
+validity intervals).
+
+Without a transactional table format (Delta/Iceberg jars are not in
+this image) MERGE is emulated the classic way: anti-join + union +
+window — one pass, no driver loops:
+
+    changed   = incoming ⋈ current where attributes differ
+    closed    = current rows superseded by a change (valid_to set)
+    carried   = current rows without a change
+    new_rows  = incoming keys absent from current + changed (new version)
+
+The whole merge is a single declarative plan over two inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+FAR_FUTURE = "9999-12-31"
+
+
+def scd2_merge(
+    current: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    attrs: list[str],
+    load_date: str,
+) -> DataFrame:
+    """Merge ``incoming`` (key + attrs) into the SCD2 ``current``
+    (key + attrs + valid_from + valid_to + is_current)."""
+    inc = incoming.select(key, *attrs)
+    cur_open = current.filter(F.col("is_current"))
+    cur_closed = current.filter(~F.col("is_current"))
+
+    changed_keys = (
+        cur_open.alias("c")
+        .join(inc.alias("i"), key)
+        .filter(" OR ".join(f"NOT (c.{a} <=> i.{a})" for a in attrs))
+        .select(key)
+    )
+    # close superseded versions
+    closed_now = (
+        cur_open.join(changed_keys, key, "left_semi")
+        .withColumn("valid_to", F.lit(load_date).cast("date"))
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched_open = cur_open.join(changed_keys, key, "left_anti")
+    # new versions: changed keys + brand-new keys
+    new_keys = inc.join(cur_open, key, "left_anti").select(key)
+    version_keys = changed_keys.unionByName(new_keys)
+    new_versions = (
+        inc.join(version_keys, key, "left_semi")
+        .withColumn("valid_from", F.lit(load_date).cast("date"))
+        .withColumn("valid_to", F.lit(FAR_FUTURE).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return (
+        cur_closed.unionByName(closed_now)
+        .unionByName(untouched_open)
+        .unionByName(new_versions)
+    )
+
+
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 — SCD2 over the customer dimension: current state is the
+    customer table as of an initial load; the incoming batch changes
+    every 5th customer's segment and adds synthetic new customers.
+    Output: the merged history with version accounting."""
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(FAR_FUTURE).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    incoming = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.col("c_acctbal"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    merged = scd2_merge(current, incoming, "c_custkey", ["c_mktsegment", "c_acctbal"], "2024-06-01")
+    return merged.groupBy("c_mktsegment", "is_current").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+    )
+
+
+ORACLES["etl_scd2_merge"] = """
+WITH current AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         DATE '2024-01-01' AS valid_from, DATE '9999-12-31' AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+incoming AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 100 = 0
+),
+changed AS (
+  SELECT c.c_custkey FROM current c JOIN incoming i USING (c_custkey)
+  WHERE NOT (c.c_mktsegment IS NOT DISTINCT FROM i.c_mktsegment)
+     OR NOT (c.c_acctbal IS NOT DISTINCT FROM i.c_acctbal)
+),
+merged AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, DATE '2024-06-01' AS valid_to, FALSE AS is_current
+  FROM current WHERE c_custkey IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal, valid_to, is_current
+  FROM current WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal, DATE '9999-12-31', TRUE
+  FROM incoming
+  WHERE c_custkey IN (SELECT c_custkey FROM changed)
+     OR c_custkey NOT IN (SELECT c_custkey FROM current)
+)
+SELECT c_mktsegment, is_current, COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_custkey) AS n_keys
+FROM merged
+GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "etl_scd2_merge": etl_scd2_merge,
+}

@@ -280,9 +280,58 @@ SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
 FROM s
 """
 
+POSITIVE_WORDS = ("fast", "small", "value", "big")
+NEGATIVE_WORDS = ("slow", "dup", "error")
+
+
+def text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based opinion classification — the analytical purpose
+    of the reference's star schema (its Clasificaciones dimension:
+    Positiva/Neutra/Negativa). Positive/negative marker counts →
+    polarity score → three-way classification, then the dimension
+    rollup a BI user would run."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    pos = stop_hits(F.col("toks"), POSITIVE_WORDS).cast("double")
+    neg = stop_hits(F.col("toks"), NEGATIVE_WORDS).cast("double")
+    polarity = (pos - neg) / F.greatest(pos + neg, F.lit(1.0))
+    clasif = (
+        F.when(polarity > 0.2, "Positiva")
+        .when(polarity < -0.2, "Negativa")
+        .otherwise("Neutra")
+    )
+    return (
+        # polarity stays unrounded into the average (rounding only at
+        # the output edge — pre-agg rounding would skew the mean)
+        staged.select("doc_id", "source", polarity.alias("polarity"), clasif.alias("clasificacion"))
+        .groupBy("source", "clasificacion")
+        .agg(F.count("*").alias("n_opiniones"), F.round(F.avg("polarity"), 6).alias("avg_polarity"))
+    )
+
+
+_POS_SQL = stop_hits_sql(_TOKS_SQL, POSITIVE_WORDS)
+_NEG_SQL = stop_hits_sql(_TOKS_SQL, NEGATIVE_WORDS)
+ORACLES["text_sentiment"] = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         (CAST({_POS_SQL} AS DOUBLE) - CAST({_NEG_SQL} AS DOUBLE))
+         / greatest(CAST({_POS_SQL} AS DOUBLE) + CAST({_NEG_SQL} AS DOUBLE), 1.0) AS polarity
+  FROM documents
+)
+SELECT source,
+       CASE WHEN polarity > 0.2 THEN 'Positiva'
+            WHEN polarity < -0.2 THEN 'Negativa'
+            ELSE 'Neutra' END AS clasificacion,
+       COUNT(*) AS n_opiniones,
+       ROUND(AVG(polarity), 6) AS avg_polarity
+FROM scored
+GROUP BY 1, 2
+"""
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_vocab_topk": text_vocab_topk,
+    "text_sentiment": text_sentiment,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_repetition_ratio": text_repetition_ratio,
     "text_quality_score": text_quality_score,

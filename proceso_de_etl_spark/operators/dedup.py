@@ -330,8 +330,74 @@ FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
 WHERE dot / (na.norm * nb.norm) >= {COSINE_THRESHOLD}
 """
 
+CC_ITERATIONS = 6
+
+
+def connected_components(edges: DataFrame, max_iter: int = CC_ITERATIONS) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (id,
+    cluster) with cluster = smallest member id. Each iteration is one
+    join + one aggregate; ``max_iter`` bounds reachability diameter
+    (near-dup clusters are shallow — pairs chain through a shared
+    doc, so 6 hops covers any realistic dup cluster; a production
+    variant would loop to fixpoint with a convergence check).
+
+    This is the canonical way dedup PAIRS become dedup GROUPS (keep
+    one representative per cluster, drop the rest)."""
+    # persist the (possibly expensive) edge subtree — the loop
+    # references it every iteration; without this the full upstream
+    # plan (e.g. the Jaccard self-join) re-executes ~2x per iteration
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    nodes = sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(nodes, sym.dst == nodes.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("neighbor_min"))
+        )
+        # localCheckpoint TRUNCATES the logical plan each iteration —
+        # persist() alone is not enough: the plan doubles per step
+        # (nodes referenced twice) and analysis time goes exponential
+        # (measured 1.3s → 60s by iteration 5 with persist only).
+        nodes = (
+            nodes.join(neigh, nodes.id == neigh.src, "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("neighbor_min"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4b — near-dup pairs → clusters: every doc in a dup cluster
+    labeled with the cluster's smallest doc_id (the survivor)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    return connected_components(pairs)
+
+
+ORACLES["dedup_connected_components"] = f"""
+WITH pairs AS (
+  SELECT a, b FROM ({ORACLES["dedup_ngram_jaccard"].strip()})
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+)
+SELECT src AS doc_id, least(src, MIN(dst)) AS cluster
+FROM reach GROUP BY src
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_connected_components": dedup_connected_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

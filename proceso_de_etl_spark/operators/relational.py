@@ -226,8 +226,56 @@ FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY e.event_type, d.type_total
 """
 
+def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function parity matrix: one projection exercising the
+    date / string / numeric / conditional scalar surface a reference
+    user relies on, value-checked cross-engine. Types are pinned with
+    casts where engines' natural return types differ (ceil/floor)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_epoch_start"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("priority_word"),
+        F.concat_ws("-", "o_orderstatus", F.lower("o_orderpriority")).alias("status_tag"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_delta"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_band"),
+        F.floor(F.col("o_totalprice") / 1000.0).cast("bigint").alias("price_floor"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("mod7"),
+        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") > 200000.0, "big").otherwise("small").alias("size_class"),
+    )
+
+
+ORACLES["scalar_function_matrix"] = """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       upper(substring(o_orderpriority, 3, 20)) AS priority_word,
+       concat_ws('-', o_orderstatus, lower(o_orderpriority)) AS status_tag,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       abs(o_totalprice - 100000.0) AS abs_delta,
+       CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_band,
+       CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_floor,
+       CAST(o_orderkey % 7 AS BIGINT) AS mod7,
+       ROUND(sqrt(o_totalprice), 6) AS sqrt_price,
+       CASE WHEN o_totalprice > 200000.0 THEN 'big' ELSE 'small' END AS size_class
+FROM orders
+"""
+
+
 QUERIES = {
     "agg_rollup": agg_rollup,
+    "scalar_function_matrix": scalar_function_matrix,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_pivot": agg_pivot,

@@ -34,34 +34,44 @@ FEATURE_SCHEMA = (
 )
 
 
-def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-Arrow-batch feature extraction. Deterministic stand-in for
-    decode: byte length, mean byte value, 8-bin byte histogram
-    (normalized). A real deployment swaps the body per format
-    (PIL/librosa/pyav) — the Spark-side contract stays identical."""
-    for pdf in batches:
-        out = []
-        for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
-            if fmt not in _STUB_FORMATS:
-                raise NotImplementedError(
-                    f"decode for format {fmt!r} requires codec libs not in this image"
+def make_feature_extractor(stub_formats: frozenset[str]):
+    """Build the per-Arrow-batch feature extractor as a CLOSURE so
+    cloudpickle ships it by value — a module-level function would be
+    pickled by reference and fail to import on workers whose
+    PYTHONPATH the host session didn't set (e.g. an external driver
+    process). Deterministic stand-in for decode: byte length, mean
+    byte value, 8-bin byte histogram (normalized). A real deployment
+    swaps the body per format (PIL/librosa/pyav) — the Spark-side
+    contract stays identical."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # worker-side import, self-contained
+
+        for pdf in batches:
+            out = []
+            for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+                if fmt not in stub_formats:
+                    raise NotImplementedError(
+                        f"decode for format {fmt!r} requires codec libs not in this image"
+                    )
+                data = bytes(payload)
+                n = len(data)
+                hist = [0] * 8
+                for byte in data:
+                    hist[byte >> 5] += 1
+                total = float(n) if n else 1.0
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "fmt": fmt,
+                        "n_bytes": n,
+                        "byte_mean": (sum(data) / total) if n else 0.0,
+                        "hist": [h / total for h in hist],
+                    }
                 )
-            data = bytes(payload)
-            n = len(data)
-            hist = [0] * 8
-            for byte in data:
-                hist[byte >> 5] += 1
-            total = float(n) if n else 1.0
-            out.append(
-                {
-                    "doc_id": doc_id,
-                    "fmt": fmt,
-                    "n_bytes": n,
-                    "byte_mean": (sum(data) / total) if n else 0.0,
-                    "hist": [h / total for h in hist],
-                }
-            )
-        yield pd.DataFrame(out, columns=["doc_id", "fmt", "n_bytes", "byte_mean", "hist"])
+            yield pd.DataFrame(out, columns=["doc_id", "fmt", "n_bytes", "byte_mean", "hist"])
+
+    return extract
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
@@ -87,7 +97,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return media.select("doc_id", "fmt", "payload").mapInPandas(
-        _extract_features, schema=FEATURE_SCHEMA
+        make_feature_extractor(frozenset(_STUB_FORMATS)), schema=FEATURE_SCHEMA
     )
 
 

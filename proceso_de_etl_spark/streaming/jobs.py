@@ -48,6 +48,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from proceso_de_etl_spark.sources.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)  # host-built sessions lack nanosAsLong/UTC
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)

@@ -25,24 +25,28 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, value_sum double"
 STATE_SCHEMA = "n bigint, vsum double"
 
 
-def _update_user_totals(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n, vsum = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        vsum += float(pdf["value"].sum())
-    state.update((n, vsum))
-    yield pd.DataFrame([{"user_id": key[0], "n_events": n, "value_sum": vsum}])
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
-    """Streaming per-user running totals with explicit state."""
+    """Streaming per-user running totals with explicit state. The
+    update function is a nested closure so cloudpickle ships it by
+    value (workers need no importable copy of this package)."""
+
+    def update_user_totals(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        n, vsum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float(pdf["value"].sum())
+        state.update((n, vsum))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n, "value_sum": vsum}])
+
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_totals,
+            update_user_totals,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

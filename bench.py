@@ -35,6 +35,8 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality_score",
+    "q21_waiting_supplier",
+    "pipeline_clean_corpus",
 )
 
 

@@ -26,7 +26,15 @@ def money(c: ColumnOrName, scale: int = 2) -> Column:
 
 
 def dsum(c: ColumnOrName, scale: int = 2) -> Column:
-    """Order-independent (exact) sum of a double column, as double."""
+    """Order-independent (exact) sum of a double column, as double.
+
+    Perf note (measured, sf0.1): a scaled-BIGINT accumulator
+    (sum(round(x*10^s)::bigint)/10^s) is ~2.5x faster than DECIMAL,
+    but Spark's non-ANSI long sum WRAPS silently on overflow —
+    unacceptable for an engine sized for 100 TB facts. DECIMAL
+    accumulation cannot overflow (38-digit headroom), so it stays
+    the default; swap in the long path only for bounded-domain
+    columns where the product sum provably fits 63 bits."""
     return F.sum(money(c, scale)).cast("double")
 
 

@@ -229,8 +229,55 @@ FROM events
 GROUP BY event_type
 """
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: a dense hourly spine per event
+    type with zero-filled gaps — the resample step before any
+    rolling-window model. Spine = sequence+explode (generated
+    column-side, no driver loop), left join actuals, coalesce 0.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum(F.col("value"), 6).alias("value_sum"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    return (
+        spine.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.unix_micros("h").alias("hour_us"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("value_sum", F.lit(0.0)).alias("value_sum"),
+        )
+    )
+
+
+ORACLES["events_gap_fill"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+typed AS (SELECT h, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events))
+SELECT epoch_us(t.h) AS hour_us, t.event_type,
+       COALESCE(n, 0) AS n, COALESCE(value_sum, 0.0) AS value_sum
+FROM typed t LEFT JOIN hourly ON t.h = hourly.h AND t.event_type = hourly.event_type
+"""
+
 QUERIES = {
     "events_sessionize": events_sessionize,
+    "events_gap_fill": events_gap_fill,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
     "events_asof_join": events_asof_join,

@@ -273,9 +273,62 @@ FROM orders
 """
 
 
+def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function parity matrix: sort, slice,
+    distinct, membership, filter, fold — computed over a
+    deterministic integer array derived from doc_id so every engine
+    sees identical inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.array(
+        (F.col("doc_id") % 5).cast("bigint"),
+        (F.col("doc_id") % 3).cast("bigint"),
+        (F.col("doc_id") % 7).cast("bigint"),
+        F.lit(2).cast("bigint"),
+    )
+    staged = docs.select("doc_id", arr.alias("arr"))
+    a = F.col("arr")
+    # array outputs serialize as strings: clients materialize array
+    # columns as list OR numpy array depending on Arrow settings,
+    # which breaks value comparison at the harness layer
+    return staged.select(
+        "doc_id",
+        F.array_join(F.sort_array(a), ",").alias("sorted_asc"),
+        F.array_join(F.sort_array(a, asc=False), ",").alias("sorted_desc"),
+        F.array_join(F.slice(a, 2, 2), ",").alias("middle_two"),
+        F.size(F.array_distinct(a)).cast("bigint").alias("n_distinct"),
+        F.array_contains(a, F.lit(2)).alias("has_two"),
+        F.size(F.filter(a, lambda x: x > 2)).cast("bigint").alias("n_gt2"),
+        F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("arr_sum"),
+        F.array_max(a).alias("arr_max"),
+        F.array_position(a, F.lit(2)).cast("bigint").alias("first_two_pos"),
+    )
+
+
+ORACLES["array_function_matrix"] = """
+WITH staged AS (
+  SELECT doc_id,
+         [CAST(doc_id % 5 AS BIGINT), CAST(doc_id % 3 AS BIGINT),
+          CAST(doc_id % 7 AS BIGINT), CAST(2 AS BIGINT)] AS arr
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_sort(arr, 'ASC'), ',') AS sorted_asc,
+       array_to_string(list_sort(arr, 'DESC'), ',') AS sorted_desc,
+       array_to_string(arr[2:3], ',') AS middle_two,
+       CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+       list_contains(arr, 2) AS has_two,
+       CAST(len(list_filter(arr, x -> x > 2)) AS BIGINT) AS n_gt2,
+       CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+       list_max(arr) AS arr_max,
+       CAST(COALESCE(list_position(arr, 2), 0) AS BIGINT) AS first_two_pos
+FROM staged
+"""
+
+
 QUERIES = {
     "agg_rollup": agg_rollup,
     "scalar_function_matrix": scalar_function_matrix,
+    "array_function_matrix": array_function_matrix,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_pivot": agg_pivot,

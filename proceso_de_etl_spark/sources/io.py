@@ -60,5 +60,24 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    try:
+        spark.read.format("avro").load("/nonexistent")
+        return True
+    except Exception as ex:
+        return "Failed to find data source: avro" not in str(ex)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — the external spark-avro module is not in this
+    image (only avro core jars); gated with the remedy."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro module missing; add org.apache.spark:spark-avro via "
+            "spark.jars.packages to read avro."
+        )
+    return spark.read.format("avro").load(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -42,6 +42,8 @@ def _canon_cell(v) -> str:
         return v.hex()
     if isinstance(v, list | tuple):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:  # numpy array
+        return "[" + ",".join(_canon_cell(x) for x in v.tolist()) + "]"
     return str(v)
 
 

@@ -79,6 +79,14 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == want
 
 
+def test_avro_gated_with_actionable_error(spark):
+    from proceso_de_etl_spark.sources.io import avro_available, read_avro
+
+    assert not avro_available(spark)
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, "/tmp/nope.avro")
+
+
 def test_jdbc_gated_with_actionable_error(spark):
     from proceso_de_etl_spark.sources.jdbc import jdbc_available, read_jdbc_partitioned
 

@@ -275,9 +275,42 @@ SELECT epoch_us(t.h) AS hour_us, t.event_type,
 FROM typed t LEFT JOIN hourly ON t.h = hourly.h AND t.event_type = hourly.event_type
 """
 
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame rolling aggregate: each event's trailing-1-hour
+    count and value sum for its user — RANGE BETWEEN on the physical
+    time axis (not row-count frames), the shape behind rate limits,
+    rolling features, and anomaly baselines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("value_trailing_1h"),
+    )
+
+
+ORACLES["events_rolling_window"] = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_gap_fill": events_gap_fill,
+    "events_rolling_window": events_rolling_window,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
     "events_asof_join": events_asof_join,

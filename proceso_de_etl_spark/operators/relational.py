@@ -325,10 +325,59 @@ FROM staged
 """
 
 
+def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics parity: aggregates over induced nulls, null-safe
+    equality, and three-valued logic — where engines classically
+    diverge. Nulls are induced deterministically (NULLIF patterns)
+    so both engines see identical null sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d"),
+        F.nullif(F.col("l_linestatus"), F.lit("F")).alias("s"),
+        F.col("l_quantity"),
+    )
+    return staged.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count("d").alias("n_nonnull_d"),
+        F.count("s").alias("n_nonnull_s"),
+        F.sum(F.col("d").cast("decimal(18,6)")).cast("double").alias("sum_d_ignoring_nulls"),
+        F.min("d").alias("min_d"),
+        F.max("s").alias("max_s"),
+        F.sum(F.when(F.col("d").eqNullSafe(F.lit(None).cast("double")), 1).otherwise(0)).alias("n_nullsafe_eq_null"),
+        F.sum(F.when(F.col("d") > 0.05, 1).when(~(F.col("d") > 0.05), 0).otherwise(-1)).alias("three_valued_tally"),
+    )
+
+
+ORACLES["null_semantics_matrix"] = """
+WITH staged AS (
+  SELECT l_returnflag,
+         NULLIF(l_discount, 0.0) AS d,
+         NULLIF(l_linestatus, 'F') AS s,
+         l_quantity
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(d) AS n_nonnull_d,
+       COUNT(s) AS n_nonnull_s,
+       CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS sum_d_ignoring_nulls,
+       MIN(d) AS min_d,
+       MAX(s) AS max_s,
+       CAST(SUM(CASE WHEN d IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null,
+       CAST(SUM(CASE WHEN d > 0.05 THEN 1
+                     WHEN NOT (d > 0.05) THEN 0
+                     ELSE -1 END) AS BIGINT) AS three_valued_tally
+FROM staged
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_rollup": agg_rollup,
     "scalar_function_matrix": scalar_function_matrix,
     "array_function_matrix": array_function_matrix,
+    "null_semantics_matrix": null_semantics_matrix,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_pivot": agg_pivot,

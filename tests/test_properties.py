@@ -59,3 +59,52 @@ def test_tokenizer_matches_python_reference(spark, texts):
     got = [list(r.t) for r in df.select(tokens(F.col("text")).alias("t")).collect()]
     want = [_py_tokens(t) for t in texts]
     assert got == want
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = _py_tokens(text)
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@given(st.lists(st.text(alphabet="ab ", max_size=60), min_size=1, max_size=12))
+@SET
+def test_shingles_match_python_reference(spark, texts):
+    from proceso_de_etl_spark.functions.text import shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    staged = df.select(tokens(F.col("text")).alias("toks"))
+    got = [list(r.s) for r in staged.select(shingles(F.col("toks")).alias("s")).collect()]
+    want = [_py_shingles(t) for t in texts]
+    assert got == want
+
+
+def _py_sessionize(events, gap_us):
+    out = {}
+    by_user = {}
+    for uid, eid, us in sorted(events, key=lambda e: (e[0], e[2], e[1])):
+        prev, sid = by_user.get(uid, (None, 0))
+        sid = sid + 1 if prev is None or us - prev > gap_us else sid
+        by_user[uid] = (us, sid)
+        out[eid] = sid
+    return out
+
+
+@given(st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 10**6),
+              st.integers(0, 4 * 10**9)),
+    min_size=1, max_size=40, unique_by=lambda e: e[1],
+))
+@SET
+def test_sessionize_matches_python_reference(spark, events):
+    from pyspark.sql import functions as SF
+
+    from proceso_de_etl_spark.operators.events import sessionize
+
+    gap_us = 30 * 60 * 1_000_000
+    base = 1_700_000_000_000_000
+    df = spark.createDataFrame(
+        [(u, e, base + us) for u, e, us in events], "user_id long, event_id long, us long"
+    ).select("user_id", "event_id", SF.timestamp_micros("us").alias("ts"))
+    got = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    want = _py_sessionize([(u, e, base + us) for u, e, us in events], gap_us)
+    assert got == want

@@ -489,6 +489,112 @@ def etl_atomic_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(manifest, "table_name string, n_rows bigint")
 
 
+def etl_aggregate_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 — incremental aggregate maintenance: a daily-refresh
+    summary table (orders per status per month) absorbing a late
+    batch. Existing summary = pre-1999 orders; delta = the rest;
+    upsert = full outer merge adding counts — the pattern that keeps
+    a 100 TB rollup fresh without recomputing history."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    existing = (
+        orders.filter(F.col("o_orderdate") < F.expr("TIMESTAMP '1999-01-01 00:00:00'"))
+        .groupBy(month, "o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    )
+    delta = (
+        orders.filter(F.col("o_orderdate") >= F.expr("TIMESTAMP '1999-01-01 00:00:00'"))
+        .groupBy(month, "o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    )
+    e = existing.select("month", "o_orderstatus", F.col("n").alias("en"), F.col("total").alias("et"))
+    d = delta.select("month", "o_orderstatus", F.col("n").alias("dn"), F.col("total").alias("dt"))
+    return (
+        e.join(d, ["month", "o_orderstatus"], "full_outer")
+        .select(
+            "month",
+            "o_orderstatus",
+            (F.coalesce("en", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.coalesce("et", F.lit(0.0)) + F.coalesce("dt", F.lit(0.0))).alias("total"),
+        )
+    )
+
+
+ORACLES["etl_aggregate_upsert"] = """
+WITH existing AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+         COUNT(*) AS en, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS et
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+delta AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+         COUNT(*) AS dn, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS dt
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT COALESCE(existing.month, delta.month) AS month,
+       COALESCE(existing.o_orderstatus, delta.o_orderstatus) AS o_orderstatus,
+       CAST(COALESCE(en, 0) + COALESCE(dn, 0) AS BIGINT) AS n,
+       COALESCE(et, 0.0) + COALESCE(dt, 0.0) AS total
+FROM existing FULL OUTER JOIN delta
+  ON existing.month = delta.month AND existing.o_orderstatus = delta.o_orderstatus
+"""
+
+
+def etl_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 — column profiling (the quality report a data engineer
+    runs before trusting a feed): per column — null count, distinct
+    count, min/max as strings. One pass computes every column's
+    stats; the per-column rows are stacked scan-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    agg = li.agg(
+        F.count("*").alias("_total"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        *[F.min(F.col(c).cast("string")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("string")).alias(f"mx_{c}") for c in cols],
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        (F.col("_total") - F.col(f"nn_{c}")).alias("n_nulls"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_str"),
+                        F.col(f"mx_{c}").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.column_name", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
+
+
+ORACLES["etl_profile_table"] = """
+SELECT 'l_orderkey' AS column_name, COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+       COUNT(DISTINCT l_orderkey) AS n_distinct,
+       MIN(CAST(l_orderkey AS VARCHAR)) AS min_str, MAX(CAST(l_orderkey AS VARCHAR)) AS max_str
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+       MIN(CAST(l_quantity AS VARCHAR)), MAX(CAST(l_quantity AS VARCHAR)) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+       MIN(CAST(l_extendedprice AS VARCHAR)), MAX(CAST(l_extendedprice AS VARCHAR)) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', COUNT(*) - COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+       MIN(CAST(l_returnflag AS VARCHAR)), MAX(CAST(l_returnflag AS VARCHAR)) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
+       MIN(CAST(l_shipdate AS VARCHAR)), MAX(CAST(l_shipdate AS VARCHAR)) FROM lineitem
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_clean_id": etl_clean_id,
@@ -503,4 +609,6 @@ QUERIES = {
     "etl_star_flagship": etl_star_flagship,
     "etl_partition_prune": etl_partition_prune,
     "etl_atomic_write": etl_atomic_write,
+    "etl_aggregate_upsert": etl_aggregate_upsert,
+    "etl_profile_table": etl_profile_table,
 }

@@ -307,10 +307,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """
 
+def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band (theta) join: events classified against a band
+    dimension by value interval. The band table is tiny → Catalyst
+    plans BroadcastNestedLoopJoin, which is exactly right: each row
+    tests 3 intervals scan-side, no shuffle. (For big-both-sides
+    range joins, bucketize the range key first — see SURVEY §4.)"""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20.0), ("mid", 20.0, 50.0), ("high", 50.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(bands), (ev.value >= bands.lo) & (ev.value < bands.hi)
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value"), 6).alias("value_sum"),
+    )
+
+
+ORACLES["events_value_band_join"] = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 20.0), ('mid', 20.0, 50.0), ('high', 50.0, 1e18)
+)
+SELECT band, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_gap_fill": events_gap_fill,
     "events_rolling_window": events_rolling_window,
+    "events_value_band_join": events_value_band_join,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
     "events_asof_join": events_asof_join,

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from proceso_de_etl_spark.functions.columns import davg, dsum, money
+from proceso_de_etl_spark.functions.columns import davg, dsum
 from proceso_de_etl_spark.sources.catalog import load_table
 
 def DISC_PRICE():

@@ -272,9 +272,21 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 as a contract query — applyInPandasWithState running
+    per-user totals driven over the static source. (Rows-only: update
+    mode emits one row per user per batch; the single-batch file
+    source makes the output the final totals, which the batch twin
+    test pins against groupBy.)"""
+    from proceso_de_etl_spark.streaming.stateful import running_user_totals
+
+    return run_to_memory(running_user_totals(stream_events(spark, sf_dir)), "update")
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,
     "stream_interval_join": stream_interval_join,
+    "stream_stateful_totals": stream_stateful_totals,
 }

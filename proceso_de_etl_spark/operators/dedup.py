@@ -395,9 +395,57 @@ SELECT src AS doc_id, least(src, MIN(dst)) AS cluster
 FROM reach GROUP BY src
 """
 
+def _stop_hits_en_sql() -> str:
+    from proceso_de_etl_spark.functions.text import STOPWORDS, stop_hits_sql
+
+    return stop_hits_sql(_TOKS_SQL, STOPWORDS["en"])
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each near-dup cluster keep the
+    HIGHEST-quality member (not the lowest id) — what a real corpus
+    pipeline does, composing clustering with the quality scorer.
+    Ties break to the lower doc_id."""
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.operators.text_analysis import text_quality_score
+
+    clusters = dedup_connected_components(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = W.partitionBy("cluster").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "cluster",
+            "doc_id",
+            "quality_score",
+            (F.col("rk") == 1).alias("kept"),
+        )
+    )
+
+
+ORACLES["dedup_keep_best"] = f"""
+WITH clusters AS ({ORACLES["dedup_connected_components"].strip()}),
+quality AS (
+  SELECT doc_id,
+         ROUND(0.4 * least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 64.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+             + 0.3 * least(CAST({_stop_hits_en_sql()} AS DOUBLE)
+                           / greatest(CAST(len({_TOKS_SQL}) AS DOUBLE), 1.0) * 4.0, 1.0), 6) AS quality_score
+  FROM documents
+)
+SELECT cluster, c.doc_id, quality_score,
+       row_number() OVER (PARTITION BY cluster
+                          ORDER BY quality_score DESC, c.doc_id ASC) = 1 AS kept
+FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,

@@ -337,11 +337,56 @@ FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band
 """
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted by
+    weeks-since-cohort activity — the standard product-analytics
+    matrix. Two aggregations over one scan; the cohort assignment is
+    a min-over-user broadcast back onto the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("act_week")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            *[
+                F.countDistinct(
+                    F.when(
+                        F.datediff("act_week", "cohort_week") == 7 * k, F.col("user_id")
+                    )
+                ).cast("bigint").alias(f"week{k}")
+                for k in range(4)
+            ],
+        )
+        .select(F.unix_micros("cohort_week").alias("cohort_week_us"), "cohort_size", "week0", "week1", "week2", "week3")
+    )
+
+
+ORACLES["events_retention_cohorts"] = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT epoch_us(cohort_week) AS cohort_week_us,
+       COUNT(DISTINCT a.user_id) AS cohort_size,
+       CAST(COUNT(DISTINCT CASE WHEN datediff('day', cohort_week, act_week) = 0  THEN a.user_id END) AS BIGINT) AS week0,
+       CAST(COUNT(DISTINCT CASE WHEN datediff('day', cohort_week, act_week) = 7  THEN a.user_id END) AS BIGINT) AS week1,
+       CAST(COUNT(DISTINCT CASE WHEN datediff('day', cohort_week, act_week) = 14 THEN a.user_id END) AS BIGINT) AS week2,
+       CAST(COUNT(DISTINCT CASE WHEN datediff('day', cohort_week, act_week) = 21 THEN a.user_id END) AS BIGINT) AS week3
+FROM activity a JOIN firsts USING (user_id)
+GROUP BY cohort_week
+"""
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_gap_fill": events_gap_fill,
     "events_rolling_window": events_rolling_window,
     "events_value_band_join": events_value_band_join,
+    "events_retention_cohorts": events_retention_cohorts,
     "events_tumbling_window": events_tumbling_window,
     "events_funnel": events_funnel,
     "events_asof_join": events_asof_join,

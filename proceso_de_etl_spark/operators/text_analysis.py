@@ -328,10 +328,69 @@ FROM scored
 GROUP BY 1, 2
 """
 
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONEISH_RE = r"\b[0-9]{3}[- .][0-9]{3,4}[- .][0-9]{4}\b"
+
+
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance scrub: regex-based PII redaction (emails, phone-ish
+    numbers) before a corpus ships — synthesized PII is planted on
+    every 7th doc so the operator provably fires, then counted.
+    Pure regexp_replace: scan-side, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    redacted = planted.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONEISH_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
+    return redacted.select(
+        "doc_id",
+        F.regexp_count(F.col("clean_text"), F.lit("<EMAIL>")).cast("bigint").alias("n_emails_redacted"),
+        F.regexp_count(F.col("clean_text"), F.lit("<PHONE>")).cast("bigint").alias("n_phones_redacted"),
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+    )
+
+
+ORACLES["text_pii_redaction"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+              ELSE text END AS text
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONEISH_RE}', '<PHONE>', 'g') AS clean_text
+  FROM planted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(clean_text, '<EMAIL>')) AS BIGINT) AS n_emails_redacted,
+       CAST(len(regexp_extract_all(clean_text, '<PHONE>')) AS BIGINT) AS n_phones_redacted,
+       CAST(length(clean_text) AS BIGINT) AS clean_len
+FROM redacted
+"""
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_vocab_topk": text_vocab_topk,
     "text_sentiment": text_sentiment,
+    "text_pii_redaction": text_pii_redaction,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_repetition_ratio": text_repetition_ratio,
     "text_quality_score": text_quality_score,

@@ -29,13 +29,14 @@ from proceso_de_etl_spark.operators import (
 from proceso_de_etl_spark.plans import tpch, tpch_ext
 from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 
+# Registration order IS gate order: the driver's correctness gate
+# consumes queries() in this order and may truncate (round 1 stopped
+# at 50), so the modules whose queries lacked a driver-side signal in
+# round 1 (§2.3 training-data ops, streaming, SCD2, relational tail)
+# come right after etl; the round-1-green analytic suites close the
+# list.
 _MODULES = (
     etl,
-    tpch,
-    tpch_ext,
-    windows,
-    events,
-    relational,
     dedup,
     similarity,
     text_analysis,
@@ -45,6 +46,11 @@ _MODULES = (
     ml,
     scd,
     streaming_jobs,
+    relational,
+    windows,
+    events,
+    tpch,
+    tpch_ext,
 )
 
 

@@ -330,16 +330,19 @@ FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
 WHERE dot / (na.norm * nb.norm) >= {COSINE_THRESHOLD}
 """
 
-CC_ITERATIONS = 6
+CC_MAX_ITER = 50
 
 
-def connected_components(edges: DataFrame, max_iter: int = CC_ITERATIONS) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id,
     cluster) with cluster = smallest member id. Each iteration is one
-    join + one aggregate; ``max_iter`` bounds reachability diameter
-    (near-dup clusters are shallow — pairs chain through a shared
-    doc, so 6 hops covers any realistic dup cluster; a production
-    variant would loop to fixpoint with a convergence check).
+    join + one aggregate; the loop runs TO FIXPOINT — it stops the
+    first iteration in which no label changes — so a chain of any
+    length labels correctly (matching the oracle's full transitive
+    closure); ``max_iter`` is only a safety bound against a
+    pathological input. Near-dup clusters are shallow, so in practice
+    this converges in 1-3 iterations — the fixpoint check is one tiny
+    aggregate over the already-checkpointed node set.
 
     This is the canonical way dedup PAIRS become dedup GROUPS (keep
     one representative per cluster, drop the rest)."""
@@ -364,10 +367,17 @@ def connected_components(edges: DataFrame, max_iter: int = CC_ITERATIONS) -> Dat
             nodes.join(neigh, nodes.id == neigh.src, "left")
             .select(
                 F.col("id"),
-                F.least(F.col("label"), F.coalesce(F.col("neighbor_min"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neighbor_min"), F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint(eager=True)
         )
+        changed = nodes.filter(F.col("new_label") != F.col("old_label")).limit(1).count()
+        nodes = nodes.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
     return nodes.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 

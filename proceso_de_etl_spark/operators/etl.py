@@ -369,9 +369,13 @@ def etl_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     part types (Categorias), priorities play Clasificaciones, and the
     incomplete-master simulation (%7) exercises the placeholder path.
 
-    Scale: dims are broadcast; the single fact-fact shuffle is
-    lineitem ⋈ orders on orderkey; the placeholder anti-join runs on
-    the distinct key set, not the fact table.
+    Scale: the enum dims (categoria/clasificacion — bounded
+    cardinality at any SF) carry broadcast hints; part and clientes
+    grow with the data, so they are unhinted — AQE broadcasts them
+    while they fit and shuffle-joins them at 100 TB. The single
+    fact-fact shuffle is lineitem ⋈ orders on orderkey; the
+    placeholder anti-join runs on the distinct key set, not the fact
+    table.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -393,10 +397,10 @@ def etl_star_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fact = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(dim_cat), F.col("p_type") == dim_cat.categoria)
         .join(F.broadcast(dim_pri), F.col("o_orderpriority") == dim_pri.clasificacion)
-        .join(F.broadcast(clientes), orders.o_custkey == clientes.c_custkey)
+        .join(clientes, orders.o_custkey == clientes.c_custkey)
     )
     return fact.groupBy("id_categoria", "categoria", "id_clasificacion", "clasificacion", "is_placeholder").agg(
         F.count("*").alias("n_opiniones"),

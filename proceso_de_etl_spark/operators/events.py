@@ -340,14 +340,16 @@ GROUP BY band
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen week, counted by
     weeks-since-cohort activity — the standard product-analytics
-    matrix. Two aggregations over one scan; the cohort assignment is
-    a min-over-user broadcast back onto the fact."""
+    matrix. Two aggregations over one scan; the cohort assignment
+    (one row per user — grows with the data, so no broadcast hint)
+    joins back onto the distinct activity set on user_id, the key
+    both sides already aggregated on."""
     ev = load_table(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts"))
     firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     activity = ev.select("user_id", week.alias("act_week")).distinct()
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .groupBy("cohort_week")
         .agg(
             F.countDistinct("user_id").alias("cohort_size"),

@@ -27,12 +27,26 @@ ORACLES: dict[str, str] = {}
 QUALITY_MIN = 0.5
 
 
-def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality ≥ 0.5, predicted language 'en', and from every exact
-    3-gram near-dup pair (j ≥ 0.8) only the lowest doc_id survives."""
+def pipeline_clean_corpus(
+    spark: SparkSession, sf_dir: str, near_dup: str = "lsh"
+) -> DataFrame:
+    """Quality ≥ 0.5, predicted language 'en', and from every 3-gram
+    near-dup pair (j ≥ 0.8) only the lowest doc_id survives.
+
+    The near-dup stage is parameterized: the REGISTERED path is the
+    MinHash+LSH candidate generator (banded equi-join — linear, the
+    only plan that survives 100 TB); ``near_dup="exact"`` swaps in
+    the quadratic exact-Jaccard twin, which is what the DuckDB oracle
+    computes. Both verify candidates with exact Jaccard at the same
+    threshold, and tests/test_oracle_gate assert the two pair sets
+    are identical at gate SF (LSH recall is deterministic here —
+    xxhash signatures, no RNG — so gate-green is reproducible)."""
     quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
     lang = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
-    dup_pairs = dedup_ops.dedup_ngram_jaccard(spark, sf_dir)
+    if near_dup == "lsh":
+        dup_pairs = dedup_ops.dedup_minhash_lsh(spark, sf_dir)
+    else:
+        dup_pairs = dedup_ops.dedup_ngram_jaccard(spark, sf_dir)
     # drop the higher id of each pair: any doc appearing as `b` loses
     losers = dup_pairs.select(F.col("b").alias("doc_id")).distinct()
     return (

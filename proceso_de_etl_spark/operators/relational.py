@@ -373,13 +373,10 @@ GROUP BY l_returnflag
 """
 
 
+# Ordered so the entries the round-1 driver gate never reached come
+# first (the gate consumes queries() in registration order and may
+# truncate; everything below agg_grouping_sets was cut in r1).
 QUERIES = {
-    "agg_rollup": agg_rollup,
-    "scalar_function_matrix": scalar_function_matrix,
-    "array_function_matrix": array_function_matrix,
-    "null_semantics_matrix": null_semantics_matrix,
-    "agg_cube": agg_cube,
-    "agg_grouping_sets": agg_grouping_sets,
     "agg_pivot": agg_pivot,
     "agg_unpivot": agg_unpivot,
     "set_ops_customers": set_ops_customers,
@@ -387,4 +384,10 @@ QUERIES = {
     "agg_approx": agg_approx,
     "agg_percentiles": agg_percentiles,
     "skew_salted_join": skew_salted_join,
+    "agg_rollup": agg_rollup,
+    "scalar_function_matrix": scalar_function_matrix,
+    "array_function_matrix": array_function_matrix,
+    "null_semantics_matrix": null_semantics_matrix,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
 }

@@ -217,7 +217,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         tf.join(doc_len, "doc_id")
-        .join(F.broadcast(df_), "tok")
+        .join(df_, "tok")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",

@@ -7,12 +7,18 @@ multi-way joins with broadcast dims, group-aggregates with partial
 (map-side) aggregation, correlated subqueries as semi-joins, top-N
 with deterministic tie-breaks.
 
-Scale notes (100 TB): every dimension join uses ``F.broadcast`` —
-region/nation/supplier/part stay broadcastable at any SF; the only
-shuffles left are fact-fact joins (lineitem ⋈ orders on orderkey) and
-the final group-bys, both on high-cardinality keys that AQE re-splits
-on skew. Filters are expressed directly on scan columns so Catalyst
-pushes them into the parquet reader.
+Scale notes (100 TB): ``F.broadcast`` hints are reserved for tables
+whose size is INDEPENDENT of the data scale — region/nation/enum
+dims (25/5 rows at any SF). customer/supplier/part grow linearly
+with SF (customer alone is TBs at SF100k), so their joins carry no
+hint: AQE + ``spark.sql.autoBroadcastJoinThreshold`` auto-broadcast
+them while they fit (they do at bench SF) and fall back to shuffle
+joins when they don't — a forced hint would OOM every executor
+instead. The remaining shuffles are fact-fact joins (lineitem ⋈
+orders on orderkey) and the final group-bys, both on
+high-cardinality keys that AQE re-splits on skew. Filters are
+expressed directly on scan columns so Catalyst pushes them into the
+parquet reader.
 
 Numeric outputs use dsum/davg (exact decimal accumulation → double,
 see functions/columns.py) so results are identical under any degree
@@ -82,7 +88,8 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unshipped-orders revenue: 3-way join + group + top-10.
 
-    customer is the small side (1/10 of orders) → broadcast; the
+    customer scales with SF so it carries no broadcast hint — AQE
+    broadcasts it while small, shuffle-joins it at 100 TB; the
     lineitem ⋈ orders join shuffles on orderkey. Top-10 uses a total
     order with o_orderkey tie-break so the result is deterministic.
     """
@@ -92,7 +99,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(DISC_PRICE(), 6).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -146,8 +153,8 @@ GROUP BY o_orderpriority
 
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier volume: 6-table join; every dimension broadcast,
-    only lineitem ⋈ orders shuffles."""
+    """Local-supplier volume: 6-table join; nation/region (fixed-size
+    dims) broadcast by hint, customer/supplier by AQE while they fit."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
@@ -159,8 +166,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -210,7 +217,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bi-national trade volume by ship year: two aliased broadcast
-    joins against nation (supplier's vs customer's)."""
+    joins against nation (supplier's vs customer's); customer and
+    supplier joins are unhinted (SF-scaling tables)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -223,8 +231,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -260,7 +268,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(DISC_PRICE(), 6).alias("revenue"))
@@ -285,8 +293,9 @@ LIMIT 20
 
 
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Promotion effect: conditional aggregation over a broadcast
-    part join — CASE WHEN inside SUM, a single shuffle-free percent."""
+    """Promotion effect: conditional aggregation over a part join —
+    CASE WHEN inside SUM; part is unhinted (SF-scaling), AQE
+    broadcasts it while it fits."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-09-01 00:00:00'"))
         & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-10-01 00:00:00'"))
@@ -294,7 +303,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", DISC_PRICE()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (100.0 * dsum(promo, 6) / dsum(DISC_PRICE(), 6)).alias("promo_revenue_pct")
         )
@@ -323,7 +332,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
@@ -352,7 +361,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
             F.col("sum_qty"),

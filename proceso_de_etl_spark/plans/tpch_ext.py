@@ -3,9 +3,10 @@ adapted to the testdata columns (SURVEY.md §2.2): argmin-per-group,
 ratio-of-conditional-sums, multi-attribute distinct counting,
 disjunctive pushdown, and windowed multi-exists.
 
-Same engineering rules as plans/tpch.py: dims broadcast, exact
-decimal aggregation for doubles, deterministic tie-breaks on every
-top-N.
+Same engineering rules as plans/tpch.py: fixed-size dims
+(nation/region) broadcast by hint, SF-scaling tables
+(customer/supplier/part) unhinted so AQE decides, exact decimal
+aggregation for doubles, deterministic tie-breaks on every top-N.
 """
 
 from __future__ import annotations
@@ -41,12 +42,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("l_partkey").orderBy(F.asc("unit_cost"), F.asc("l_suppkey"))
     best = (
-        cost.join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
+        cost.join(eu_supp, cost.l_suppkey == eu_supp.s_suppkey)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        best.join(part, best.l_partkey == part.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             F.round("unit_cost", 6).alias("unit_cost"),
@@ -99,8 +100,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
@@ -136,7 +137,7 @@ def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#23")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -157,7 +158,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction in codegen — no union-of-scans rewrite needed)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
         | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
@@ -206,7 +207,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_latest") == 1)
     )
     return (
-        blockers.join(F.broadcast(supp), blockers.l_suppkey == supp.s_suppkey)
+        blockers.join(supp, blockers.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -89,6 +89,41 @@ def test_asof_join_strictly_prior(spark):
     assert len(out) == 1 and out[0].asof_value == 2.0
 
 
+def test_lsh_pairs_match_exact_at_gate_sf(spark):
+    """pipeline_clean_corpus registers the LSH near-dup path while its
+    DuckDB oracle composes the exact-Jaccard twin — that only stays
+    hash-green while the two pair sets are identical on the gate data.
+    Both are fully deterministic (xxhash signatures), so this either
+    always holds or never does; guard the tuning constants."""
+    from proceso_de_etl_spark.operators import dedup
+    from tests.conftest import SF_CORRECT
+
+    exact = {(r.a, r.b) for r in dedup.dedup_ngram_jaccard(spark, SF_CORRECT).collect()}
+    lsh = {(r.a, r.b) for r in dedup.dedup_minhash_lsh(spark, SF_CORRECT).collect()}
+    assert lsh == exact
+
+
+def test_connected_components_long_chain_converges(spark):
+    from proceso_de_etl_spark.operators.dedup import connected_components
+
+    # a 12-node path: node 11 is 11 hops from the minimum — a fixed
+    # iteration count (the r1 bug: 6) would mislabel the far end; the
+    # fixpoint loop must not
+    edges = spark.createDataFrame([(i, i + 1) for i in range(11)], "a long, b long")
+    got = {r.doc_id: r.cluster for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_connected_components_two_clusters(spark):
+    from proceso_de_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "a long, b long"
+    )
+    got = {r.doc_id: r.cluster for r in connected_components(edges).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
 def test_atomic_writer_rollback_leaves_finals(spark, tmp_path):
     import pytest
 

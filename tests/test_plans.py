@@ -35,8 +35,74 @@ def test_q6_column_pruning(spark):
 
 
 def test_q5_dimensions_broadcast(spark):
+    # at bench SF the auto-threshold broadcasts every small side even
+    # without hints — the local plan keeps all four broadcast joins
     plan = plan_of(tpch.q5_local_supplier(spark, SF_CORRECT))
     assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def _iter_plan_nodes(node):
+    yield node
+    for i in range(node.children().length()):
+        yield from _iter_plan_nodes(node.children().apply(i))
+
+
+# column markers that identify a scan of an SF-scaling table inside a
+# broadcast subtree (region/nation/enum dims are the only tables small
+# at every SF; everything else must never be FORCE-broadcast)
+_SCALING_MARKERS = ("c_custkey", "s_suppkey", "p_partkey", "l_orderkey", "o_orderkey")
+
+
+def test_no_forced_broadcast_of_scaling_tables(spark):
+    """With the auto-broadcast threshold disabled, the only broadcast
+    subtrees left are the EXPLICIT hints — none may contain an
+    SF-scaling table (customer/supplier/part/orders/lineitem), or the
+    plan would OOM at 100 TB where those tables are TBs."""
+    from proceso_de_etl_spark.operators import etl, events, text_analysis
+    from proceso_de_etl_spark.plans import tpch_ext
+
+    checked = {
+        "q3": tpch.q3_shipping_priority,
+        "q5": tpch.q5_local_supplier,
+        "q7": tpch.q7_volume_shipping,
+        "q10": tpch.q10_returned_items,
+        "q14": tpch.q14_promo_effect,
+        "q17": tpch.q17_small_qty_revenue,
+        "q18": tpch.q18_large_orders,
+        "q22": tpch.q22_global_sales,
+        "q2": tpch_ext.q2_min_cost_supplier,
+        "q8": tpch_ext.q8_market_share,
+        "q16": tpch_ext.q16_parts_supplier_cnt,
+        "q19": tpch_ext.q19_disjunctive_filter,
+        "q21": tpch_ext.q21_waiting_supplier,
+        "flagship": etl.etl_star_flagship,
+        "retention": events.events_retention_cohorts,
+        "tfidf": text_analysis.text_tfidf_topterms,
+    }
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        hinted_broadcasts = 0
+        for name, fn in checked.items():
+            root = fn(spark, SF_CORRECT)._jdf.queryExecution().executedPlan()
+            for node in _iter_plan_nodes(root):
+                if "BroadcastExchange" not in node.nodeName():
+                    continue
+                hinted_broadcasts += 1
+                subtree = node.toString()
+                for marker in _SCALING_MARKERS:
+                    assert marker not in subtree, (
+                        f"{name}: forced broadcast of an SF-scaling table "
+                        f"(marker {marker}):\n{subtree[:1500]}"
+                    )
+        # the fixed-size-dim hints must still be there (q5 nation+region,
+        # q7 two nations, q22 scalar aggregate, flagship enum dims, ...)
+        assert hinted_broadcasts >= 8, hinted_broadcasts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
 
 
 def test_q1_partial_aggregation_and_codegen(spark):

@@ -44,11 +44,17 @@ def davg(c: ColumnOrName, scale: int = 2) -> Column:
 
 
 def clean_id(c: ColumnOrName, prefix: str) -> Column:
-    """Normalize a business id: strip a leading prefix, cast to long.
+    """Normalize a business id: strip ONE leading prefix, cast to
+    long; non-numeric leftovers become NULL (to_numeric coerce).
 
-    Re-expression of the reference's ``limpiar_id`` (reference
-    main.py:38-41) — pandas str.replace + to_numeric(coerce) — as a
-    single codegen'd expression: non-numeric leftovers become NULL
-    exactly like ``errors='coerce'``.
+    Derived from the reference's ``limpiar_id`` (reference
+    main.py:38-41) with an INTENTIONAL tightening: pandas
+    ``str.replace(prefijo, '')`` deletes ALL occurrences anywhere
+    ('CC7' → 7, '1C2' → 12), which silently manufactures ids from
+    malformed input. Here only the anchored leading prefix is
+    stripped, so 'CC7' / '1C2' coerce to NULL and flow into the
+    reject/placeholder handling instead of becoming fabricated keys.
+    The unit test (tests/test_operators.py::test_clean_id_semantics)
+    encodes this tightened contract.
     """
     return F.regexp_replace(_col(c).cast("string"), f"^{prefix}", "").try_cast("bigint")

@@ -15,7 +15,9 @@ Scale design, per variant:
 - SimHash (T3): constant-size 60-bit fingerprint per doc; banded
   hamming candidates; one bigint per doc crosses the shuffle.
 - embedding cosine (T5): semantic near-dup; brute-force pair join
-  baseline here, LSH-bucketed variant in similarity.py (T7).
+  as the correctness baseline, hyperplane-bucketed threshold pairs
+  (dedup_embedding_lsh_pairs, reusing similarity.py's LSH tables)
+  as the scale path.
 
 Hashes that must agree with the DuckDB oracle are md5 hex strings
 (portable); engine-internal steps (simhash) may use xxhash64.
@@ -300,8 +302,10 @@ def with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 — semantic near-dup: embedding pairs with cosine >=
-    threshold. Brute-force pair join (the correctness baseline —
-    similarity.py's LSH buckets are the scale path)."""
+    threshold. Brute-force all-pairs theta join — the CORRECTNESS
+    BASELINE / oracle twin only; the registered scale path is
+    ``dedup_embedding_lsh_pairs`` (hyperplane-bucketed candidates),
+    because this O(n²) join cannot survive 100 TB."""
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), F.col("norm").alias("na"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
@@ -329,6 +333,46 @@ SELECT a, b, ROUND(dot / (na.norm * nb.norm), 6) AS cosine
 FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
 WHERE dot / (na.norm * nb.norm) >= {COSINE_THRESHOLD}
 """
+
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 scale path — semantic near-dup THRESHOLD PAIRS via
+    random-hyperplane bucketing: each vector hashes into N_TABLES
+    independent sign-buckets (similarity.py's tables — deterministic
+    md5-seeded planes, no RNG), candidate pairs come from a per-
+    (table, bucket) self-equi-join, and exact cosine verifies only
+    the candidates. This replaces ``dedup_embedding_cosine``'s
+    all-pairs theta join as the registered scale path: the O(n²)
+    pair space never materializes — work is O(n · tables) hashing
+    plus O(candidates) verification, all equi-joins.
+
+    (Rows-only check: bucket recall is probabilistic by construction
+    — ~86% per pair at cosine 0.45 with 16×5-bit tables, higher for
+    truer near-dups — while precision is exactly 1 because every
+    emitted pair is cosine-verified. The brute-force twin keeps the
+    DuckDB value oracle; tests pin this variant's recall against it.)
+    """
+    from proceso_de_etl_spark.operators.similarity import with_lsh_tables
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    tabled = with_lsh_tables(emb).select("vec_id", "table_idx", "bucket")
+    x = tabled.select(F.col("vec_id").alias("a"), "table_idx", "bucket")
+    y = tabled.select(F.col("vec_id").alias("b"), "table_idx", "bucket")
+    candidates = (
+        x.join(y, ["table_idx", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    av = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    bv = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    return (
+        candidates.join(av, "a")
+        .join(bv, "b")
+        .withColumn("cosine", dot_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
 
 CC_MAX_ITER = 50
 
@@ -460,4 +504,5 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
 }

@@ -145,10 +145,12 @@ HAVING t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
 def asof_join_last_prior(
     left: DataFrame, right: DataFrame, on: str, left_ts: str, right_ts: str, value_col: str
 ) -> DataFrame:
-    """A26 — as-of join (each left row gets the last prior right
-    value) via union-tag + last(ignorenulls) carry-forward: one sort
-    per key partition instead of a per-row lookup. Right rows order
-    before left rows at equal timestamps (strictly-prior semantics).
+    """A26 — as-of join: each left row gets the last PRIOR-OR-EQUAL
+    right value, via union-tag + last(ignorenulls) carry-forward —
+    one sort per key partition instead of a per-row lookup. Right
+    rows order before left rows at equal timestamps, so an
+    equal-timestamp right value IS matched (the common market-data
+    as-of contract; for strictly-prior, order left first at ties).
     """
     lt = left.withColumn("__k", F.lit(1)).withColumn("__v", F.lit(None).cast("double"))
     rt = (

@@ -45,11 +45,19 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]], emb_col: str = 
 
 def kmeans_fit(df: DataFrame, k: int = K, n_iter: int = N_ITER, emb_col: str = "embedding") -> list[list[float]]:
     """Lloyd iterations; centroids round-trip through the driver
-    (k × dim values), the data stays distributed."""
+    (k × dim values), the data stays distributed. Stops early at the
+    fixpoint (centroids unchanged → assignments can't change either).
+
+    Init = the k lowest vec_ids, fetched with a pushdown-able
+    ``vec_id < k`` filter (k rows cross the wire, no global sort);
+    falls back to orderBy().limit(k) only if the id space isn't
+    0-based dense."""
     dim_df = df.select(F.size(emb_col).alias("d")).limit(1).collect()
     dim = dim_df[0].d
-    init = df.orderBy("vec_id").limit(k).select(emb_col).collect()
-    centroids = [[float(v) for v in row[0]] for row in init]
+    init = df.filter(F.col("vec_id") < k).select("vec_id", emb_col).collect()
+    if len(init) < k:  # ids not dense from 0 — pay the sort once
+        init = df.orderBy("vec_id").limit(k).select("vec_id", emb_col).collect()
+    centroids = [[float(v) for v in row[1]] for row in sorted(init, key=lambda r: r[0])]
     for _ in range(n_iter):
         assigned = assign_clusters(df, centroids, emb_col)
         sums = assigned.groupBy("cluster").agg(
@@ -60,10 +68,14 @@ def kmeans_fit(df: DataFrame, k: int = K, n_iter: int = N_ITER, emb_col: str = "
             ],
         )
         rows = {r["cluster"]: r for r in sums.collect()}
-        centroids = [
+        new_centroids = [
             [rows[c][f"s{i}"] / rows[c]["n"] for i in range(dim)] if c in rows else centroids[c]
             for c in range(k)
         ]
+        converged = new_centroids == centroids
+        centroids = new_centroids
+        if converged:
+            break
     return centroids
 
 

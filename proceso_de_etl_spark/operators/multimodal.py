@@ -45,28 +45,35 @@ def make_feature_extractor(stub_formats: frozenset[str]):
     contract stays identical."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pandas as pd  # worker-side import, self-contained
+        import numpy as np  # worker-side imports, self-contained
+        import pandas as pd
 
         for pdf in batches:
+            bad = set(pdf["fmt"]) - stub_formats
+            if bad:
+                raise NotImplementedError(
+                    f"decode for formats {sorted(bad)!r} requires codec libs not in this image"
+                )
+            # vectorized per payload: the per-byte work runs in numpy C
+            # loops (frombuffer is zero-copy; bincount is one pass), not
+            # Python bytecode — ~100x over a per-byte Python loop, which
+            # is the difference between plumbing and bottleneck at 100 TB
+            # of media. Row iteration remains (payloads are ragged), but
+            # per-row cost is O(1) Python + O(n_bytes) C.
             out = []
             for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
-                if fmt not in stub_formats:
-                    raise NotImplementedError(
-                        f"decode for format {fmt!r} requires codec libs not in this image"
-                    )
-                data = bytes(payload)
-                n = len(data)
-                hist = [0] * 8
-                for byte in data:
-                    hist[byte >> 5] += 1
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = arr.size
                 total = float(n) if n else 1.0
+                hist = np.bincount(arr >> 5, minlength=8).astype(np.float64) / total
                 out.append(
                     {
                         "doc_id": doc_id,
                         "fmt": fmt,
-                        "n_bytes": n,
-                        "byte_mean": (sum(data) / total) if n else 0.0,
-                        "hist": [h / total for h in hist],
+                        "n_bytes": int(n),
+                        # exact: integer byte sum, one float division
+                        "byte_mean": (int(arr.sum(dtype=np.int64)) / total) if n else 0.0,
+                        "hist": hist.tolist(),
                     }
                 )
             yield pd.DataFrame(out, columns=["doc_id", "fmt", "n_bytes", "byte_mean", "hist"])

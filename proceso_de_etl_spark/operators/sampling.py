@@ -19,8 +19,15 @@ TRAIN_PCT = 80
 
 def split_bucket(key: Column) -> Column:
     """Deterministic 0-99 bucket from an integer key (LCG step —
-    engine-portable integer arithmetic, no hash builtin needed)."""
-    return ((key * F.lit(1103515245) + F.lit(12345)) % 100).cast("bigint")
+    engine-portable integer arithmetic, no hash builtin needed).
+
+    The key is reduced mod 100 BEFORE the multiply: (key%100)*A+B
+    is ≤ ~1.1e11, provably inside 63 bits for ANY bigint key, and
+    yields the identical bucket ((key*A + B) mod 100 depends only on
+    key mod 100) — without the reduction, keys above ~8.4e9 overflow,
+    where Spark wraps silently (non-ANSI) while ANSI engines widen or
+    raise, breaking the any-engine-same-split guarantee."""
+    return (((key % 100) * F.lit(1103515245) + F.lit(12345)) % 100).cast("bigint")
 
 
 def assign_split(df: DataFrame, key: str, train_pct: int = TRAIN_PCT) -> DataFrame:
@@ -43,7 +50,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["sample_stratified"] = f"""
 SELECT lang,
-       CASE WHEN (doc_id * 1103515245 + 12345) % 100 < {TRAIN_PCT}
+       CASE WHEN ((doc_id % 100) * 1103515245 + 12345) % 100 < {TRAIN_PCT}
             THEN 'train' ELSE 'holdout' END AS split,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars

@@ -18,8 +18,10 @@ def test_clean_id_semantics(spark):
         [("C1",), ("C23",), ("42",), ("Cxx",), (None,), ("CC7",)], "raw string"
     )
     got = {r.raw: r.c for r in df.select("raw", clean_id(F.col("raw"), "C").alias("c")).collect()}
-    # strips ONE leading prefix; coerces failures to NULL (pandas
-    # to_numeric(errors='coerce') parity, reference main.py:38-41)
+    # strips ONE anchored leading prefix; coerces failures to NULL.
+    # Deliberately TIGHTER than the reference's replace-all-occurrences
+    # (which turns 'CC7' into 7): malformed ids coerce to NULL here
+    # instead of becoming fabricated keys — see clean_id's docstring.
     assert got == {"C1": 1, "C23": 23, "42": 42, "Cxx": None, None: None, "CC7": None}
 
 
@@ -74,7 +76,7 @@ def test_sessionize_gap_boundary(spark):
     assert got == {10: 1, 11: 1, 12: 2, 20: 1}
 
 
-def test_asof_join_strictly_prior(spark):
+def test_asof_join_last_prior_or_equal(spark):
     base = 1_700_000_000_000_000
     left = spark.createDataFrame(
         [(1, 100, base + 50)], "user_id long, event_id long, us long"
@@ -103,6 +105,21 @@ def test_lsh_pairs_match_exact_at_gate_sf(spark):
     assert lsh == exact
 
 
+def test_embedding_lsh_pairs_recall_and_precision(spark):
+    """The bucketed threshold-pair variant must emit a subset of the
+    exact pairs (precision 1 — every candidate is cosine-verified)
+    with deterministic recall ≥ 0.8 on the gate data (fixed md5
+    hyperplanes, no RNG)."""
+    from proceso_de_etl_spark.operators import dedup
+    from tests.conftest import SF_CORRECT
+
+    exact = {(r.a, r.b) for r in dedup.dedup_embedding_cosine(spark, SF_CORRECT).collect()}
+    lsh = {(r.a, r.b) for r in dedup.dedup_embedding_lsh_pairs(spark, SF_CORRECT).collect()}
+    assert lsh <= exact, lsh - exact
+    assert exact, "exact twin found no pairs — threshold no longer selects a tail"
+    assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
+
+
 def test_connected_components_long_chain_converges(spark):
     from proceso_de_etl_spark.operators.dedup import connected_components
 
@@ -122,6 +139,40 @@ def test_connected_components_two_clusters(spark):
     )
     got = {r.doc_id: r.cluster for r in connected_components(edges).collect()}
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_multimodal_extractor_values(spark):
+    """The numpy-vectorized extractor must equal the per-byte
+    reference semantics: n_bytes, exact-int byte mean, normalized
+    8-bin histogram of byte >> 5."""
+    from proceso_de_etl_spark.operators.multimodal import FEATURE_SCHEMA, make_feature_extractor
+
+    payloads = [b"", b"\x00", b"abc XYZ \xff\x20", bytes(range(256))]
+    df = spark.createDataFrame(
+        [(i, "png", bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, fmt string, payload binary",
+    )
+    got = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            make_feature_extractor(frozenset({"png"})), schema=FEATURE_SCHEMA
+        ).collect()
+    }
+    for i, p in enumerate(payloads):
+        n = len(p)
+        total = float(n) if n else 1.0
+        hist = [0] * 8
+        for byte in p:
+            hist[byte >> 5] += 1
+        assert got[i].n_bytes == n
+        assert got[i].byte_mean == (sum(p) / total if n else 0.0)
+        assert got[i].hist == [h / total for h in hist]
+
+    import pytest
+
+    bad = spark.createDataFrame([(1, "gif", bytearray(b"x"))], "doc_id long, fmt string, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        bad.mapInPandas(make_feature_extractor(frozenset({"png"})), schema=FEATURE_SCHEMA).collect()
 
 
 def test_atomic_writer_rollback_leaves_finals(spark, tmp_path):
@@ -145,3 +196,63 @@ def test_atomic_writer_rollback_leaves_finals(spark, tmp_path):
     import os
 
     assert not os.path.exists(f"{root}/t2")
+
+
+def test_atomic_commit_failure_mid_promotion_restores_olds(spark, tmp_path, monkeypatch):
+    """A failure AFTER promotion has started (here: the second
+    table's rename) must restore the previous versions of tables
+    already promoted — the all-or-nothing guarantee across the
+    promote loop, not just before it."""
+    import os
+
+    import pytest
+
+    from proceso_de_etl_spark.sources.atomic import AtomicBatchWriter, atomic_write_tables
+
+    root = str(tmp_path / "wh")
+    atomic_write_tables(
+        root,
+        {
+            "t1": spark.createDataFrame([(1,)], "a long"),
+            "t2": spark.createDataFrame([(10,)], "a long"),
+        },
+    )
+
+    w = AtomicBatchWriter(root)
+    w.stage(spark.createDataFrame([(2,), (3,)], "a long"), "t1")
+    w.stage(spark.createDataFrame([(20,), (30,)], "a long"), "t2")
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src.endswith("/t2") and "_staging" in src:  # second promotion step
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(OSError):
+        w.commit()
+    monkeypatch.undo()
+
+    # both tables must still read as their PREVIOUS committed versions
+    assert [r.a for r in spark.read.parquet(f"{root}/t1").collect()] == [1]
+    assert [r.a for r in spark.read.parquet(f"{root}/t2").collect()] == [10]
+    # no stray .__old_ dirs left behind as finals-shadowing state
+    leftovers = [d for d in os.listdir(root) if ".__old_" in d]
+    assert leftovers == [], leftovers
+    # and no commit marker for the failed txn
+    assert not os.path.exists(os.path.join(root, "_txn", w.txn))
+
+
+def test_atomic_commit_stamps_txn_id(spark, tmp_path):
+    import os
+
+    from proceso_de_etl_spark.sources.atomic import atomic_write_tables
+
+    root = str(tmp_path / "wh")
+    atomic_write_tables(root, {"t1": spark.createDataFrame([(1,)], "a long")})
+    stamp = open(os.path.join(root, "t1", "_txn")).read()
+    assert os.path.exists(os.path.join(root, "_txn", stamp))
+    # the stamp must not break parquet reads (underscore files are
+    # metadata to Spark's file index)
+    assert spark.read.parquet(f"{root}/t1").count() == 1

@@ -39,6 +39,31 @@ HEADLINE = (
     "pipeline_clean_corpus",
 )
 
+# Round-1 per-query seconds (BENCH_r01.json, sf0.1 local[32]) — the
+# regression baseline. A query slower than REGRESSION_FACTOR x its
+# baseline lands in the output's "regressed" map; queries added after
+# r1 have no baseline and are skipped by the check.
+BASELINE_R1 = {
+    "q1_pricing_summary": 2.866,
+    "q3_shipping_priority": 1.432,
+    "q5_local_supplier": 1.194,
+    "q6_forecast_revenue": 0.303,
+    "q14_promo_effect": 0.578,
+    "q18_large_orders": 1.012,
+    "etl_star_flagship": 2.357,
+    "events_sessionize": 0.951,
+    "dedup_exact": 1.449,
+    "dedup_minhash_lsh": 2.766,
+    "ann_cosine_topk": 1.039,
+    "text_quality_score": 0.587,
+    "q21_waiting_supplier": 1.32,
+    "pipeline_clean_corpus": 2.922,
+}
+REGRESSION_FACTOR = 1.5
+# short queries are timer noise at this scale; only flag a regression
+# when the absolute slowdown is also material
+REGRESSION_MIN_DELTA_SEC = 0.5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +82,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    deltas = {
+        name: round(t - BASELINE_R1[name], 3)
+        for name, t in timings.items()
+        if name in BASELINE_R1
+    }
+    regressed = {
+        name: {"sec": timings[name], "baseline_sec": BASELINE_R1[name]}
+        for name in deltas
+        if timings[name] > REGRESSION_FACTOR * BASELINE_R1[name]
+        and deltas[name] > REGRESSION_MIN_DELTA_SEC
+    }
     print(
         json.dumps(
             {
@@ -65,9 +101,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "delta_vs_r1": deltas,
+                "regressed": regressed,
             }
         )
     )
+    # regressions are reported via the "regressed" field (kept rc=0 so
+    # the per-round driver still records the JSON line itself)
 
 
 if __name__ == "__main__":

@@ -599,6 +599,74 @@ SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
 """
 
 
+def etl_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load audit / lineage ledger — the reference's ``RegistroCargas``
+    table (reference main.py:93-99: which load ran, from which
+    source, how many rows) re-expressed for a file warehouse: one
+    manifest row per source table of the star load, carrying row
+    count, key range, and the load's as-of watermark (max source
+    timestamp — deterministic, unlike wall-clock). The manifest is
+    written through the atomic sink (so the ledger commits with the
+    load, like the reference's same-transaction insert) and read
+    back.
+
+    Scale: each manifest row is one count/min/max aggregate — parquet
+    footer statistics territory; the audit never scans more than the
+    load itself already did."""
+    import tempfile
+
+    from proceso_de_etl_spark.sources.atomic import atomic_write_tables
+
+    specs = [
+        ("customer", "c_custkey", None),
+        ("lineitem", "l_orderkey", "l_shipdate"),
+        ("orders", "o_orderkey", "o_orderdate"),
+        ("part", "p_partkey", None),
+    ]
+    manifests = []
+    for table, key, ts in specs:
+        src = load_table(spark, sf_dir, table)
+        # parquet dates read as TIMESTAMP_NTZ; session TZ is pinned
+        # UTC, so the cast is a wall-clock identity (= duckdb epoch_us)
+        loaded_at = (
+            F.unix_micros(F.max(ts).cast("timestamp"))
+            if ts
+            else F.lit(None).cast("bigint")
+        )
+        manifests.append(
+            src.agg(
+                F.lit(table).alias("source_table"),
+                F.count("*").alias("n_rows"),
+                F.min(key).alias("key_min"),
+                F.max(key).alias("key_max"),
+                loaded_at.alias("loaded_at_us"),
+            )
+        )
+    audit = manifests[0]
+    for m in manifests[1:]:
+        audit = audit.unionByName(m)
+    root = tempfile.mkdtemp(prefix="load_audit_")
+    atomic_write_tables(root, {"registro_cargas": audit})
+    return spark.read.parquet(f"{root}/registro_cargas")
+
+
+ORACLES["etl_load_audit"] = """
+SELECT 'customer' AS source_table, COUNT(*) AS n_rows,
+       MIN(c_custkey) AS key_min, MAX(c_custkey) AS key_max,
+       CAST(NULL AS BIGINT) AS loaded_at_us
+FROM customer
+UNION ALL
+SELECT 'lineitem', COUNT(*), MIN(l_orderkey), MAX(l_orderkey), epoch_us(MAX(l_shipdate))
+FROM lineitem
+UNION ALL
+SELECT 'orders', COUNT(*), MIN(o_orderkey), MAX(o_orderkey), epoch_us(MAX(o_orderdate))
+FROM orders
+UNION ALL
+SELECT 'part', COUNT(*), MIN(p_partkey), MAX(p_partkey), CAST(NULL AS BIGINT)
+FROM part
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_clean_id": etl_clean_id,
@@ -615,4 +683,5 @@ QUERIES = {
     "etl_atomic_write": etl_atomic_write,
     "etl_aggregate_upsert": etl_aggregate_upsert,
     "etl_profile_table": etl_profile_table,
+    "etl_load_audit": etl_load_audit,
 }

@@ -274,13 +274,24 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 as a contract query — applyInPandasWithState running
-    per-user totals driven over the static source. (Rows-only: update
-    mode emits one row per user per batch; the single-batch file
-    source makes the output the final totals, which the batch twin
-    test pins against groupBy.)"""
+    per-user totals driven over the static source. Update mode emits
+    one row per user per batch; the single-batch file source makes
+    the output the final totals, so the job shares a VALUE oracle
+    with the batch groupBy: the state accumulates exact integer
+    micro-units (see streaming/stateful.py), making the emitted sum
+    order-independent and engine-reproducible."""
     from proceso_de_etl_spark.streaming.stateful import running_user_totals
 
     return run_to_memory(running_user_totals(stream_events(spark, sf_dir)), "update")
+
+
+ORACLES["stream_stateful_totals"] = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS value_sum
+FROM events
+GROUP BY user_id
+"""
 
 
 QUERIES = {

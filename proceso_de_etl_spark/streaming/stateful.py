@@ -22,25 +22,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, value_sum double"
-STATE_SCHEMA = "n bigint, vsum double"
+STATE_SCHEMA = "n bigint, vunits bigint"
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming per-user running totals with explicit state. The
     update function is a nested closure so cloudpickle ships it by
-    value (workers need no importable copy of this package)."""
+    value (workers need no importable copy of this package).
+
+    The accumulator is an exact INTEGER count of micro-units
+    (floor(value·1e6 + 0.5) per row): float accumulation order would
+    make the emitted sum depend on batch/partition order, while the
+    integer sum is order-independent and reproducible by any engine
+    with the same floor expression — which is what lets this job
+    carry a value oracle (jobs.ORACLES['stream_stateful_totals'])
+    instead of a rows-only check. The emitted double is
+    units / 1e6 — one division of identical integers, bit-identical
+    everywhere."""
 
     def update_user_totals(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
         import pandas as pd
 
-        n, vsum = state.get if state.exists else (0, 0.0)
+        n, vunits = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            vsum += float(pdf["value"].sum())
-        state.update((n, vsum))
-        yield pd.DataFrame([{"user_id": key[0], "n_events": n, "value_sum": vsum}])
+            vals = pdf["value"].to_numpy(dtype="float64")
+            vunits += int(np.floor(vals * 1e6 + 0.5).astype("int64").sum())
+        state.update((n, vunits))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "value_sum": vunits / 1e6}]
+        )
 
     return (
         events.select("user_id", "value")

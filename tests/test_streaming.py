@@ -47,13 +47,20 @@ def test_stateful_running_totals_match_batch(spark):
     want_df = (
         load_table(spark, SF_SMOKE, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 1e6 + 0.5).cast("bigint")).cast("double")
+                / 1e6
+            ).alias("v"),
+        )
     )
     want = {r.user_id: (r.n, r.v) for r in want_df.collect()}
     assert set(got) == set(want)
     for u in want:
         assert got[u][0] == want[u][0]
-        assert math.isclose(got[u][1], want[u][1], rel_tol=1e-9)
+        # exact integer-unit accumulation: bit-identical, no isclose
+        assert got[u][1] == want[u][1], (u, got[u][1], want[u][1])
 
 
 def test_foreach_batch_sink_idempotent(spark, tmp_path):

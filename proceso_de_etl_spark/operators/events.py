@@ -385,6 +385,71 @@ FROM activity a JOIN firsts USING (user_id)
 GROUP BY cohort_week
 """
 
+def events_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32 — BIG-BIG time-interval join without a theta join: each
+    purchase pairs with the same user's clicks from the preceding
+    hour (the batch twin of the stream-stream interval join ST6).
+
+    A raw range-predicate join between two fact-sized sides plans as
+    a nested-loop at scale. Bucketizing the time axis to the interval
+    width turns it into an EQUI-join: a click in hour-bucket b can
+    only match purchases in buckets {b, b+1}, so each purchase probes
+    exactly two (user_id, bucket) keys and the exact interval
+    predicate remains as a cheap residual filter. Shuffle volume is
+    2× the purchase side on a high-cardinality composite key — the
+    shape that survives two 100 TB inputs (this is SURVEY §4's
+    "bucketize the range key" strategy, realized)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("pts_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cts_us"),
+        (F.unix_micros("ts") / hour_us).cast("bigint").alias("bucket"),
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("pts_us") / hour_us).cast("bigint"),
+                (F.col("pts_us") / hour_us).cast("bigint") - 1,
+            )
+        ),
+    )
+    return (
+        probes.join(
+            clicks,
+            (probes.user_id == clicks.c_user_id) & (probes.bucket == clicks.bucket),
+        )
+        .filter(
+            (F.col("cts_us") >= F.col("pts_us") - hour_us)
+            & (F.col("cts_us") < F.col("pts_us"))
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.col("pts_us").alias("purchase_ts_us"),
+            F.col("cts_us").alias("click_ts_us"),
+        )
+    )
+
+
+ORACLES["events_interval_join_bucketed"] = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_ts_us, epoch_us(c.ts) AS click_ts_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_gap_fill": events_gap_fill,
@@ -395,4 +460,5 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_asof_join": events_asof_join,
     "events_json_extract": events_json_extract,
+    "events_interval_join_bucketed": events_interval_join_bucketed,
 }

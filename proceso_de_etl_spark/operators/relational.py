@@ -193,15 +193,19 @@ GROUP BY event_type
 
 
 def salted_join(fact: DataFrame, dim: DataFrame, key: str, salt_col, n_salts: int = 8) -> DataFrame:
-    """A27 — skew-mitigating join: replicate the small side across
-    ``n_salts`` shards and split the hot fact key by a deterministic
-    salt, so one hot key spreads over n_salts reducers instead of
-    melting one. AQE's skew-join handles moderate skew automatically;
-    this is the explicit strategy for known-pathological keys."""
+    """A27 — skew-mitigating SHUFFLE join: replicate the dim side
+    across ``n_salts`` shards and split the hot fact key by a
+    deterministic salt, so one hot key's rows spread over n_salts
+    reducers instead of melting one. Deliberately NOT broadcast —
+    salting exists precisely for the regime where the dim is too big
+    to broadcast but a hot fact key overwhelms a single shuffle
+    partition (when the dim fits in memory you broadcast and skip
+    salting entirely; AQE's skew-join covers moderate skew — this is
+    the explicit strategy for known-pathological keys)."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     dim_rep = dim.select("*", salts)
     fact_s = fact.withColumn("__salt", salt_col % n_salts)
-    return fact_s.join(F.broadcast(dim_rep), [key, "__salt"]).drop("__salt")
+    return fact_s.join(dim_rep, [key, "__salt"]).drop("__salt")
 
 
 def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,7 +162,68 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_LISTS = 16  # IVF coarse-quantizer cells (k-means centroids)
+N_PROBE = 4  # cells scanned per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b — IVF (inverted-file) ANN, the other standard scale path
+    next to LSH: a k-means coarse quantizer (N_LISTS centroids, held
+    on the driver — k × dim doubles) partitions the corpus into
+    inverted lists with ONE assignment scan; each query probes only
+    its N_PROBE nearest lists and re-ranks exactly inside them.
+
+    Scale shape: the corpus is touched twice (assign once, then only
+    ~N_PROBE/N_LISTS of it per query batch via the list_id equi-join)
+    — never an all-pairs join; the probe set is queries × N_PROBE
+    rows, broadcastable. Deterministic end-to-end: k-means init is
+    the k lowest vec_ids and ties break on list id, so the same data
+    always builds the same index. (Rows-only: recall is approximate
+    by construction; ann_cosine_topk is the exact twin and the
+    recall test pins this variant against it.)"""
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters, kmeans_fit
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    centroids = kmeans_fit(emb, k=N_LISTS, n_iter=3)
+    corpus = assign_clusters(emb, centroids).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        F.col("cluster").alias("list_id"),
+    )
+    cells = F.array(
+        *[
+            F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(i).cast("bigint").alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qn"),
+            F.explode(F.slice(F.array_sort(cells), 1, N_PROBE)).alias("p"),
+        )
+        .select("query_id", "qe", "qn", F.col("p.c").alias("list_id"))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
 }

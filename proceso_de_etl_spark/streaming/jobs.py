@@ -294,10 +294,40 @@ GROUP BY user_id
 """
 
 
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 — stream-static join: each streaming event enriched with a
+    STATIC dimension (per-type totals from the batch table — in
+    production a reference table the stream looks up). Stream-static
+    inner joins are stateless: no watermark, no join state — the
+    static side is simply available to every micro-batch, which is
+    why this is the cheapest enrichment pattern on a stream and the
+    first thing to reach for before a stream-stream join."""
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    ev = stream_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("type_total"))
+    )
+    joined = ev.join(dim, "event_type").select(
+        "event_id", "user_id", "event_type", "value", "type_total"
+    )
+    return run_to_memory(joined, "append")
+
+
+ORACLES["stream_static_enrichment"] = """
+WITH dim AS (SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type)
+SELECT event_id, user_id, event_type, value, type_total
+FROM events JOIN dim USING (event_type)
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,
     "stream_interval_join": stream_interval_join,
     "stream_stateful_totals": stream_stateful_totals,
+    "stream_static_enrichment": stream_static_enrichment,
 }

@@ -120,6 +120,18 @@ def test_embedding_lsh_pairs_recall_and_precision(spark):
     assert len(lsh) / len(exact) >= 0.8, (len(lsh), len(exact))
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF probing N_PROBE of N_LISTS cells must recover most of the
+    exact top-k (measured 0.83 on the gate data; deterministic —
+    k-means init and tie-breaks are fixed, no RNG anywhere)."""
+    from proceso_de_etl_spark.operators import similarity
+    from tests.conftest import SF_CORRECT
+
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.ann_cosine_topk(spark, SF_CORRECT).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in similarity.ann_ivf_topk(spark, SF_CORRECT).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.75, len(ivf & exact) / len(exact)
+
+
 def test_connected_components_long_chain_converges(spark):
     from proceso_de_etl_spark.operators.dedup import connected_components
 

@@ -60,10 +60,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return etl.etl_star_flagship(spark, "/root/testdata/sf0.001")
 
 
+# Keys with NO driver-side correctness row yet (the round-1 gate
+# truncated at 50 of 85, cutting everything after agg_grouping_sets in
+# the old registration order, plus the queries added in round 2).
+# queries() emits these FIRST so a truncating gate verifies them before
+# re-verifying the round-1-green rest.
+_PRIORITY = (
+    "etl_load_audit",
+    "dedup_exact",
+    "dedup_connected_components",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "text_lang_id",
+    "text_vocab_topk",
+    "text_sentiment",
+    "text_pii_redaction",
+    "text_tfidf_topterms",
+    "text_repetition_ratio",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_features",
+    "sample_stratified",
+    "pipeline_clean_corpus",
+    "ml_kmeans_embeddings",
+    "etl_scd2_merge",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_stateful_totals",
+    "stream_static_enrichment",
+    "agg_pivot",
+    "agg_unpivot",
+    "set_ops_customers",
+    "agg_distinct_exact",
+    "agg_approx",
+    "agg_percentiles",
+    "skew_salted_join",
+    "events_interval_join_bucketed",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+    out = {k: merged[k] for k in _PRIORITY if k in merged}
+    out.update(merged)
     return out
 
 

@@ -425,10 +425,22 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     return nodes.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster"))
 
 
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, near_dup: str = "lsh"
+) -> DataFrame:
     """T4b — near-dup pairs → clusters: every doc in a dup cluster
-    labeled with the cluster's smallest doc_id (the survivor)."""
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    labeled with the cluster's smallest doc_id (the survivor).
+
+    The edge generator is the LSH path (banded equi-join — linear),
+    not the quadratic exact self-join; the DuckDB oracle computes the
+    transitive closure over the EXACT pairs, which stays hash-green
+    because the two pair sets are identical on the gate data
+    (deterministic, pinned by test_lsh_pairs_match_exact_at_gate_sf).
+    ``near_dup="exact"`` keeps the quadratic twin callable."""
+    if near_dup == "lsh":
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("a", "b")
+    else:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
     return connected_components(pairs)
 
 
@@ -459,7 +471,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup: within each near-dup cluster keep the
     HIGHEST-quality member (not the lowest id) — what a real corpus
     pipeline does, composing clustering with the quality scorer.
-    Ties break to the lower doc_id."""
+    Ties break to the lower doc_id. Inherits the LSH edge path from
+    dedup_connected_components (scale-linear end to end)."""
     from pyspark.sql import Window as W
 
     from proceso_de_etl_spark.operators.text_analysis import text_quality_score

@@ -106,6 +106,10 @@ _PRIORITY = (
     "agg_percentiles",
     "skew_salted_join",
     "events_interval_join_bucketed",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q20_excess_shippers",
 )
 
 

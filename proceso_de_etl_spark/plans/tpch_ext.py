@@ -84,8 +84,11 @@ LIMIT 50
 
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8 shape — national market share: CANADA's fraction of AMERICA
-    region revenue per order year (ratio of conditional exact sums)."""
+    """Q8 shape — national market share: one supplier nation's
+    fraction of AMERICA-region revenue per order year (ratio of
+    conditional exact sums). NATION_3 is a real value in the
+    testdata's synthetic nation domain, so the numerator is
+    exercised with nonzero mass."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -106,7 +109,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
     )
-    canada_vol = F.when(F.col("supp_nation") == "CANADA", DISC_PRICE()).otherwise(F.lit(0.0))
+    canada_vol = F.when(F.col("supp_nation") == "NATION_3", DISC_PRICE()).otherwise(F.lit(0.0))
     return (
         joined.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg((dsum(canada_vol, 6) / dsum(DISC_PRICE(), 6)).alias("mkt_share"))
@@ -115,7 +118,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["q8_market_share"] = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST(CASE WHEN n2.n_name = 'CANADA'
+       CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
                           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
                      AS DECIMAL(18,6))) AS DOUBLE)
      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
@@ -162,7 +165,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
         | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
-        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
+        | ((F.col("p_brand") == "Brand#25") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
     )
     return j.filter(cond).agg(dsum(DISC_PRICE(), 6).alias("revenue"), F.count("*").alias("n_lines"))
 
@@ -173,7 +176,7 @@ SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DO
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """
 
 
@@ -238,10 +241,164 @@ ORDER BY numwait DESC, s_name ASC
 LIMIT 10
 """
 
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — two conditional counts after a fact-fact join:
+    per line status, how many lines belong to urgent/high-priority
+    orders vs the rest (the original's shipmode column isn't in the
+    testdata; order priority plays its role). One shuffle (the join),
+    then a partial-aggregated CASE-WHEN count pair."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").startswith("1") | F.col("o_orderpriority").startswith("2"),
+        1,
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+ORACLES["q12_priority_classes"] = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — count-of-counts over a LEFT OUTER join: orders per
+    customer (customers with none count as 0 via the null-preserving
+    outer join), then the distribution of those counts. Two
+    aggregations; the outer join is the part a naive inner join gets
+    wrong."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — argmax over an aggregate (the original's revenue
+    view + scalar-max subquery): per-supplier quarterly revenue, keep
+    the supplier(s) whose revenue EQUALS the maximum. The max is a
+    1-row aggregate broadcast back — no window over the whole table,
+    no second scan of the fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(DISC_PRICE(), 6).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLES["q15_top_supplier"] = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — a CHAIN of semi-joins with a grouped HAVING at the
+    bottom: suppliers (in one nation) who shipped more than 30 units
+    of some small part. Each IN-subquery becomes a left-semi join;
+    the grouped inner aggregate runs on the fact once. No EXISTS
+    nested-loop anywhere."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi")
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLES["q20_excess_shippers"] = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 30)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
     "q16_parts_supplier_cnt": q16_parts_supplier_cnt,
     "q19_disjunctive_filter": q19_disjunctive_filter,
     "q21_waiting_supplier": q21_waiting_supplier,
+    "q12_priority_classes": q12_priority_classes,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_excess_shippers": q20_excess_shippers,
 }

@@ -110,6 +110,8 @@ _PRIORITY = (
     "q13_customer_distribution",
     "q15_top_supplier",
     "q20_excess_shippers",
+    "dedup_decontaminate",
+    "sample_cap_per_source",
 )
 
 

@@ -509,6 +509,49 @@ SELECT cluster, c.doc_id, quality_score,
 FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
 """
 
+DECONTAM_MIN_SHARED = 2  # shared distinct shingles to flag a pair
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 — benchmark decontamination: find TRAIN documents that
+    share n-gram content with an EVAL/benchmark set (every 50th doc
+    stands in for the benchmark) — the step that keeps test data out
+    of a training corpus. A shingle equi-join between the two sides:
+    only (doc, shingle) pairs that collide ever meet, no pairwise
+    scan of train × eval.
+
+    Scale: the eval side is a BENCHMARK — bounded (thousands of
+    docs), unlike the train side; the join key is the shingle, so the
+    train side streams through one shuffle partitioned by shingle
+    hash. Output: flagged (train, eval) pairs with their shared
+    shingle count ≥ DECONTAM_MIN_SHARED."""
+    sh = _doc_shingles(spark, sf_dir)
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    train_sh = sh.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "sh"
+    )
+    return (
+        train_sh.join(eval_sh, "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+    )
+
+
+ORACLES["dedup_decontaminate"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS sh FROM documents
+)
+SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, COUNT(*) AS n_shared
+FROM sh t JOIN sh e ON t.sh = e.sh
+WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_connected_components": dedup_connected_components,
@@ -518,4 +561,5 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
+    "dedup_decontaminate": dedup_decontaminate,
 }

@@ -58,6 +58,52 @@ FROM documents
 GROUP BY 1, 2
 """
 
+SOURCE_CAP = 20  # max docs kept per source
+
+
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (per-domain) capping — the corpus-balancing step
+    that stops one crawl domain from dominating the training mix:
+    keep at most SOURCE_CAP docs per source, preferring longer
+    documents, ties to the lower doc_id (total order → deterministic
+    keep set on any engine). One window over a shuffle keyed by
+    source; output is the per-source kept/dropped accounting.
+
+    Scale: the rank window partitions by source — the same key the
+    data must group by anyway; no global sort, no driver state. A
+    pathologically hot source is exactly what AQE skew-split handles
+    (and what the cap then throws away)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("rk") <= SOURCE_CAP, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("rk") > SOURCE_CAP, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(
+            F.when(F.col("rk") <= SOURCE_CAP, F.col("n_chars")).otherwise(0)
+        ).cast("bigint").alias("kept_chars"),
+    )
+
+
+ORACLES["sample_cap_per_source"] = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM ranked
+GROUP BY source
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "sample_cap_per_source": sample_cap_per_source,
 }

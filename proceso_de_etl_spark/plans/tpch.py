@@ -325,11 +325,17 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue: correlated scalar AVG subquery,
     expressed as a per-part aggregate joined back (the plan Catalyst
-    would de-correlate to anyway; quantity sums are exact in double)."""
+    would de-correlate to anyway; quantity sums are exact in double).
+    The per-part average is computed only for the brand's partkeys —
+    a left-semi filter ahead of the aggregate cuts its input ~25×
+    (the correlation only ever needs those groups; identical
+    values)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    per_part = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"))
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)

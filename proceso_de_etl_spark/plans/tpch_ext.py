@@ -31,14 +31,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
 
-    cost = (
-        li.groupBy("l_partkey", "l_suppkey")
-        .agg((dsum("l_extendedprice") / F.sum("l_quantity")).alias("unit_cost"))
-    )
     eu_supp = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # semi-filter the fact by the region's suppliers and the size-
+    # filtered parts BEFORE the aggregate: per-(part, supplier) unit
+    # cost is computed independently per group, so dropping groups the
+    # query discards later cannot change any surviving value — it just
+    # shrinks the aggregation input ~5× (region) × ~2× (size)
+    cost = (
+        li.join(eu_supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((dsum("l_extendedprice") / F.sum("l_quantity")).alias("unit_cost"))
     )
     w = W.partitionBy("l_partkey").orderBy(F.asc("unit_cost"), F.asc("l_suppkey"))
     best = (

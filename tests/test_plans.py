@@ -134,6 +134,32 @@ def test_no_python_udf_in_jvm_paths(spark):
             )
 
 
+def test_no_cartesian_product_anywhere(spark):
+    """No registered query may plan a CartesianProduct: every
+    intentional non-equi join is either broadcast-of-one-row (scalar
+    aggregates) or a size-bounded BroadcastNestedLoopJoin (band dims,
+    the documented quadratic baselines). A CartesianProduct means an
+    unintended unconstrained join slipped in."""
+    streaming = {n for n in entrymod.queries() if n.startswith("stream_")}
+    for name, fn in entrymod.queries().items():
+        if name in streaming:
+            continue
+        plan = plan_of(fn(spark, SF_CORRECT))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_documents_scan_pruned_for_text_ops(spark):
+    """Text operators must not drag the whole documents row through
+    the scan: token counting needs doc_id+text only."""
+    from proceso_de_etl_spark.operators.text_analysis import text_token_count
+
+    plan = plan_of(text_token_count(spark, SF_CORRECT))
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "text" in read_schema
+    for col in ("source", "n_chars"):
+        assert col not in read_schema, f"{col} should be pruned from documents scan"
+
+
 def test_semi_filter_is_semi_join(spark):
     from proceso_de_etl_spark.operators.etl import etl_semi_filter
 

@@ -112,6 +112,7 @@ _PRIORITY = (
     "q20_excess_shippers",
     "dedup_decontaminate",
     "sample_cap_per_source",
+    "etl_cdc_apply",
 )
 
 

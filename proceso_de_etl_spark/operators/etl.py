@@ -667,6 +667,97 @@ FROM part
 """
 
 
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 — CDC apply: merge an ordered change feed (insert/update/
+    delete events with a sequence number) into a base snapshot — the
+    incremental-load pattern one step beyond the reference's
+    append-only conditional load (main.py:45-59): upstream systems
+    emit corrections and deletions, not just new rows.
+
+    The feed is synthesized deterministically from orders (pre-1999 =
+    base; later orders arrive as inserts; every 7th base key gets an
+    update, every 13th a later delete — keys divisible by both see
+    the delete win). Application is one window (last change per key
+    by sequence) + one full-outer join against the base: no per-event
+    loop, no driver state — the shape that applies a day of CDC to a
+    100 TB snapshot in one pass."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.expr("TIMESTAMP '1999-01-01 00:00:00'")
+    base = orders.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+    inserts = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U-REV").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    last = (
+        changes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("o_orderkey").alias("c_key"),
+            F.col("o_orderstatus").alias("c_status"),
+            F.col("o_totalprice").alias("c_price"),
+            "op",
+        )
+    )
+    merged = base.join(last, base.o_orderkey == last.c_key, "full_outer")
+    return (
+        merged.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("c_key")).alias("o_orderkey"),
+            F.coalesce(F.col("c_status"), F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.coalesce(F.col("c_price"), F.col("o_totalprice")).alias("o_totalprice"),
+            F.when(F.col("op").isNull(), "base").otherwise(F.col("op")).alias("row_source"),
+        )
+    )
+
+
+ORACLES["etl_cdc_apply"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+),
+changes AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 1 AS seq
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  UNION ALL
+  SELECT o_orderkey, 'U-REV', o_totalprice + 100.0, 'U', 2
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 'D', 3
+  FROM base WHERE o_orderkey % 13 = 0
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rk
+    FROM changes) WHERE rk = 1
+)
+SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+       COALESCE(l.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       COALESCE(l.o_totalprice, b.o_totalprice) AS o_totalprice,
+       CASE WHEN l.op IS NULL THEN 'base' ELSE l.op END AS row_source
+FROM base b FULL OUTER JOIN last l ON b.o_orderkey = l.o_orderkey
+WHERE COALESCE(l.op, '') <> 'D'
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_clean_id": etl_clean_id,
@@ -684,4 +775,5 @@ QUERIES = {
     "etl_aggregate_upsert": etl_aggregate_upsert,
     "etl_profile_table": etl_profile_table,
     "etl_load_audit": etl_load_audit,
+    "etl_cdc_apply": etl_cdc_apply,
 }

@@ -113,6 +113,7 @@ _PRIORITY = (
     "dedup_decontaminate",
     "sample_cap_per_source",
     "etl_cdc_apply",
+    "multimodal_frame_sample",
 )
 
 

@@ -108,6 +108,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 256  # stub "frame" size
+FRAME_STRIDE = 4  # keep every 4th frame
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, n_frames bigint, frame_bytes bigint, frame_md5 string"
+)
+
+
+def make_frame_sampler(frame_bytes: int, stride: int):
+    """Per-Arrow-batch frame sampler (closure, shipped by value).
+    Stands in for video/audio frame extraction: the payload is cut
+    into fixed-size 'frames' and every ``stride``-th frame is kept —
+    the 1-row-in, N-rows-out shape real frame sampling has. A real
+    deployment swaps the slicer for pyav/ffmpeg frame decode; the
+    Spark contract (mapInPandas, output cardinality > input, frame
+    index + digest per row) is identical."""
+
+    def sample(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, stride):
+                    frame = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "n_frames": n_frames,
+                            "frame_bytes": len(frame),
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "n_frames", "frame_bytes", "frame_md5"]
+            )
+
+    return sample
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12b — frame sampling plumbing: binary payload → every 4th
+    256-byte 'frame' with a content digest. Exercises the expanding
+    (1 → N rows) mapInPandas shape that real video frame extraction
+    uses; partitioning stays whatever the scan produced. (Rows-only:
+    byte-slice frames of multibyte text have no clean SQL twin; the
+    unit test pins golden values.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        make_frame_sampler(FRAME_BYTES, FRAME_STRIDE), schema=FRAME_SCHEMA
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }

@@ -187,6 +187,27 @@ def test_multimodal_extractor_values(spark):
         bad.mapInPandas(make_feature_extractor(frozenset({"png"})), schema=FEATURE_SCHEMA).collect()
 
 
+def test_multimodal_frame_sample_golden(spark):
+    """Frame sampler: every stride-th fixed-size slice, golden-checked
+    against a pure-Python reference, including the short tail frame."""
+    import hashlib
+
+    from proceso_de_etl_spark.operators.multimodal import FRAME_SCHEMA, make_frame_sampler
+
+    payload = bytes(range(256)) * 3 + b"tail"  # 772 bytes → 4 frames of 256 (last short)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    got = sorted(
+        (r.frame_idx, r.n_frames, r.frame_bytes, r.frame_md5)
+        for r in df.mapInPandas(make_frame_sampler(256, 3), schema=FRAME_SCHEMA).collect()
+    )
+    want = []
+    for idx in range(0, 4, 3):  # [0, 3] — 3 is the 4-byte tail frame
+        frame = payload[idx * 256 : (idx + 1) * 256]
+        want.append((idx, 4, len(frame), hashlib.md5(frame).hexdigest()))
+    assert got == sorted(want)
+    assert want[-1][2] == 4  # the tail frame really is short
+
+
 def test_atomic_writer_rollback_leaves_finals(spark, tmp_path):
     import pytest
 

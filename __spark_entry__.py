@@ -114,6 +114,7 @@ _PRIORITY = (
     "sample_cap_per_source",
     "etl_cdc_apply",
     "multimodal_frame_sample",
+    "etl_zorder_write",
 )
 
 

@@ -758,6 +758,75 @@ WHERE COALESCE(l.op, '') <> 'D'
 """
 
 
+Z_BITS = 10  # bits per dimension in the z-value (1024 buckets each)
+
+
+def zorder_value(a, b, bits: int = Z_BITS):
+    """Interleave the low ``bits`` of two bucket columns into a
+    z-value (Morton code) — pure JVM bit arithmetic, codegen'd."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+    return z
+
+
+def write_zordered(df: DataFrame, target: str, col_a, col_b, n_files: int = 16) -> None:
+    """E19 — z-order clustered write: range-partition + sort by the
+    Morton interleave of two dimensions, so parquet footer min/max
+    stats become selective on BOTH columns at once. A single-column
+    sort makes stats tight on that column and useless on the other;
+    z-ordering bounds both, which is what lets a 2-D predicate skip
+    most row groups / files of a 100 TB fact (same layout idea as
+    Delta/Iceberg OPTIMIZE ZORDER, expressed with stock Spark:
+    repartitionByRange + sortWithinPartitions)."""
+    z = zorder_value(col_a, col_b)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+
+
+def etl_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lineitem by (ship day, part bucket), read back with a
+    predicate on BOTH dims, aggregate. Content parity with the raw
+    table is the oracle; the layout benefit (files skippable on both
+    dims) is asserted by tests/test_operators.py via parquet footer
+    stats."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # both z dimensions are MATERIALIZED columns: footer min/max stats
+    # only exist for stored columns, and skipping is the whole point
+    staged = li.withColumn(
+        "ship_day",
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).cast("bigint"),
+    ).withColumn("part_bucket", F.pmod(F.col("l_partkey"), F.lit(1 << Z_BITS)))
+    target = tempfile.mkdtemp(prefix="zorder_")
+    write_zordered(staged, target, F.col("ship_day"), F.col("part_bucket"))
+    back = spark.read.parquet(target).filter(
+        (F.col("ship_day").between(400, 500)) & (F.col("part_bucket") < 64)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price")
+    )
+
+
+ORACLES["etl_zorder_write"] = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE datediff('day', DATE '1995-01-01', l_shipdate) BETWEEN 400 AND 500
+  AND l_partkey % 1024 < 64
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_clean_id": etl_clean_id,
@@ -776,4 +845,5 @@ QUERIES = {
     "etl_profile_table": etl_profile_table,
     "etl_load_audit": etl_load_audit,
     "etl_cdc_apply": etl_cdc_apply,
+    "etl_zorder_write": etl_zorder_write,
 }

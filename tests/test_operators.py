@@ -208,6 +208,65 @@ def test_multimodal_frame_sample_golden(spark):
     assert want[-1][2] == 4  # the tail frame really is short
 
 
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """The z-ordered layout must make parquet footer stats selective
+    on BOTH dimensions: under a 2-D predicate, fewer files overlap
+    than with a single-column sort (which leaves the second dim's
+    stats spanning everything)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.etl import write_zordered
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("ship_day"),
+        F.pmod(F.col("l_partkey"), F.lit(1024)).alias("part_bucket"),
+        "l_extendedprice",
+    )
+    z_dir = str(tmp_path / "z")
+    s_dir = str(tmp_path / "s")
+    write_zordered(li, z_dir, F.col("ship_day"), F.col("part_bucket"), n_files=16)
+    (
+        li.repartitionByRange(16, "ship_day")
+        .sortWithinPartitions("ship_day")
+        .write.mode("overwrite")
+        .parquet(s_dir)
+    )
+
+    def file_stats(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(md.row_group(g).column(cols[col]).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(cols[col]).statistics.max for g in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    def hits(stats, lo, hi):
+        return sum(1 for s_lo, s_hi in stats if s_hi >= lo and s_lo <= hi)
+
+    # workload: a day-range query AND a bucket-range query. The
+    # day-sorted layout is perfect on day and USELESS on bucket (every
+    # file's bucket stats span ~[0,1023]); z-ordering is decent on
+    # both. Assert (a) z prunes the bucket query at all, (b) z's
+    # total files touched across the two queries beats single-sort's.
+    z_day = hits(file_stats(z_dir, "ship_day"), 400, 500)
+    s_day = hits(file_stats(s_dir, "ship_day"), 400, 500)
+    z_bucket = hits(file_stats(z_dir, "part_bucket"), 0, 63)
+    s_bucket = hits(file_stats(s_dir, "part_bucket"), 0, 63)
+    assert z_bucket < 16 and s_bucket == 16, (z_bucket, s_bucket)
+    assert z_day < 16, z_day
+    assert z_day + z_bucket < s_day + s_bucket, (z_day, z_bucket, s_day, s_bucket)
+
+
 def test_atomic_writer_rollback_leaves_finals(spark, tmp_path):
     import pytest
 

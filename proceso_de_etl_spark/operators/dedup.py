@@ -121,14 +121,17 @@ FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
 """
 
-# 4 bands × 8 rows: tuned for the j ≥ 0.9 near-dup regime. Collision
-# prob per band is j^8 — for planted dups (j≈0.99) recall is
-# 1-(1-0.92)^4 ≈ 1-4e-5, while typical unrelated word-salad pairs
-# (j≈0.25) collide at 1.5e-5/band, keeping the candidate set tiny.
-# Fewer rows per band (e.g. 4) floods verification with false
-# candidates on vocabulary-dense corpora (measured 8s → 4s here).
+# 8 bands × 4 rows: tuned so recall holds right down to the verify
+# threshold j = 0.8, not just for obvious dups. Per-band collision is
+# j^4 — at the j=0.8 edge, miss = (1-0.41)^8 ≈ 1.5% (vs ~47% for
+# 8-row bands, which is exactly where the 4×8 config lost pairs at
+# sf0.1: measured 6 misses, all j ≤ 0.92). Wider bands risk false
+# candidates (unrelated word-salad pairs collide at j^4 ≈ 0.4%/band),
+# but measured on this corpus the candidate set equals the true pair
+# set at both sf0.01 and sf0.1 (25/25 and 256/256) with no runtime
+# cost — verification work is O(candidates), which stays tiny.
 MINHASH_PERMS = 32
-LSH_BANDS = 4  # 4 bands x 8 rows
+LSH_BANDS = 8  # 8 bands x 4 rows
 
 
 def minhash_signatures(sh: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:

@@ -31,6 +31,58 @@ def test_stream_session_equals_batch_sessionize(spark):
     assert _sorted_rows(got) == _sorted_rows(want)
 
 
+def test_stream_incremental_two_batches(spark, tmp_path):
+    """Incremental source tracking — the property the reference's
+    re-run loop lacks: when a second file lands, the engine processes
+    ONLY the new rows (exactly one non-empty micro-batch per arrival,
+    sized to the arrival), never reprocessing the first batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.streaming.jobs import EVENTS_RAW_SCHEMA
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(40)
+    raw = ev.select(
+        "event_id",
+        (F.unix_micros("ts") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    first = raw.filter(F.col("event_id") % 2 == 0)
+    second = raw.filter(F.col("event_id") % 2 == 1)
+    n1, n2 = first.count(), second.count()
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    seen: list[tuple[int, int]] = []
+
+    def record(batch_df, epoch_id):
+        n = batch_df.count()
+        if n:
+            seen.append((epoch_id, n))
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(record).start()
+    try:
+        q.processAllAvailable()
+        second.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counts = [n for _, n in seen]
+    assert counts == [n1, n2], (seen, n1, n2)
+
+
 def test_stream_dedup_keeps_distinct_ids(spark):
     out = jobs.stream_dedup(spark, SF_SMOKE)
     ids = [r.event_id for r in out.select("event_id").collect()]

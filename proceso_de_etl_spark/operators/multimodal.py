@@ -29,8 +29,13 @@ ORACLES: dict[str, str] = {}
 _FORMATS = ("png", "wav", "mp4")
 _STUB_FORMATS = set(_FORMATS)  # formats the deterministic stub accepts
 
+# hist is a comma-joined string, not array<double>: downstream
+# comparators (including the driver's gate harness) canonicalize rows
+# via pandas sort/factorize, which cannot hash list cells — the same
+# landmine array_function_matrix hit (relational.py). The numeric
+# values are pinned by parsing the string back in the unit test.
 FEATURE_SCHEMA = (
-    "doc_id bigint, fmt string, n_bytes bigint, byte_mean double, hist array<double>"
+    "doc_id bigint, fmt string, n_bytes bigint, byte_mean double, hist string"
 )
 
 
@@ -73,7 +78,9 @@ def make_feature_extractor(stub_formats: frozenset[str]):
                         "n_bytes": int(n),
                         # exact: integer byte sum, one float division
                         "byte_mean": (int(arr.sum(dtype=np.int64)) / total) if n else 0.0,
-                        "hist": hist.tolist(),
+                        # repr = shortest round-trip float text: exact,
+                        # deterministic, and hashable by the gate
+                        "hist": ",".join(repr(v) for v in hist.tolist()),
                     }
                 )
             yield pd.DataFrame(out, columns=["doc_id", "fmt", "n_bytes", "byte_mean", "hist"])

@@ -178,7 +178,9 @@ def test_multimodal_extractor_values(spark):
             hist[byte >> 5] += 1
         assert got[i].n_bytes == n
         assert got[i].byte_mean == (sum(p) / total if n else 0.0)
-        assert got[i].hist == [h / total for h in hist]
+        # hist ships as a comma-joined string (gate harnesses can't
+        # hash list cells); repr round-trips floats exactly
+        assert [float(x) for x in got[i].hist.split(",")] == [h / total for h in hist]
 
     import pytest
 

@@ -60,61 +60,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return etl.etl_star_flagship(spark, "/root/testdata/sf0.001")
 
 
-# Keys with NO driver-side correctness row yet (the round-1 gate
-# truncated at 50 of 85, cutting everything after agg_grouping_sets in
-# the old registration order, plus the queries added in round 2).
-# queries() emits these FIRST so a truncating gate verifies them before
-# re-verifying the round-1-green rest.
+# Registration order IS gate order and the driver's correctness gate
+# truncates at 50 rows per round, so _PRIORITY rotates each round to
+# whatever keys most need a FRESH driver row. Round-4 rotation:
+#   1. queries ADDED this round (no driver row yet) — kept at the top;
+#   2. the 49 keys whose latest driver row dates from round-1 code
+#      (rounds 2-3 gated the other half of the contract; VERDICT r3
+#      item 1) — ETL core, the q-suite, windows, rollup/cube/sets,
+#      function matrices, §2 events;
+#   3. the tail past the 50-cap: bonus (non-§2) events keys and
+#      r3-green rows — they keep their existing driver signal and the
+#      full pytest suite re-verifies them locally every round.
 _PRIORITY = (
-    "etl_load_audit",
-    "dedup_exact",
-    "dedup_connected_components",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh_pairs",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "text_lang_id",
-    "text_vocab_topk",
-    "text_sentiment",
-    "text_pii_redaction",
-    "text_tfidf_topterms",
-    "text_repetition_ratio",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_features",
-    "sample_stratified",
-    "pipeline_clean_corpus",
-    "ml_kmeans_embeddings",
-    "etl_scd2_merge",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_stateful_totals",
-    "stream_static_enrichment",
-    "agg_pivot",
-    "agg_unpivot",
-    "set_ops_customers",
-    "agg_distinct_exact",
-    "agg_approx",
-    "agg_percentiles",
-    "skew_salted_join",
-    "events_interval_join_bucketed",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q20_excess_shippers",
-    "dedup_decontaminate",
-    "sample_cap_per_source",
-    "etl_cdc_apply",
-    "multimodal_frame_sample",
-    "etl_zorder_write",
+    # --- round-4 additions (no driver row yet) ---
+    # (prepended as they land; see git log)
+    # --- stale round-1 driver rows: ETL core ---
+    "etl_clean_id",
+    "etl_dedup_keep_first",
+    "etl_dim_extract",
+    "etl_fk_map",
+    "etl_placeholders",
+    "etl_conflict_resolve",
+    "etl_semi_filter",
+    "etl_dropna_load",
+    "etl_incremental_antijoin",
+    "etl_star_flagship",
+    "etl_partition_prune",
+    "etl_aggregate_upsert",
+    "etl_profile_table",
+    "etl_atomic_write",
+    # --- stale: analytic q-suite (r2 edited tpch*.py) ---
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    # --- stale: windows / grouped aggs / matrices / §2 events ---
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_rank_ntile",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "scalar_function_matrix",
+    "array_function_matrix",
+    "null_semantics_matrix",
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_funnel",
+    "events_asof_join",
+    "events_gap_fill",
+    # --- tail (past the 50-cap this round): bonus events keys (r1
+    # rows, code untouched since r1) and the r3-green extract row ---
+    "events_json_extract",
+    "events_rolling_window",
+    "events_value_band_join",
+    "events_retention_cohorts",
+    "etl_extract_conform",
 )
 
 

@@ -6,6 +6,14 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Timing uses the noop sink — full plan execution (scan → shuffle →
 agg) without driver-side materialization, so numbers measure the
 engine, not result transfer.
+
+Each query runs REPS passes (whole-suite round-robin, so a rep's
+neighbors in time are OTHER queries — a sandbox slowdown hits reps of
+every query, not all reps of one); "queries" reports per-query
+MEDIANS and "query_spread" the max-min across reps. The r2→r3 rounds
+showed the sandbox noise floor reaching 2× on byte-identical code
+(pytest 233→497 s same day), so single-shot timings cannot feed a
+regression gate; medians with a spread field can.
 """
 
 from __future__ import annotations
@@ -65,33 +73,54 @@ REGRESSION_FACTOR = 1.5
 REGRESSION_MIN_DELTA_SEC = 0.5
 
 
+REPS = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
+    from proceso_de_etl_spark.operators import dedup
+
     queries = entrymod.queries()
     # warmup: JVM + codegen + file listing, outside the timed region
     queries["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(REPS):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            reps[name].append(round(time.perf_counter() - t0, 3))
+        # cold-start each pass: release the dedup family's shared
+        # shingle cache and any other persisted storage so pass N+1
+        # measures the same work as pass 1 (and re-persists cleanly —
+        # no "already cached" warnings)
+        dedup.unpersist_shingles()
+        spark.catalog.clearCache()
 
+    timings = {name: sorted(ts)[REPS // 2] for name, ts in reps.items()}
+    spreads = {name: round(max(ts) - min(ts), 3) for name, ts in reps.items()}
     total = round(sum(timings.values()), 3)
     deltas = {
         name: round(t - BASELINE_R1[name], 3)
         for name, t in timings.items()
         if name in BASELINE_R1
     }
+    # a query "regressed" only when its MEDIAN clears the factor gate
+    # by more than that query's own observed rep spread — a shift the
+    # same-session noise cannot explain
     regressed = {
-        name: {"sec": timings[name], "baseline_sec": BASELINE_R1[name]}
+        name: {
+            "median_sec": timings[name],
+            "baseline_sec": BASELINE_R1[name],
+            "spread_sec": spreads[name],
+        }
         for name in deltas
         if timings[name] > REGRESSION_FACTOR * BASELINE_R1[name]
-        and deltas[name] > REGRESSION_MIN_DELTA_SEC
+        and deltas[name] > max(REGRESSION_MIN_DELTA_SEC, spreads[name])
     }
     print(
         json.dumps(
@@ -100,6 +129,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread": spreads,
+                "reps": REPS,
                 "sf": sf,
                 "delta_vs_r1": deltas,
                 "regressed": regressed,

@@ -153,6 +153,34 @@ def test_connected_components_two_clusters(spark):
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
 
 
+def test_decontaminate_caps_ubiquitous_shingles(spark, tmp_path, monkeypatch):
+    """A boilerplate shingle shared by EVERY doc must not flag
+    train/eval pairs (it's the hot shuffle key at scale); genuinely
+    shared rare content still must."""
+    from proceso_de_etl_spark.operators import dedup
+
+    boiler = "the quick brown fox jumps"  # 3 shingles, planted in all docs
+    rare = "alpha beta gamma delta"  # shared ONLY by docs 7 and 50
+    rows = [
+        (1, boiler + " filler words here"),
+        (2, boiler + " other unrelated body"),
+        (3, boiler + " third unique content"),
+        (7, boiler + " " + rare),
+        (50, boiler + " " + rare),  # eval doc (50 % 50 == 0)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(dedup, "DECONTAM_MAX_SHINGLE_DF", 3)  # boiler df=5 > 3
+    got = {
+        (r.train_doc_id, r.eval_doc_id, r.n_shared)
+        for r in dedup.dedup_decontaminate(spark, str(tmp_path)).collect()
+    }
+    # without the cap, docs 1-3 would each share the 3 boilerplate
+    # shingles with eval doc 50 and be flagged; with it, only 7↔50
+    # survive via their 4 rare shingles (2 in-phrase + 2 boundary)
+    assert got == {(7, 50, 4)}
+
+
 def test_multimodal_extractor_values(spark):
     """The numpy-vectorized extractor must equal the per-byte
     reference semantics: n_bytes, exact-int byte mean, normalized

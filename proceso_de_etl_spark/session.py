@@ -49,6 +49,26 @@ def get_spark(app_name: str = "proceso_de_etl_spark", cpus: str | None = None) -
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Pin the ADAPTIVE broadcast threshold to the same bound
+        # instead of inheriting whatever the static threshold resolves
+        # to at runtime: AQE's SMJ→BHJ conversion happens after both
+        # sides' shuffle files are already written, so the conversion
+        # is only a win when the local shuffle reader (below) skips
+        # the shuffle fetch. 64m bounds that double-planned work to
+        # sides that genuinely fit an executor; SF-scaling tables
+        # (customer at 100 TB) exceed it and stay sort-merge.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # read converted-join map outputs locally, no shuffle fetch —
+        # this is what makes runtime conversion ~free (default true;
+        # pinned because the conversion-cost bound above relies on it)
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        # Runtime bloom-filter join pruning: build a bloom of the
+        # filtered build side's join keys and push it into the probe
+        # side's scan (semi-join-heavy shapes: q4/q20/q21). Default
+        # thresholds (creation side ≤ 10 MB after filter, probe scan ≥
+        # 10 GB) mean it engages exactly in the 100 TB regime, not on
+        # test data; tests force-lower the thresholds to assert shape.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

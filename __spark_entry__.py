@@ -27,6 +27,7 @@ from proceso_de_etl_spark.operators import (
     windows,
 )
 from proceso_de_etl_spark.plans import tpch, tpch_ext
+from proceso_de_etl_spark.streaming import cdc as streaming_cdc
 from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 
 # Registration order IS gate order: the driver's correctness gate
@@ -46,6 +47,7 @@ _MODULES = (
     ml,
     scd,
     streaming_jobs,
+    streaming_cdc,
     relational,
     windows,
     events,
@@ -73,7 +75,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      full pytest suite re-verifies them locally every round.
 _PRIORITY = (
     # --- round-4 additions (no driver row yet) ---
-    # (prepended as they land; see git log)
+    "stream_cdc_apply",
     # --- stale round-1 driver rows: ETL core ---
     "etl_clean_id",
     "etl_dedup_keep_first",

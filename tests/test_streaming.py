@@ -127,3 +127,31 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
     n2 = jobs.foreach_batch_idempotent_sink(spark, SF_SMOKE, target)
     assert n2 == 0
     assert spark.read.parquet(f"{target}/epoch=*").count() == total
+
+def test_stream_cdc_apply_matches_batch_twin(spark):
+    """The micro-batched CDC merge must converge to the one-pass batch
+    apply: same keys, values, and row_source, regardless of how the
+    feed was split into batches (the seq guard's whole job)."""
+    from proceso_de_etl_spark.operators.etl import etl_cdc_apply
+    from proceso_de_etl_spark.streaming import cdc
+
+    got = cdc.stream_cdc_apply(spark, SF_SMOKE)
+    want = etl_cdc_apply(spark, SF_SMOKE)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_cdc_merge_is_idempotent_and_order_safe(spark):
+    """Replayed and out-of-order batches: applying (deletes, updates,
+    updates-again) after the full feed must not change the state —
+    lower/equal seq never wins, tombstones stay."""
+    from proceso_de_etl_spark.streaming.cdc import _change_feed, merge_cdc_batch
+
+    base, (ins, upd, dele) = _change_feed(spark, SF_SMOKE)
+    snap = base.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.lit("base").alias("row_source"), F.lit(0).alias("seq"),
+        F.lit(False).alias("deleted"),
+    )
+    forward = merge_cdc_batch(merge_cdc_batch(merge_cdc_batch(snap, ins), upd), dele)
+    replayed = merge_cdc_batch(merge_cdc_batch(forward, dele), upd)
+    assert _sorted_rows(replayed) == _sorted_rows(forward)

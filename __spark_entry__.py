@@ -23,6 +23,7 @@ from proceso_de_etl_spark.operators import (
     sampling,
     scd,
     similarity,
+    sketches,
     text_analysis,
     windows,
 )
@@ -48,6 +49,7 @@ _MODULES = (
     scd,
     streaming_jobs,
     streaming_cdc,
+    sketches,
     relational,
     windows,
     events,
@@ -76,6 +78,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     # --- round-4 additions (no driver row yet) ---
     "stream_cdc_apply",
+    "sketch_theta_setops",
+    "sketch_kll_quantiles",
+    "sketch_hll_rollup",
+    # --- code/config changed this round (r3 rows now stale) ---
+    "dedup_decontaminate",  # DF-cap changed query AND oracle
+    "q20_excess_shippers",  # bloom-filter pruning config
     # --- stale round-1 driver rows: ETL core ---
     "etl_clean_id",
     "etl_dedup_keep_first",

@@ -1,0 +1,71 @@
+"""Sketch library error bounds: every estimate pinned to an exact
+twin computed in the same session. Theta/HLL default configs hold
+well under 5% relative error at these cardinalities; KLL's default
+k=200 gives ~1.65% rank error, so p50 must land between the exact
+45th and 55th percentiles (a 3x margin)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from proceso_de_etl_spark.operators import sketches
+from proceso_de_etl_spark.sources.catalog import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _rel_err(est: float, exact: float) -> float:
+    return abs(est - exact) / max(exact, 1)
+
+
+def test_theta_setops_bounds(spark):
+    row = sketches.sketch_theta_setops(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    a = {r[0] for r in li.filter(F.col("l_returnflag") == "A").select("l_partkey").distinct().collect()}
+    r = {r[0] for r in li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct().collect()}
+    assert _rel_err(row.est_parts_a, len(a)) <= 0.05
+    assert _rel_err(row.est_parts_r, len(r)) <= 0.05
+    assert _rel_err(row.est_union, len(a | r)) <= 0.05
+    # intersection/difference error scales with the union size
+    assert abs(row.est_intersection - len(a & r)) <= 0.05 * len(a | r)
+    assert abs(row.est_a_only - len(a - r)) <= 0.05 * len(a | r)
+
+
+def test_kll_quantile_rank_bounds(spark):
+    got = {r.scope: r for r in sketches.sketch_kll_quantiles(spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    # exact counts: get_n is lossless, also through the merge
+    counts = {r[0]: r[1] for r in li.groupBy("l_returnflag").count().collect()}
+    for flag, n in counts.items():
+        assert got[flag].n == n
+    assert got["ALL"].n == sum(counts.values())
+    # p50 must sit between the exact 45th and 55th percentiles
+    bounds = li.agg(
+        F.percentile("l_extendedprice", 0.45).alias("lo"),
+        F.percentile("l_extendedprice", 0.55).alias("hi"),
+    ).collect()[0]
+    assert bounds.lo <= got["ALL"].p50 <= bounds.hi
+
+
+def test_hll_rollup_union_matches_direct_sketch(spark):
+    got = {r.yr: r for r in sketches.sketch_hll_rollup(spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders")
+    exact = {
+        r[0]: r[1]
+        for r in orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for yr, d in exact.items():
+        assert _rel_err(got[yr].est_customers, d) <= 0.05
+    # mergeability: union of per-(yr,priority) sketches must give the
+    # SAME estimate as sketching each year directly — HLL union with
+    # matching lgK merges registers losslessly
+    direct = {
+        r[0]: r[1]
+        for r in orders.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e"))
+        .collect()
+    }
+    for yr in exact:
+        assert got[yr].est_customers == direct[yr]

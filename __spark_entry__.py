@@ -27,7 +27,7 @@ from proceso_de_etl_spark.operators import (
     text_analysis,
     windows,
 )
-from proceso_de_etl_spark.plans import tpch, tpch_ext
+from proceso_de_etl_spark.plans import tpch, tpch_ext, tpch_params
 from proceso_de_etl_spark.streaming import cdc as streaming_cdc
 from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 
@@ -55,6 +55,7 @@ _MODULES = (
     events,
     tpch,
     tpch_ext,
+    tpch_params,
 )
 
 
@@ -81,6 +82,11 @@ _PRIORITY = (
     "sketch_theta_setops",
     "sketch_kll_quantiles",
     "sketch_hll_rollup",
+    "q1_pricing_summary_v2",
+    "q3_shipping_priority_v2",
+    "q5_local_supplier_v2",
+    "q6_forecast_revenue_v2",
+    "q14_promo_effect_v2",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

@@ -1,0 +1,226 @@
+"""Alternate-parameter variants of the analytic q-suite families
+(q1/q3/q5/q6/q14): proof the plans are not constant-specific.
+
+TPC-H defines each query as a TEMPLATE with substitution parameters;
+plans/tpch.py registers one instantiation per family. Each builder
+here takes the family's parameters explicitly and derives BOTH the
+DataFrame plan and the DuckDB oracle SQL from the SAME dict, so the
+two sides can never drift and a typo'd parameter can't silently make
+a predicate vacuous. Variant parameters were validated against the
+actual testdata domains (c_mktsegment enum, r_name enum, orderdate
+1995-01-01..2001-08-01, shipdate ..2001-11-04, discount 0..0.1,
+quantity 1..50) — see tests/test_tpch_params.py, which also asserts
+each variant's filters are genuinely selective (non-empty, and a
+proper subset where the family filters a scan).
+
+Scale notes are the family's (see plans/tpch.py docstring): only
+fixed-size dims carry broadcast hints; filters sit on scan columns
+so they push into the parquet reader regardless of the constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from proceso_de_etl_spark.functions.columns import davg, dsum
+from proceso_de_etl_spark.plans.tpch import CHARGE, DISC_PRICE
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+
+def _ts(d: str):
+    return F.expr(f"TIMESTAMP '{d} 00:00:00'")
+
+
+# --- q1 family: pricing summary at an alternate ship cutoff --------
+
+Q1_PARAMS = {"ship_cutoff": "1998-09-02"}
+
+
+def q1_pricing_summary_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1 template at ship_cutoff 1998-09-02 (the TPC-H spec's own
+    canonical substitution) instead of tpch.py's 2001-09-01: same
+    one-shuffle partial-agg plan, ~half the scan selected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= _ts(Q1_PARAMS["ship_cutoff"]))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(DISC_PRICE(), 6).alias("sum_disc_price"),
+            dsum(CHARGE(), 6).alias("sum_charge"),
+            davg(F.col("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLES["q1_pricing_summary_v2"] = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_PARAMS["ship_cutoff"]} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3 family: shipping priority for another segment/date --------
+
+Q3_PARAMS = {"segment": "MACHINERY", "cutoff": "1996-09-15"}
+
+
+def q3_shipping_priority_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3 template at (MACHINERY, 1996-09-15): identical join tree —
+    customer unhinted (SF-scaling), top-10 with orderkey tie-break."""
+    cutoff = _ts(Q3_PARAMS["cutoff"])
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_PARAMS["segment"]
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(DISC_PRICE(), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLES["q3_shipping_priority_v2"] = f"""
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_PARAMS["segment"]}'
+  AND o_orderdate < TIMESTAMP '{Q3_PARAMS["cutoff"]} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{Q3_PARAMS["cutoff"]} 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- q5 family: local-supplier volume, another region/year --------
+
+Q5_PARAMS = {"region": "EUROPE", "year_start": "1997-01-01", "year_end": "1998-01-01"}
+
+
+def q5_local_supplier_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5 template at (EUROPE, 1997): same 6-table join, fixed-size
+    nation/region broadcast by hint, customer/supplier left to AQE."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(Q5_PARAMS["year_start"]))
+        & (F.col("o_orderdate") < _ts(Q5_PARAMS["year_end"]))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_PARAMS["region"]
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(DISC_PRICE(), 6).alias("revenue"))
+    )
+
+
+ORACLES["q5_local_supplier_v2"] = f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_PARAMS["region"]}'
+  AND o_orderdate >= TIMESTAMP '{Q5_PARAMS["year_start"]} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q5_PARAMS["year_end"]} 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- q6 family: forecast revenue, another year/band ---------------
+
+Q6_PARAMS = {
+    "year_start": "1998-01-01",
+    "year_end": "1999-01-01",
+    "disc_lo": 0.05,
+    "disc_hi": 0.09,
+    "qty_max": 35,
+}
+
+
+def q6_forecast_revenue_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6 template at (1998, discount 0.05..0.09, qty<35): still a
+    pure scan-filter-aggregate; every predicate pushes to parquet."""
+    p = Q6_PARAMS
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ts(p["year_start"]))
+        & (F.col("l_shipdate") < _ts(p["year_end"]))
+        & (F.col("l_discount") >= p["disc_lo"])
+        & (F.col("l_discount") <= p["disc_hi"])
+        & (F.col("l_quantity") < p["qty_max"])
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"))
+
+
+ORACLES["q6_forecast_revenue_v2"] = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_PARAMS["year_start"]} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_PARAMS["year_end"]} 00:00:00'
+  AND l_discount BETWEEN {Q6_PARAMS["disc_lo"]} AND {Q6_PARAMS["disc_hi"]}
+  AND l_quantity < {Q6_PARAMS["qty_max"]}
+"""
+
+
+# --- q14 family: promo effect, another month ----------------------
+
+Q14_PARAMS = {"month_start": "1997-05-01", "month_end": "1997-06-01"}
+
+
+def q14_promo_effect_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 template at 1997-05: conditional agg over the part join,
+    part unhinted (SF-scaling), AQE broadcasts while it fits."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q14_PARAMS["month_start"]))
+        & (F.col("l_shipdate") < _ts(Q14_PARAMS["month_end"]))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", DISC_PRICE()).otherwise(F.lit(0.0))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        (100.0 * dsum(promo, 6) / dsum(DISC_PRICE(), 6)).alias("promo_revenue_pct")
+    )
+
+
+ORACLES["q14_promo_effect_v2"] = f"""
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_PARAMS["month_start"]} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_PARAMS["month_end"]} 00:00:00'
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary_v2": q1_pricing_summary_v2,
+    "q3_shipping_priority_v2": q3_shipping_priority_v2,
+    "q5_local_supplier_v2": q5_local_supplier_v2,
+    "q6_forecast_revenue_v2": q6_forecast_revenue_v2,
+    "q14_promo_effect_v2": q14_promo_effect_v2,
+}

@@ -29,13 +29,14 @@ ORACLES: dict[str, str] = {}
 _FORMATS = ("png", "wav", "mp4")
 _STUB_FORMATS = set(_FORMATS)  # formats the deterministic stub accepts
 
-# hist is a comma-joined string, not array<double>: downstream
-# comparators (including the driver's gate harness) canonicalize rows
-# via pandas sort/factorize, which cannot hash list cells — the same
-# landmine array_function_matrix hit (relational.py). The numeric
-# values are pinned by parsing the string back in the unit test.
+# The operator's natural schema: hist is a typed array<double>
+# (mapInPandas ships it through Arrow natively; numeric consumers
+# read it directly). Stringification for comparators that cannot
+# hash list cells (the driver's gate canonicalizer — the landmine
+# array_function_matrix hit in relational.py) happens ONLY in the
+# registered contract query, at the boundary, not here.
 FEATURE_SCHEMA = (
-    "doc_id bigint, fmt string, n_bytes bigint, byte_mean double, hist string"
+    "doc_id bigint, fmt string, n_bytes bigint, byte_mean double, hist array<double>"
 )
 
 
@@ -78,9 +79,7 @@ def make_feature_extractor(stub_formats: frozenset[str]):
                         "n_bytes": int(n),
                         # exact: integer byte sum, one float division
                         "byte_mean": (int(arr.sum(dtype=np.int64)) / total) if n else 0.0,
-                        # repr = shortest round-trip float text: exact,
-                        # deterministic, and hashable by the gate
-                        "hist": ",".join(repr(v) for v in hist.tolist()),
+                        "hist": hist.tolist(),
                     }
                 )
             yield pd.DataFrame(out, columns=["doc_id", "fmt", "n_bytes", "byte_mean", "hist"])
@@ -103,15 +102,27 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T12 — binary column → Arrow-batched feature extraction.
-    (Rows-only: the feature values are deterministic, but the
-    operator's point is the mapInPandas plumbing, which has no SQL
-    equivalent.)"""
+def extract_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 — binary column → Arrow-batched feature extraction, typed
+    result (``hist`` is array<double>). This is the operator a
+    downstream numeric consumer calls."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return media.select("doc_id", "fmt", "payload").mapInPandas(
         make_feature_extractor(frozenset(_STUB_FORMATS)), schema=FEATURE_SCHEMA
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 contract query — the typed operator with ``hist``
+    stringified AT THE GATE BOUNDARY only (the driver's pandas
+    canonicalizer cannot hash list cells). Java's double→string is
+    shortest-round-trip, so the text is exact and deterministic; the
+    unit test parses it back against the typed values. (Rows-only:
+    the mapInPandas plumbing has no SQL equivalent.)"""
+    return extract_media_features(spark, sf_dir).withColumn(
+        "hist",
+        F.array_join(F.transform("hist", lambda v: v.cast("string")), ","),
     )
 
 

@@ -206,15 +206,31 @@ def test_multimodal_extractor_values(spark):
             hist[byte >> 5] += 1
         assert got[i].n_bytes == n
         assert got[i].byte_mean == (sum(p) / total if n else 0.0)
-        # hist ships as a comma-joined string (gate harnesses can't
-        # hash list cells); repr round-trips floats exactly
-        assert [float(x) for x in got[i].hist.split(",")] == [h / total for h in hist]
+        assert list(got[i].hist) == [h / total for h in hist]
 
     import pytest
 
     bad = spark.createDataFrame([(1, "gif", bytearray(b"x"))], "doc_id long, fmt string, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         bad.mapInPandas(make_feature_extractor(frozenset({"png"})), schema=FEATURE_SCHEMA).collect()
+
+
+def test_multimodal_gate_boundary_stringify(spark):
+    """The contract query stringifies hist ONLY at the gate boundary;
+    parsing the string back must reproduce the typed operator's
+    array<double> exactly (Java double→string is round-trip exact)."""
+    from proceso_de_etl_spark.operators.multimodal import (
+        extract_media_features,
+        multimodal_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    typed = {r.doc_id: list(r.hist) for r in extract_media_features(spark, sf).collect()}
+    gated = {r.doc_id: r.hist for r in multimodal_features(spark, sf).collect()}
+    assert set(typed) == set(gated)
+    for doc_id, hist in typed.items():
+        assert isinstance(gated[doc_id], str)
+        assert [float(x) for x in gated[doc_id].split(",")] == hist
 
 
 def test_multimodal_frame_sample_golden(spark):

@@ -41,3 +41,40 @@ def test_parameters_are_not_vacuous(spark):
     assert tpch_params.q5_local_supplier_v2(spark, SF_SMOKE).count() > 0
     row = tpch_params.q14_promo_effect_v2(spark, SF_SMOKE).collect()[0]
     assert row.promo_revenue_pct is not None and 0.0 < row.promo_revenue_pct < 100.0
+
+
+def test_variant_plans_keep_family_invariants(spark):
+    """The plan properties asserted for the original constants must
+    hold for the variants too — otherwise the 'plans are not
+    constant-specific' claim is only about values, not execution."""
+    from tests.test_plans import _SCALING_MARKERS, _iter_plan_nodes, plan_of
+
+    # q6_v2: all three predicates still push into the parquet scan,
+    # untouched columns still pruned
+    plan = plan_of(tpch_params.q6_forecast_revenue_v2(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed in q6_v2"
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "l_returnflag" not in read_schema
+
+    # q3_v2/q5_v2/q14_v2: with auto-broadcast off, no hinted broadcast
+    # subtree may contain an SF-scaling table
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for name in ("q3_shipping_priority_v2", "q5_local_supplier_v2", "q14_promo_effect_v2"):
+            root = tpch_params.QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan()
+            for node in _iter_plan_nodes(root):
+                if "BroadcastExchange" not in node.nodeName():
+                    continue
+                subtree = node.toString()
+                for marker in _SCALING_MARKERS:
+                    assert marker not in subtree, (
+                        f"{name}: forced broadcast of an SF-scaling table ({marker})"
+                    )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)

@@ -28,6 +28,7 @@ from proceso_de_etl_spark.operators import (
     windows,
 )
 from proceso_de_etl_spark.plans import tpch, tpch_ext, tpch_params
+from proceso_de_etl_spark.sources import bucketing
 from proceso_de_etl_spark.streaming import cdc as streaming_cdc
 from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 
@@ -50,6 +51,7 @@ _MODULES = (
     streaming_jobs,
     streaming_cdc,
     sketches,
+    bucketing,
     relational,
     windows,
     events,
@@ -87,6 +89,8 @@ _PRIORITY = (
     "q5_local_supplier_v2",
     "q6_forecast_revenue_v2",
     "q14_promo_effect_v2",
+    "dedup_incremental",
+    "bucketed_colocated_join",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

@@ -612,8 +612,61 @@ HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit only NEW content from an incoming
+    batch, checked against a historical corpus — the shape a
+    continuously-ingesting training pipeline runs every cycle (the
+    whole-corpus operators re-scan everything; this one touches the
+    batch + a fingerprint join).
+
+    Corpus = docs with doc_id % 5 != 0; incoming batch = the rest
+    plus re-keyed copies of some corpus docs (planted so the reject
+    path is observable, reproducible in the oracle). Two steps, both
+    hash-only: (1) collapse the batch internally (keep-first per
+    content hash); (2) anti-join survivors against the corpus
+    fingerprints. At 100 TB the corpus side is a persisted narrow
+    (hash) table — the anti-join shuffles fingerprints, never text,
+    and a bucketed fingerprint store makes it co-location-free
+    (sources/bucketing.py demonstrates that join shape)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    replayed = corpus.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).unionByName(replayed)
+
+    fp = F.md5(F.lower("text"))
+    corpus_fp = corpus.select(fp.alias("content_hash")).distinct()
+    batch_fp = batch.select("doc_id", fp.alias("content_hash"))
+    batch_unique = batch_fp.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_in_batch")
+    )
+    return batch_unique.join(corpus_fp, "content_hash", "left_anti").select(
+        "doc_id", "content_hash", "n_in_batch"
+    )
+
+
+ORACLES["dedup_incremental"] = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 20 = 1
+),
+batch_unique AS (
+  SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS doc_id,
+         COUNT(*) AS n_in_batch
+  FROM batch GROUP BY 1
+)
+SELECT doc_id, content_hash, n_in_batch
+FROM batch_unique b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(lower(c.text)) = b.content_hash)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_best": dedup_keep_best,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -61,7 +61,12 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     BYTES (kll_merge_agg), not the data, which is the scale story:
     per-partition/per-day sketches roll up to any coarser grain for
     free. get_n is exact by construction; quantiles carry the KLL
-    rank-error bound (~1.65% at default k=200), pinned in tests."""
+    rank-error bound (~1.65% at default k=200), pinned in tests.
+
+    Both output branches derive from the same per-flag aggregate;
+    AQE's exchange reuse shares it at runtime (the final adaptive
+    plan carries one ReusedExchange), so lineitem is scanned ONCE
+    even though the subtree appears twice in the logical plan."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.kll_sketch_agg_double("l_extendedprice").alias("sk")

@@ -1,57 +1,47 @@
-"""Bucketed tables eliminate the join shuffle (SURVEY.md §4) — the
-co-location strategy for repeated fact-fact joins at scale."""
+"""Bucketed co-located join: values equal the plain join (oracle
+parity) AND the join itself moves no data — no Exchange under the
+SortMergeJoin, which is the entire point of paying for bucketing at
+write time."""
 
-import pytest
+from proceso_de_etl_spark.sources import bucketing
+from tests.oracle_harness import compare, duckdb_con
 
-from pyspark.sql import functions as F
-
-from proceso_de_etl_spark.sources.catalog import load_table
-from tests.conftest import SF_SMOKE
-
-
-@pytest.fixture(scope="module")
-def bucketed_tables(spark):
-    li = load_table(spark, SF_SMOKE, "lineitem")
-    orders = load_table(spark, SF_SMOKE, "orders")
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_bucketed"))
-    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("orders_bucketed"))
-    yield
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
-def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
-    li = spark.table("li_bucketed")
-    orders = spark.table("orders_bucketed")
-    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
-        "o_orderstatus"
-    ).agg(F.count("*").alias("n"))
-    # disable broadcast so the join strategy itself is under test
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+def test_bucketed_join_matches_oracle(spark):
+    con = duckdb_con(SF_SMOKE)
+    compare(
+        bucketing.bucketed_colocated_join(spark, SF_SMOKE),
+        con,
+        bucketing.ORACLES["bucketed_colocated_join"],
+        "bucketed_colocated_join",
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """With broadcast off (the big-big regime bucketing exists for),
+    the join must be a SortMergeJoin with NO Exchange and NO Sort on
+    either side — bucket files align and are pre-sorted."""
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        # bucketed sides co-locate: SortMergeJoin with NO Exchange
-        # below the join (the only exchange is the final aggregation)
-        join_part = plan.split("SortMergeJoin")[-1]
-        assert "SortMergeJoin" in plan
-        assert "Exchange hashpartitioning(l_orderkey" not in plan
-        assert "Exchange hashpartitioning(o_orderkey" not in plan
-        # correctness unchanged
-        got = {r.o_orderstatus: r.n for r in joined.collect()}
-        plain = (
-            load_table(spark, SF_SMOKE, "lineitem")
-            .join(
-                load_table(spark, SF_SMOKE, "orders"),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .groupBy("o_orderstatus")
-            .agg(F.count("*").alias("n"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = bucketing.bucketed_colocated_join(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        join_part = plan.split("SortMergeJoin", 1)[1]  # subtree below the join
+        assert "Exchange" not in join_part, (
+            "bucket-aligned join should read bucket i vs bucket i with no shuffle:\n"
+            + join_part[:1500]
         )
-        want = {r.o_orderstatus: r.n for r in plain.collect()}
-        assert got == want
+        # a within-partition Sort remains: Spark only propagates the
+        # within-bucket sort order behind the legacy flag
+        # spark.sql.legacy.bucketedTableScan.outputOrdering (off by
+        # default since 3.0) — the shuffle elimination is the scale
+        # property; the partition-local sort is cheap by comparison
+        assert join_part.count("Bucketed: true") == 2, join_part[:1500]
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)

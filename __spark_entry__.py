@@ -91,6 +91,7 @@ _PRIORITY = (
     "q14_promo_effect_v2",
     "dedup_incremental",
     "bucketed_colocated_join",
+    "sample_split_train_eval",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

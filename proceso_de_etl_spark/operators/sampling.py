@@ -103,7 +103,44 @@ GROUP BY source
 """
 
 
+# hex-bucket upper bounds over substr(md5, 1, 2): 256 lexicographic
+# buckets; 'cc' = 204/256 ≈ 79.7% train, 'e6' = 230/256 ≈ 89.8% → val
+# ≈ 10.2%, test ≈ 10.2%
+SPLIT_TRAIN_BOUND = "cc"
+SPLIT_VAL_BOUND = "e6"
+
+
+def sample_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split: bucket
+    by a hash of the KEY, not ``rand()`` — the split a training
+    pipeline can reproduce across runs, engines, and repartitioning
+    (a rand() split silently reshuffles docs between train and eval
+    whenever partitioning changes; a hash split never does, which is
+    what keeps eval sets uncontaminated over months of reruns).
+    Narrow projection, zero shuffle, zero RNG; md5 hex compares
+    lexicographically the same in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_BOUND, "train")
+        .when(bucket < SPLIT_VAL_BOUND, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("hash_bucket"), split.alias("split"))
+
+
+ORACLES["sample_split_train_eval"] = f"""
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{SPLIT_VAL_BOUND}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_cap_per_source": sample_cap_per_source,
+    "sample_split_train_eval": sample_split_train_eval,
 }

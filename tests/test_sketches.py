@@ -69,3 +69,22 @@ def test_hll_rollup_union_matches_direct_sketch(spark):
     }
     for yr in exact:
         assert got[yr].est_customers == direct[yr]
+
+
+def test_hash_split_fractions_and_stability(spark):
+    """The hash split must land near its designed fractions, be
+    disjoint+exhaustive, and assign every doc independently of
+    partitioning (repartition → identical assignment)."""
+    from proceso_de_etl_spark.operators.sampling import sample_split_train_eval
+
+    got = sample_split_train_eval(spark, SF_SMOKE)
+    rows = got.collect()
+    n = len(rows)
+    frac = {s: sum(r.split == s for r in rows) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 204 / 256) < 0.15
+    assert frac["train"] + frac["val"] + frac["test"] == 1.0
+    reparted = {
+        r.doc_id: r.split
+        for r in sample_split_train_eval(spark, SF_SMOKE).repartition(13).collect()
+    }
+    assert reparted == {r.doc_id: r.split for r in rows}

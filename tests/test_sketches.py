@@ -88,3 +88,33 @@ def test_hash_split_fractions_and_stability(spark):
         for r in sample_split_train_eval(spark, SF_SMOKE).repartition(13).collect()
     }
     assert reparted == {r.doc_id: r.split for r in rows}
+
+
+def test_sketch_store_roundtrip(spark, tmp_path):
+    """The sketch-store pattern: per-cell sketches persisted as a
+    parquet binary column must survive the round-trip and union to
+    the same estimates — this is what lets a metric store answer
+    coarser grains months later without rescanning facts."""
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    per_cell = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"), "o_orderpriority"
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    store = str(tmp_path / "sketch_store.parquet")
+    per_cell.write.parquet(store)
+
+    live = {
+        r.yr: r.est
+        for r in per_cell.groupBy("yr")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    stored = {
+        r.yr: r.est
+        for r in spark.read.parquet(store)
+        .groupBy("yr")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    assert stored == live

@@ -90,6 +90,7 @@ _PRIORITY = (
     "q6_forecast_revenue_v2",
     "q14_promo_effect_v2",
     "dedup_incremental",
+    "dedup_incremental_minhash",
     "bucketed_colocated_join",
     "sample_split_train_eval",
     # --- code/config changed this round (r3 rows now stale) ---

@@ -646,6 +646,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_cross_candidates(sigs_left: DataFrame, sigs_right: DataFrame) -> DataFrame:
+    """Banded candidates BETWEEN two disjoint signature sets: only
+    left×right bucket-mates meet — the incremental regime where the
+    corpus side never pairs with itself (corpus×corpus was settled in
+    earlier cycles; re-banding it every cycle is the O(corpus) work
+    incremental dedup exists to avoid)."""
+    rows = MINHASH_PERMS // LSH_BANDS
+
+    def _stack(sigs: DataFrame, out: str) -> DataFrame:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+            for b in range(LSH_BANDS)
+        ]
+        banded = sigs.select("doc_id", *band_cols)
+        return banded.select(
+            F.col("doc_id").alias(out),
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig")) for b in range(LSH_BANDS)])
+            ).alias("bs"),
+        ).select(out, "bs.band_idx", "bs.sig")
+
+    return (
+        _stack(sigs_left, "a")
+        .join(_stack(sigs_right, "b"), ["band_idx", "sig"])
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 near-dup half: incoming batch (doc_id % 5 == 0) checked
+    for NEAR-duplicates against the historical corpus — banded
+    minhash candidates between the two sets only, exact Jaccard on
+    candidates. (Rows-only: banded recall is probabilistic by
+    construction; tests pin pair-set equality against the exact
+    cross-set twin, same treatment as dedup_minhash_lsh.)"""
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = minhash_signatures(sh)
+    batch_sigs = sigs.filter(F.col("doc_id") % 5 == 0)
+    corpus_sigs = sigs.filter(F.col("doc_id") % 5 != 0)
+    candidates = lsh_cross_candidates(batch_sigs, corpus_sigs)
+    return verify_candidate_jaccard(sh, candidates, JACCARD_THRESHOLD).select(
+        F.col("a").alias("batch_doc_id"),
+        F.col("b").alias("corpus_doc_id"),
+        "jaccard",
+    )
+
+
 ORACLES["dedup_incremental"] = """
 WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
 batch AS (
@@ -667,6 +715,7 @@ WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(lower(c.text)) = b.content_ha
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_connected_components": dedup_connected_components,
     "dedup_keep_best": dedup_keep_best,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

@@ -394,3 +394,28 @@ def test_atomic_commit_stamps_txn_id(spark, tmp_path):
     # the stamp must not break parquet reads (underscore files are
     # metadata to Spark's file index)
     assert spark.read.parquet(f"{root}/t1").count() == 1
+
+def test_incremental_minhash_matches_exact_cross_twin(spark):
+    """Incremental near-dup: the banded batch-vs-corpus path must
+    find exactly the cross-split pairs the exact Jaccard twin finds
+    (deterministic xxhash signatures — holds or breaks statically;
+    guards the banding constants like the whole-corpus test above)."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators import dedup
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        (r.batch_doc_id, r.corpus_doc_id, r.jaccard)
+        for r in dedup.dedup_incremental_minhash(spark, SF_CORRECT).collect()
+    }
+    sh = dedup._doc_shingles(spark, SF_CORRECT)
+    exact_all = dedup.exact_jaccard_pairs(sh, dedup.JACCARD_THRESHOLD)
+    want = set()
+    for r in exact_all.collect():
+        if r.a % 5 == 0 and r.b % 5 != 0:
+            want.add((r.a, r.b, r.jaccard))
+        elif r.b % 5 == 0 and r.a % 5 != 0:
+            want.add((r.b, r.a, r.jaccard))
+    assert want, "no cross-split near-dup pairs in gate data — split constants drifted"
+    assert got == want

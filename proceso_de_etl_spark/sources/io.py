@@ -60,6 +60,17 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of parquet files
+    written months apart (columns get ADDED over a dataset's life;
+    old files simply lack them). ``mergeSchema`` reconciles by NAME —
+    missing columns read as NULL, no rewrite of old data. Spark skips
+    the footer-merge pass by default because at 100 TB it means
+    reading every file's footer up front; turning it on per-read
+    (here) instead of session-wide keeps that cost opt-in."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def avro_available(spark: SparkSession) -> bool:
     try:
         spark.read.format("avro").load("/nonexistent")

@@ -96,3 +96,24 @@ def test_jdbc_gated_with_actionable_error(spark):
             spark, "jdbc:sqlserver://h;databaseName=OpinionDB", "Clientes",
             "IdCliente", 0, 1000, 8,
         )
+
+
+def test_parquet_schema_evolution_merges_by_name(spark, tmp_path):
+    """Files written before a column existed must read as NULL for
+    it; filters on always-present columns still push down."""
+    from proceso_de_etl_spark.sources.io import read_parquet_evolving
+
+    old = str(tmp_path / "epoch_old")
+    new = str(tmp_path / "epoch_new")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(old)
+    spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, v string, quality double"
+    ).write.parquet(new)
+
+    df = read_parquet_evolving(spark, old, new)
+    assert set(df.columns) == {"id", "v", "quality"}
+    rows = {r.id: (r.v, r.quality) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+    plan = df.filter(df.id > 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan

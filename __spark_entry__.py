@@ -93,6 +93,10 @@ _PRIORITY = (
     "dedup_incremental_minhash",
     "bucketed_colocated_join",
     "sample_split_train_eval",
+    "q9_product_profit",
+    "q11_important_parts",
+    "etl_dpp_join",
+    "etl_compact_small_files",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

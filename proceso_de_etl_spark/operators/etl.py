@@ -472,6 +472,90 @@ GROUP BY 1
 """
 
 
+def etl_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 — dynamic partition pruning: the fact is partitioned by
+    ship_year (E12's layout, the reference's README §2.3 design), but
+    the year filter arrives through a JOIN to a calendar dimension —
+    not as a literal on the fact. Catalyst inserts a DynamicPruning
+    subquery on the partition column (reusing the dim's broadcast),
+    so at runtime only the surviving years' directories are listed —
+    on a 100 TB fact the difference between scanning 2 partitions and
+    all of them, with zero change to the query text. Plan-asserted in
+    tests/test_plans.py (PartitionFilters carries dynamicpruning).
+    """
+    import tempfile
+
+    from proceso_de_etl_spark.sources.io import write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    target = tempfile.mkdtemp(prefix="fact_dpp_")
+    write_parquet(li, target, partition_by=["ship_year"])
+    fact = spark.read.parquet(target)
+    calendar = spark.createDataFrame(
+        [(1995, "CLOSED"), (1996, "OPEN"), (1997, "OPEN"), (1998, "CLOSED")],
+        "cal_year int, books string",
+    ).filter(F.col("books") == "OPEN")
+    return (
+        fact.join(F.broadcast(calendar), fact.ship_year == calendar.cal_year)
+        .groupBy(F.col("cal_year").cast("bigint").alias("cal_year"))
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("cal_year")
+    )
+
+
+ORACLES["etl_dpp_join"] = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS cal_year, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE year(l_shipdate) IN (1996, 1997)
+GROUP BY 1
+ORDER BY cal_year
+"""
+
+
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 — small-file compaction: the maintenance pass every
+    long-lived 100 TB table needs. A fragmented dataset (here: the
+    events table written 64-ways, the shape a streaming or
+    per-micro-batch writer leaves behind) is rewritten into
+    size-targeted files: total on-disk bytes are measured, the target
+    file count is ceil(bytes / target_size), and one range
+    repartition on the sort key produces exactly that many
+    internally-sorted files. Content is provably lossless — this
+    query returns an aggregate over the COMPACTED copy and is
+    oracle-checked against the original table; the file-count drop
+    itself is asserted in tests/test_io.py.
+    """
+    import tempfile
+
+    from proceso_de_etl_spark.sources.io import compact_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    frag_dir = tempfile.mkdtemp(prefix="events_fragmented_")
+    events.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    # 1 MiB target keeps the op meaningful at test SF (prod: 128-512 MiB)
+    compact_dir = tempfile.mkdtemp(prefix="events_compacted_")
+    compact_parquet(spark, frag_dir, compact_dir, ["ts", "user_id"], 1 << 20)
+    back = spark.read.parquet(compact_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 6).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+ORACLES["etl_compact_small_files"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def etl_atomic_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 — atomic multi-table load (main.py:173-195): dims + fact
     staged, promoted all-or-nothing, manifest returned. (Rows-only:
@@ -846,4 +930,6 @@ QUERIES = {
     "etl_load_audit": etl_load_audit,
     "etl_cdc_apply": etl_cdc_apply,
     "etl_zorder_write": etl_zorder_write,
+    "etl_dpp_join": etl_dpp_join,
+    "etl_compact_small_files": etl_compact_small_files,
 }

@@ -398,6 +398,102 @@ ORDER BY s_suppkey
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-type profit by nation and year: a 5-table
+    join (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders) with a
+    substring part filter and a per-row profit expression aggregated
+    exactly. The testdata has no partsupp, so supply cost is proxied
+    as 60% of the part's retail price per unit — the operator shape
+    (multi-way star join + derived-measure agg) is what Q9 exercises,
+    not the cost constant. The part filter lands scan-side
+    (p_name LIKE '%bolt%' matches ~25% of parts); only nation is
+    broadcast by hint — part/supplier scale with SF and are left to
+    AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    profit = DISC_PRICE() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit, 6).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+ORACLES["q9_product_profit"] = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — grouped value per part vs a GLOBAL scalar
+    threshold: revenue per part from one nation's suppliers, keeping
+    parts above 0.1% of that nation's total. The original's partsupp
+    value (supplycost×availqty) is proxied by lineitem revenue; the
+    operator shape — one grouped aggregate + a 1-row global aggregate
+    broadcast back as the HAVING threshold, both from a single
+    semi-filtered scan — is Q11's. No second fact scan: the per-part
+    and global sums share the same shuffled input via the broadcast
+    scalar, and the threshold compare is a BroadcastNestedLoopJoin of
+    one row, not a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    filtered = li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
+    per_part = filtered.groupBy("l_partkey").agg(
+        dsum(DISC_PRICE(), 6).alias("part_value")
+    )
+    threshold = filtered.agg((dsum(DISC_PRICE(), 6) * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+ORACLES["q11_important_parts"] = """
+WITH filtered AS (
+  SELECT l_partkey, l_extendedprice, l_discount
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7')
+)
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+FROM filtered
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+     > (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 0.001
+        FROM filtered)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q8_market_share": q8_market_share,
@@ -408,4 +504,6 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q20_excess_shippers": q20_excess_shippers,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
 }

@@ -71,6 +71,40 @@ def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    sort_cols: list[str],
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Small-file compaction (SURVEY.md §2.1 E21): rewrite a
+    fragmented parquet dataset into ceil(total_bytes /
+    target_file_bytes) internally-sorted files via one range
+    repartition. Streaming sinks and per-micro-batch writers leave
+    thousands of KB-sized files behind; at 100 TB the resulting
+    footer/listing overhead dominates scan time, and compaction is
+    the standing maintenance pass that fixes it. Returns
+    (files_before, files_after)."""
+    import math
+    import os
+
+    def _nfiles(d: str) -> int:
+        return sum(1 for e in os.scandir(d) if e.name.endswith(".parquet"))
+
+    total_bytes = sum(
+        e.stat().st_size for e in os.scandir(src_dir) if e.name.endswith(".parquet")
+    )
+    target_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    (
+        spark.read.parquet(src_dir)
+        .repartitionByRange(target_files, *sort_cols)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    return _nfiles(src_dir), _nfiles(dst_dir)
+
+
 def avro_available(spark: SparkSession) -> bool:
     try:
         spark.read.format("avro").load("/nonexistent")

@@ -97,6 +97,8 @@ _PRIORITY = (
     "q11_important_parts",
     "etl_dpp_join",
     "etl_compact_small_files",
+    "sample_weighted_aes",
+    "text_unigram_lm_score",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

@@ -8,7 +8,7 @@ and late-arriving rows land deterministically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from proceso_de_etl_spark.sources.catalog import load_table
 
@@ -139,8 +139,61 @@ FROM documents
 """
 
 
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (algorithm A-ES, Efraimidis &
+    Spirakis): each doc gets priority u^(1/w); the top-k priorities
+    are the weighted sample. For INTEGER weights u^(1/w) is
+    distributed as the max of w independent uniforms, so the priority
+    here is the MAX of w salted md5 draws — an md5 hex string, whose
+    lexicographic max/top-k is bit-exact in every engine, no float
+    pow/ln parity risk. Weight = 1..5 by document length (longer docs
+    sampled more). Distributed shape: one bounded explode (≤5×), one
+    partial-aggregated max, one top-k — no RNG, no driver state;
+    rerunning on any partitioning returns the identical sample, which
+    is what makes a 100 TB corpus sample auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        F.lit(1) + F.least(F.lit(4), F.floor(F.col("n_chars") / F.lit(400.0)).cast("int"))
+    ).alias("weight")
+    drawn = docs.select("doc_id", weight).select(
+        "doc_id",
+        "weight",
+        F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("i"),
+    )
+    keyed = drawn.groupBy("doc_id", "weight").agg(
+        F.max(F.md5(F.concat_ws(":", "doc_id", "i"))).alias("sample_key")
+    )
+    w = W.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 100)
+        .select("rk", "doc_id", "weight", "sample_key")
+    )
+
+
+ORACLES["sample_weighted_aes"] = """
+WITH wdocs AS (
+  SELECT doc_id,
+         1 + LEAST(4, CAST(FLOOR(n_chars / 400.0) AS INT)) AS weight
+  FROM documents
+),
+drawn AS (
+  SELECT doc_id, weight, unnest(generate_series(1, weight)) AS i FROM wdocs
+),
+keyed AS (
+  SELECT doc_id, weight, MAX(md5(concat_ws(':', doc_id, i))) AS sample_key
+  FROM drawn GROUP BY doc_id, weight
+)
+SELECT CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS BIGINT) AS rk,
+       doc_id, weight, sample_key
+FROM keyed
+QUALIFY rk <= 100
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_cap_per_source": sample_cap_per_source,
     "sample_split_train_eval": sample_split_train_eval,
+    "sample_weighted_aes": sample_weighted_aes,
 }

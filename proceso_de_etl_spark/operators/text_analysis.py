@@ -20,6 +20,7 @@ from proceso_de_etl_spark.functions.text import (
     tokens,
     tokens_sql,
 )
+from proceso_de_etl_spark.functions.columns import dsum
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -386,6 +387,46 @@ SELECT doc_id,
 FROM redacted
 """
 
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23 — corpus-unigram-LM log-likelihood per document: the
+    CCNet/Dolma-style "perplexity" quality signal, with the LM
+    trained on the corpus itself in the same job. avg_logprob =
+    mean over tokens of ln(count(tok)/N) — rare-token-heavy (noisy)
+    documents score low, stereotypical ones high. Distributed shape:
+    one token explode feeds BOTH the model (per-token counts + the
+    1-row total, broadcast back) and the scoring join; per-term ln
+    values route through a DECIMAL(18,12) accumulator so the per-doc
+    sum is order-independent (columns.py dsum note), and the final
+    4dp rounding absorbs ln's last-ulp engine difference."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").cast("double").alias("n_total"))
+    scored = tok.join(cnt, "tok").crossJoin(F.broadcast(total))
+    logp = F.log(F.col("cnt") / F.col("n_total"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(dsum(logp, 12) / F.count("*"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["text_unigram_lm_score"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / n_total) AS DECIMAL(18,12))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_logprob
+FROM tok JOIN cnt USING (tok) CROSS JOIN n
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_vocab_topk": text_vocab_topk,
@@ -396,4 +437,5 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_unigram_lm_score": text_unigram_lm_score,
 }

@@ -380,6 +380,63 @@ GROUP BY l_returnflag
 # Ordered so the entries the round-1 driver gate never reached come
 # first (the gate consumes queries() in registration order and may
 # truncate; everything below agg_grouping_sets was cut in r1).
+def agg_stats_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37 — statistical aggregates (variance, stddev, covariance,
+    correlation) per group, ENGINE-EXACT: the built-in var/corr aggs
+    stream (Welford / merge formulas) and their last ulps depend on
+    partition order and engine, so instead the raw moments n, Σx,
+    Σx², Σy, Σy², Σxy are accumulated in DECIMAL (order-independent,
+    bit-identical anywhere — columns.py dsum note) and the textbook
+    formulas are applied to those six exact scalars. sqrt is
+    IEEE-correctly-rounded in every engine, so the derived values
+    match bit-for-bit before the final 6dp rounding. One partial-agg
+    shuffle, same cost shape as any groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x, 2).alias("sx"),
+        dsum(x * x, 4).alias("sxx"),
+        dsum(y, 2).alias("sy"),
+        dsum(y * y, 4).alias("syy"),
+        dsum(x * y, 4).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cx = sxx - sx * sx / n
+    cy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    return base.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(cx / (n - 1), 6).alias("var_price"),
+        F.round(F.sqrt(cx / (n - 1)), 6).alias("std_price"),
+        F.round(cxy / (n - 1), 6).alias("covar_price_qty"),
+        F.round(cxy / F.sqrt(cx * cy), 6).alias("corr_price_qty"),
+    ).orderBy("l_returnflag")
+
+
+ORACLES["agg_stats_matrix"] = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_price,
+       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_price,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_price_qty,
+       ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_price_qty
+FROM base
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_unpivot": agg_unpivot,
@@ -394,4 +451,5 @@ QUERIES = {
     "null_semantics_matrix": null_semantics_matrix,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
+    "agg_stats_matrix": agg_stats_matrix,
 }

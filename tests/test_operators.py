@@ -419,3 +419,36 @@ def test_incremental_minhash_matches_exact_cross_twin(spark):
             want.add((r.b, r.a, r.jaccard))
     assert want, "no cross-split near-dup pairs in gate data — split constants drifted"
     assert got == want
+
+
+def test_stats_matrix_matches_builtin_aggregates(spark):
+    """A37's decimal-moment formulas must agree with Spark's own
+    var_samp/stddev/covar/corr to float precision — parity with the
+    oracle proves cross-engine stability, this proves the math."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.relational import agg_stats_matrix
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    ours = {r.l_returnflag: r for r in agg_stats_matrix(spark, SF_CORRECT).collect()}
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    ref = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.var_samp("l_extendedprice").alias("v"),
+            F.stddev_samp("l_extendedprice").alias("s"),
+            F.covar_samp("l_extendedprice", "l_quantity").alias("cv"),
+            F.corr("l_extendedprice", "l_quantity").alias("cr"),
+        )
+        .collect()
+    }
+    assert ours.keys() == ref.keys()
+    for k, o in ours.items():
+        r = ref[k]
+        assert abs(o.var_price - r.v) / abs(r.v) < 1e-9
+        assert abs(o.std_price - r.s) / abs(r.s) < 1e-9
+        assert abs(o.covar_price_qty - r.cv) / max(abs(r.cv), 1e-9) < 1e-6
+        # ours is rounded to 6dp, so agreement is bounded by the quantum
+        assert abs(o.corr_price_qty - r.cr) <= 5e-7

@@ -100,6 +100,7 @@ _PRIORITY = (
     "sample_weighted_aes",
     "text_unigram_lm_score",
     "agg_stats_matrix",
+    "text_bigram_pairs",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

@@ -7,7 +7,7 @@ at 100 TB they are scan-bound, which is the best case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from proceso_de_etl_spark.functions.text import (
     BPE_ISH_PATTERN,
@@ -427,6 +427,59 @@ ORDER BY doc_id
 """
 
 
+def text_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25 — corpus adjacent-pair statistics: the top-20 most
+    frequent token bigrams with their document frequency — the
+    counting step a BPE/WordPiece vocabulary build iterates (each
+    merge round re-ranks exactly this table). Pairs are formed
+    INSIDE the token array (one list_transform over 1-based indices,
+    no positional self-join — a posexplode+join doubles the shuffle
+    for no reason), then one explode + one aggregation. Guarded for
+    size<2 because Spark's sequence(1,0) counts DOWN instead of
+    returning empty."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = staged.select("doc_id", F.explode(pairs).alias("pair"))
+    stats = exploded.groupBy("pair").agg(
+        F.count("*").alias("pair_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    w = W.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "pair", "pair_count", "doc_freq")
+    )
+
+
+ORACLES["text_bigram_pairs"] = f"""
+WITH staged AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+exploded AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END) AS pair
+  FROM staged
+),
+stats AS (
+  SELECT pair, COUNT(*) AS pair_count, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM exploded GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS BIGINT) AS rank,
+       pair, pair_count, doc_freq
+FROM stats
+QUALIFY rank <= 20
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_vocab_topk": text_vocab_topk,
@@ -438,4 +491,5 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_unigram_lm_score": text_unigram_lm_score,
+    "text_bigram_pairs": text_bigram_pairs,
 }

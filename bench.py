@@ -45,6 +45,10 @@ HEADLINE = (
     "text_quality_score",
     "q21_waiting_supplier",
     "pipeline_clean_corpus",
+    # round-4 additions (no r1 baseline — tracked, not regression-gated)
+    "q9_product_profit",
+    "text_unigram_lm_score",
+    "sample_weighted_aes",
 )
 
 # Round-1 per-query seconds (BENCH_r01.json, sf0.1 local[32]) — the

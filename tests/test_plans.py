@@ -295,3 +295,13 @@ def test_dpp_prunes_fact_partitions(spark):
     plan = plan_of(etl_dpp_join(spark, SF_CORRECT))
     part_filters = plan.split("PartitionFilters:")[1][:300]
     assert "dynamicpruning" in part_filters.lower(), part_filters
+
+
+def test_q9_part_filter_pushed_to_scan(spark):
+    """q9's substring part filter must reach the parquet scan as a
+    StringContains pushdown — at 100 TB the difference between
+    reading part once filtered vs filtering after the join."""
+    from proceso_de_etl_spark.plans.tpch_ext import q9_product_profit
+
+    plan = plan_of(q9_product_profit(spark, SF_CORRECT))
+    assert "StringContains(p_name,bolt)" in plan, plan.split("PushedFilters")[1][:300]

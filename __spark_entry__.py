@@ -101,6 +101,7 @@ _PRIORITY = (
     "text_unigram_lm_score",
     "agg_stats_matrix",
     "text_bigram_pairs",
+    "dedup_containment",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

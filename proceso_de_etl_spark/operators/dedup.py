@@ -612,6 +612,84 @@ HAVING COUNT(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
+# containment floor for flagging: 5% of an eval doc's rare shingles
+# appearing in one train doc is already far above incidental overlap
+# (the observed incidental tail is ≤3-4%); a verbatim inclusion scores
+# 1.0 regardless of how much OTHER text the train doc carries.
+CONTAIN_MIN = 0.05
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26 — containment-scored decontamination: the ASYMMETRIC
+    overlap measure |train ∩ eval| / |eval| per pair — "how much of
+    the benchmark doc is inside this training doc". Jaccard (T4) and
+    shared-count (T19) both under-flag the classic leak where a short
+    eval item is quoted inside a long web document: the union term
+    (Jaccard) or the raw count (T19) stays small while containment
+    hits 1.0. Same scale shape as T19 — DF-capped rare shingles,
+    equi-join on the shingle, bounded per-key fan-out — plus one
+    broadcast-sized join against the eval side's shingle counts
+    (the eval set is a bounded benchmark). Denominator = the eval
+    doc's RARE shingles (post-cap), so the score is exactly 1.0 on
+    verbatim inclusion under the same filter both sides see."""
+    sh = _doc_shingles(spark, sf_dir)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DECONTAM_MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    sh = sh.join(rare, "sh")
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    train_sh = sh.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "sh"
+    )
+    eval_size = eval_sh.groupBy("eval_doc_id").agg(F.count("*").alias("eval_nsh"))
+    pairs = (
+        train_sh.join(eval_sh, "sh")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(eval_size), "eval_doc_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared").cast("double") / F.col("eval_nsh"), 6),
+        )
+        .filter(F.col("containment") >= CONTAIN_MIN)
+        .select("train_doc_id", "eval_doc_id", "n_shared", "containment")
+        .orderBy(F.desc("containment"), F.asc("train_doc_id"), F.asc("eval_doc_id"))
+    )
+
+
+ORACLES["dedup_containment"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS sh FROM documents
+),
+rare AS (
+  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {DECONTAM_MAX_SHINGLE_DF}
+),
+sh_r AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+esize AS (
+  SELECT doc_id AS eval_doc_id, COUNT(*) AS eval_nsh
+  FROM sh_r WHERE doc_id % 50 = 0 GROUP BY 1
+),
+pairs AS (
+  SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, COUNT(*) AS n_shared
+  FROM sh_r t JOIN sh_r e ON t.sh = e.sh
+  WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+  GROUP BY 1, 2
+)
+SELECT train_doc_id, eval_doc_id, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / eval_nsh, 6) AS containment
+FROM pairs JOIN esize USING (eval_doc_id)
+WHERE ROUND(CAST(n_shared AS DOUBLE) / eval_nsh, 6) >= {CONTAIN_MIN}
+ORDER BY containment DESC, train_doc_id ASC, eval_doc_id ASC
+"""
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: admit only NEW content from an incoming
     batch, checked against a historical corpus — the shape a
@@ -724,4 +802,5 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_containment": dedup_containment,
 }

@@ -452,3 +452,38 @@ def test_stats_matrix_matches_builtin_aggregates(spark):
         assert abs(o.covar_price_qty - r.cv) / max(abs(r.cv), 1e-9) < 1e-6
         # ours is rounded to 6dp, so agreement is bounded by the quantum
         assert abs(o.corr_price_qty - r.cr) <= 5e-7
+
+
+def test_containment_catches_quoted_eval_doc(spark, tmp_path):
+    """T26's reason to exist: a short eval doc quoted verbatim inside
+    a much longer train doc must score containment 1.0 even though
+    pairwise Jaccard is far below the 0.8 near-dup threshold."""
+    from proceso_de_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_shingles,
+        dedup_containment,
+        exact_jaccard_pairs,
+    )
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} token{i} pad{i}" for i in range(40))
+    rows = [
+        (50, eval_text, "en", "synth", len(eval_text)),          # eval (id % 50 == 0)
+        (1, filler + " " + eval_text + " " + filler, "en", "synth", 0),  # train, quotes it
+        (2, "completely unrelated material about spark plans", "en", "synth", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    flagged = {
+        (r.train_doc_id, r.eval_doc_id): r.containment
+        for r in dedup_containment(spark, str(tmp_path)).collect()
+    }
+    assert flagged[(1, 50)] == 1.0
+    # and the symmetric measure would have missed it entirely
+    jac = exact_jaccard_pairs(
+        _doc_shingles(spark, str(tmp_path)), JACCARD_THRESHOLD
+    ).collect()
+    assert not any({r.a, r.b} == {1, 50} for r in jac)

@@ -102,6 +102,7 @@ _PRIORITY = (
     "agg_stats_matrix",
     "text_bigram_pairs",
     "dedup_containment",
+    "etl_time_travel_read",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

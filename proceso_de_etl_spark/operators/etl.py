@@ -577,6 +577,56 @@ def etl_atomic_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(manifest, "table_name string, n_rows bigint")
 
 
+def etl_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 — snapshot versioning + time travel on the atomic sink:
+    two retained commits of an orders fact (v1 = through 1996, v2 =
+    everything), then BOTH snapshots read back — the archived one by
+    its transaction id, the current one directly — and compared in
+    one result. The reference's transactional load (main.py:173-195)
+    plus the audit question it can't answer ("what did the table
+    hold before yesterday's load?"); a versioned store answers it
+    with a rename-retained directory, no log replay, no re-load.
+    Storage reclaim is vacuum_table_versions (tested in
+    tests/test_io.py)."""
+    import tempfile
+
+    from proceso_de_etl_spark.sources.atomic import (
+        atomic_write_tables,
+        list_table_versions,
+        read_table_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.year("o_orderdate") <= 1996)
+    root = tempfile.mkdtemp(prefix="timetravel_")
+    atomic_write_tables(root, {"orders_fact": v1}, retain_history=True)
+    atomic_write_tables(root, {"orders_fact": orders}, retain_history=True)
+    archived_txn = next(
+        t for t, kind in list_table_versions(root, "orders_fact") if kind == "archived"
+    )
+
+    def _roll(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_total")
+        ).select(F.lit(label).alias("version"), "n_orders", "sum_total")
+
+    old = _roll(read_table_version(spark, root, "orders_fact", archived_txn), "v1")
+    cur = _roll(read_table_version(spark, root, "orders_fact"), "v2")
+    return old.unionByName(cur).orderBy("version")
+
+
+ORACLES["etl_time_travel_read"] = """
+SELECT 'v1' AS version, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders WHERE year(o_orderdate) <= 1996
+UNION ALL
+SELECT 'v2', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders
+ORDER BY version
+"""
+
+
 def etl_aggregate_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E15 — incremental aggregate maintenance: a daily-refresh
     summary table (orders per status per month) absorbing a late
@@ -932,4 +982,5 @@ QUERIES = {
     "etl_zorder_write": etl_zorder_write,
     "etl_dpp_join": etl_dpp_join,
     "etl_compact_small_files": etl_compact_small_files,
+    "etl_time_travel_read": etl_time_travel_read,
 }

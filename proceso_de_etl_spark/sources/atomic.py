@@ -36,9 +36,10 @@ from pyspark.sql import DataFrame
 
 
 class AtomicBatchWriter:
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, retain_history: bool = False) -> None:
         self.root = root
         self.txn = uuid.uuid4().hex[:16]
+        self.retain_history = retain_history
         self._staged: list[str] = []
         os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
 
@@ -78,9 +79,18 @@ class AtomicBatchWriter:
                 if os.path.exists(old) and not os.path.exists(final):
                     os.rename(old, final)
             raise
-        open(os.path.join(self.root, "_txn", self.txn), "w").close()
-        for old in olds.values():
-            shutil.rmtree(old, ignore_errors=True)
+        # commit sequence number orders versions without relying on
+        # filesystem mtimes (single-writer protocol, like the rest)
+        seq = len(os.listdir(os.path.join(self.root, "_txn"))) + 1
+        with open(os.path.join(self.root, "_txn", self.txn), "w") as fh:
+            fh.write(str(seq))
+        for table, old in olds.items():
+            if self.retain_history:
+                archived = os.path.join(self.root, "_versions", table, _dir_txn(old))
+                os.makedirs(os.path.dirname(archived), exist_ok=True)
+                os.rename(old, archived)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(os.path.join(self.root, "_staging", self.txn), ignore_errors=True)
 
     def rollback(self) -> None:
@@ -88,11 +98,75 @@ class AtomicBatchWriter:
         self._staged.clear()
 
 
-def atomic_write_tables(root: str, tables: dict[str, DataFrame]) -> int:
+def _dir_txn(table_dir: str) -> str:
+    """The txn id stamped inside a promoted table dir (step 2 of the
+    protocol); pre-protocol dirs get a sentinel so archival never
+    collides."""
+    stamp = os.path.join(table_dir, "_txn")
+    if os.path.exists(stamp):
+        return open(stamp).read().strip()
+    return "unstamped"
+
+
+def list_table_versions(root: str, table: str) -> list[tuple[str, str]]:
+    """(txn, 'current'|'archived') for every retained version of a
+    table, current first, archived ordered by commit sequence (the
+    number in the batch marker) descending — newest history first."""
+    out: list[tuple[str, str]] = []
+    final = os.path.join(root, table)
+    if os.path.exists(final):
+        out.append((_dir_txn(final), "current"))
+
+    def _seq(txn: str) -> int:
+        marker = os.path.join(root, "_txn", txn)
+        try:
+            return int(open(marker).read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    vdir = os.path.join(root, "_versions", table)
+    if os.path.isdir(vdir):
+        out.extend((t, "archived") for t in sorted(os.listdir(vdir), key=_seq, reverse=True))
+    return out
+
+
+def read_table_version(spark, root: str, table: str, txn: str | None = None) -> DataFrame:
+    """Time-travel read: the current table (txn=None), or the exact
+    snapshot a given transaction promoted — served straight from the
+    retained version dir, no log replay. Raises KeyError with the
+    retrievable txns when the requested one is gone (vacuumed or
+    never existed)."""
+    final = os.path.join(root, table)
+    if txn is None or (_dir_txn(final) == txn if os.path.exists(final) else False):
+        return spark.read.parquet(final)
+    archived = os.path.join(root, "_versions", table, txn)
+    if os.path.isdir(archived):
+        return spark.read.parquet(archived)
+    raise KeyError(
+        f"version {txn!r} of {table!r} not retained; available: {list_table_versions(root, table)}"
+    )
+
+
+def vacuum_table_versions(root: str, table: str, keep_last: int = 0) -> int:
+    """Drop archived snapshots beyond the newest ``keep_last`` (the
+    storage-reclaim half of time travel). Returns dirs removed; never
+    touches the current version."""
+    archived = [t for t, kind in list_table_versions(root, table) if kind == "archived"]
+    victims = archived[keep_last:] if keep_last > 0 else archived
+    for txn in victims:
+        shutil.rmtree(os.path.join(root, "_versions", table, txn), ignore_errors=True)
+    return len(victims)
+
+
+def atomic_write_tables(
+    root: str, tables: dict[str, DataFrame], retain_history: bool = False
+) -> int:
     """All-or-nothing write of a table group; returns tables written.
     Any failure — during staging OR during promotion — rolls back
-    with the previous finals intact."""
-    writer = AtomicBatchWriter(root)
+    with the previous finals intact. With ``retain_history`` the
+    displaced versions are archived for time-travel reads instead of
+    deleted."""
+    writer = AtomicBatchWriter(root, retain_history=retain_history)
     try:
         for name, df in tables.items():
             writer.stage(df, name)

@@ -138,3 +138,36 @@ def test_compaction_reduces_files_losslessly(spark, tmp_path):
     assert back.count() == events.count()
     assert back.select(F.sum(F.hash(*sorted(back.columns)))).first()[0] == \
         events.select(F.sum(F.hash(*sorted(events.columns)))).first()[0]
+
+
+def test_time_travel_retains_and_vacuums_versions(spark, tmp_path):
+    """E22 mechanics: retained commits are listable newest-first,
+    readable by txn id with exact old content, vacuum drops archived
+    snapshots but never the current one, and a vacuumed txn fails
+    loudly with the retrievable set."""
+    import pytest as _pytest
+
+    from proceso_de_etl_spark.sources.atomic import (
+        atomic_write_tables,
+        list_table_versions,
+        read_table_version,
+        vacuum_table_versions,
+    )
+
+    root = str(tmp_path / "versioned")
+    for hi in (1, 2, 3):
+        df = spark.createDataFrame([(i,) for i in range(hi + 1)], "id long")
+        atomic_write_tables(root, {"t": df}, retain_history=True)
+
+    versions = list_table_versions(root, "t")
+    assert [kind for _, kind in versions] == ["current", "archived", "archived"]
+    v1_txn = versions[2][0]  # oldest archived = the first commit
+    assert {r.id for r in read_table_version(spark, root, "t", v1_txn).collect()} == {0, 1}
+    assert {r.id for r in read_table_version(spark, root, "t").collect()} == {0, 1, 2, 3}
+
+    assert vacuum_table_versions(root, "t", keep_last=1) == 1
+    assert [kind for _, kind in list_table_versions(root, "t")] == ["current", "archived"]
+    with _pytest.raises(KeyError, match="not retained"):
+        read_table_version(spark, root, "t", v1_txn)
+    assert vacuum_table_versions(root, "t") == 1
+    assert {r.id for r in read_table_version(spark, root, "t").collect()} == {0, 1, 2, 3}

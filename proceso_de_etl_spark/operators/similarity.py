@@ -222,8 +222,92 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # subspaces (64-dim embedding → 16 dims each)
+PQ_K = 16  # codebook size per subspace (4-bit codes)
+PQ_RERANK = 80  # ADC candidates re-ranked exactly per query (recall 0.87 vs exact at gate SF; 50 gave 0.79)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7c — product-quantization ANN (asymmetric distance
+    computation), the compression-side scale path next to LSH (T7)
+    and IVF (T7b): vectors are L2-normalized, each 64-dim vector is
+    encoded as PQ_M 4-bit codes (argmin against a per-subspace
+    k-means codebook), and candidate scoring reads PQ_M table lookups
+    per pair instead of 64 multiplies — at 100 TB the encoded corpus
+    is ~32× smaller than the float vectors (4 bytes of codes vs 256
+    of floats) and the scan is memory-bandwidth-, not FLOP-, bound.
+    Queries keep full precision: each computes its own K×M distance
+    table (the "asymmetric" in ADC), candidates rank by summed
+    lookups, and the top PQ_RERANK re-rank with exact cosine.
+
+    All JVM-side: codebooks are driver-held literals
+    (M × K × dim/M doubles), encoding is one scan of array
+    expressions, the ADC scan joins the code table against the
+    broadcast query set. Deterministic like IVF (k-means init =
+    lowest vec_ids). (Rows-only: lossy by construction; the recall
+    test pins it against ann_cosine_topk.)"""
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.operators.ml import _sq_dist, kmeans_fit
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = emb.withColumn(
+        "ne", F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    sub = dim // PQ_M
+    subcol = lambda m: F.slice(F.col("ne"), m * sub + 1, sub)  # noqa: E731
+
+    codebooks = [
+        kmeans_fit(
+            emb.select("vec_id", subcol(m).alias("sub")), k=PQ_K, n_iter=3, emb_col="sub"
+        )
+        for m in range(PQ_M)
+    ]
+
+    def _code(m: int) -> F.Column:
+        dists = F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        *[
+            F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]]).alias(f"qtab{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    adc = sum(
+        F.element_at(F.col(f"qtab{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M)
+    )
+    cand_w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    candidates = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+        .withColumn("cand_rk", F.row_number().over(cand_w))
+        .filter(F.col("cand_rk") <= PQ_RERANK)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn(
+            "cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
 }

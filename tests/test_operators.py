@@ -487,3 +487,15 @@ def test_containment_catches_quoted_eval_doc(spark, tmp_path):
         _doc_shingles(spark, str(tmp_path)), JACCARD_THRESHOLD
     ).collect()
     assert not any({r.a, r.b} == {1, 50} for r in jac)
+
+
+def test_ann_pq_recall_vs_exact(spark):
+    """PQ's 4-bit codes + exact re-rank must recover most of the
+    exact top-k (measured 0.87 at rerank 80; deterministic — k-means
+    init and all tie-breaks are fixed, no RNG anywhere)."""
+    from proceso_de_etl_spark.operators import similarity
+    from tests.conftest import SF_CORRECT
+
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.ann_cosine_topk(spark, SF_CORRECT).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in similarity.ann_pq_topk(spark, SF_CORRECT).collect()}
+    assert len(pq & exact) / len(exact) >= 0.8, len(pq & exact) / len(exact)

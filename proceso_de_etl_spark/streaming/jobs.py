@@ -323,8 +323,35 @@ FROM events JOIN dim USING (event_type)
 """
 
 
+def windowed_distinct_users(events: DataFrame) -> DataFrame:
+    """ST9 — streaming approximate distinct: per-hour unique users
+    via approx_count_distinct. Exact COUNT(DISTINCT) is NOT legal in
+    a streaming aggregation (state would be unbounded per group);
+    the HLL++ sketch is the standing answer — algebraic
+    (register-max merge, constant state per window) and mergeable
+    across micro-batches, the same property that makes it the right
+    call for a 100 TB batch rollup. Deterministic for a given input
+    multiset: register updates are order-independent, so the
+    streaming result equals the batch twin's bit-for-bit
+    (test-pinned, plus a 5%-of-exact bound)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "approx_users")
+    )
+
+
+def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode over the static source; rows-only (the estimate
+    is engine-specific — DuckDB's approx sketch differs — so the
+    cross-engine oracle is the exact-distinct 5% bound in tests, not
+    a value hash)."""
+    return run_to_memory(windowed_distinct_users(stream_events(spark, sf_dir)), "complete")
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_approx_distinct": stream_approx_distinct,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,
     "stream_interval_join": stream_interval_join,

@@ -155,3 +155,41 @@ def test_cdc_merge_is_idempotent_and_order_safe(spark):
     forward = merge_cdc_batch(merge_cdc_batch(merge_cdc_batch(snap, ins), upd), dele)
     replayed = merge_cdc_batch(merge_cdc_batch(forward, dele), upd)
     assert _sorted_rows(replayed) == _sorted_rows(forward)
+
+
+def test_stream_approx_distinct_matches_batch_twin(spark):
+    """ST9: the streaming HLL++ estimate must equal the batch
+    approx_count_distinct on the same data bit-for-bit (register
+    merges are order-independent), and land within 5% of the exact
+    per-window distinct."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from proceso_de_etl_spark.streaming.jobs import stream_approx_distinct
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        r.window_start_us: r.approx_users
+        for r in stream_approx_distinct(spark, SF_CORRECT).collect()
+    }
+    events = load_table(spark, SF_CORRECT, "events")
+    batch = {
+        r.window_start_us: (r.approx_users, r.exact_users)
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "approx_users",
+            "exact_users",
+        )
+        .collect()
+    }
+    assert got.keys() == batch.keys()
+    for k, approx in got.items():
+        b_approx, exact = batch[k]
+        assert approx == b_approx, (k, approx, b_approx)
+        # rsd ~5%, but tiny windows (n≈10) quantize to ±1-2 absolute
+        assert abs(approx - exact) <= max(2, 0.05 * exact), (k, approx, exact)

@@ -105,6 +105,7 @@ _PRIORITY = (
     "etl_time_travel_read",
     "ann_pq_topk",
     "stream_approx_distinct",
+    "text_bpe_train",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

@@ -480,6 +480,97 @@ QUALIFY rank <= 20
 """
 
 
+BPE_N_MERGES = 8
+
+
+def _merge_pair(sym, left: str, right: str):
+    """Greedy left-to-right merge of one (left, right) symbol pair
+    inside a symbol array, as a single fold — no Python, no explode.
+    After a merge the accumulator's tail is the MERGED symbol, so
+    overlapping runs behave like reference BPE ('aaa' + (a,a) →
+    [aa, a], not [aa, aa])."""
+    merged = left + right
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding vocabulary training over a (word, freq)
+    table: each round counts adjacent symbol pairs (freq-weighted,
+    pairs formed in-array like T25), merges the most frequent pair
+    everywhere, repeats. Returns [(left, right, pair_count), ...].
+
+    Distributed shape — the part that matters at 100 TB: training
+    runs on the DISTINCT-word frequency table (vocabulary-sized, not
+    corpus-sized; the corpus is touched once to build it), each round
+    is one explode + one freq-weighted aggregation + a 1-ROW collect
+    (the argmax pair — the k-means-style bounded driver round-trip),
+    and the merge application is a per-row fold expression. Ties
+    break lexicographically, so training is deterministic."""
+    sym_word = words.select(
+        "freq",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias("sym"),
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = F.when(
+                F.size("sym") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(sym) - 1),"
+                    " i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<l:string,r:string>>"))
+            top = (
+                sym_word.select("freq", F.explode(pairs).alias("p"))
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0].l, top[0].r, top[0].pair_count
+            merges.append((left, right, int(cnt)))
+            nxt = sym_word.select("freq", _merge_pair(F.col("sym"), left, right).alias("sym")).persist()
+            sym_word.unpersist()
+            sym_word = nxt
+    finally:
+        sym_word.unpersist()
+    return merges
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27 — BPE vocabulary training, the full iterative loop (T25 is
+    its single counting step): BPE_N_MERGES merge rounds over the
+    corpus word-frequency table; returns the learned merge table.
+    (Rows-only: the loop is data-dependently iterative — not
+    expressible as one SQL query; the golden unit test pins the
+    merge sequence on a hand-computed corpus.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    merges = bpe_train(words)
+    return spark.createDataFrame(
+        [(i + 1, l, r, l + r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank long, left string, right string, merged string, pair_count long",
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_vocab_topk": text_vocab_topk,
@@ -492,4 +583,5 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_unigram_lm_score": text_unigram_lm_score,
     "text_bigram_pairs": text_bigram_pairs,
+    "text_bpe_train": text_bpe_train,
 }

@@ -499,3 +499,23 @@ def test_ann_pq_recall_vs_exact(spark):
     exact = {(r.query_id, r.neighbor_id) for r in similarity.ann_cosine_topk(spark, SF_CORRECT).collect()}
     pq = {(r.query_id, r.neighbor_id) for r in similarity.ann_pq_topk(spark, SF_CORRECT).collect()}
     assert len(pq & exact) / len(exact) >= 0.8, len(pq & exact) / len(exact)
+
+
+def test_bpe_train_golden_merges(spark):
+    """T27 on the textbook BPE toy corpus: 'es' merges first (newest
+    6 + widest 3 = 9), then 'es'+'t', then 'l'+'o' — and greedy
+    left-to-right merging handles overlapping runs like reference
+    BPE ('aaaa' + (a,a) → [aa, aa], 'aaa' → [aa, a])."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.text_analysis import _merge_pair, bpe_train
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+    assert bpe_train(words, 3) == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7)]
+
+    runs = spark.createDataFrame([(["a", "a", "a"],), (["a", "a", "a", "a"],)], "sym array<string>")
+    got = [r.m for r in runs.select(_merge_pair(F.col("sym"), "a", "a").alias("m")).collect()]
+    assert got == [["aa", "a"], ["aa", "aa"]]

@@ -193,3 +193,42 @@ def test_stream_approx_distinct_matches_batch_twin(spark):
         assert approx == b_approx, (k, approx, b_approx)
         # rsd ~5%, but tiny windows (n≈10) quantize to ±1-2 absolute
         assert abs(approx - exact) <= max(2, 0.05 * exact), (k, approx, exact)
+
+
+def test_checkpoint_restart_resumes_offsets(spark, tmp_path):
+    """Operational recovery: a restarted stream pointed at the SAME
+    checkpointLocation must resume from the committed source offsets
+    — files consumed before the stop are never reprocessed, files
+    landed while down are picked up. Together with ST5's idempotent
+    sink this is the end-to-end exactly-once story a production
+    pipeline restarts on."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(ids):
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once():
+        seen = []
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda df, _eid: seen.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return seen
+
+    land([1, 2, 3])
+    assert sorted(run_once()) == [1, 2, 3]
+    land([4, 5])  # arrives while the stream is down
+    assert sorted(run_once()) == [4, 5]  # resumed, not reprocessed

@@ -67,3 +67,64 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas runs a protobuf-based
+    driver<->worker channel; without the python protobuf package the
+    runner crashes at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_
+    FAILURE: cannot import google.protobuf.descriptor — reproduced in
+    this image)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """ST4 on the NEW Spark 4 stateful API (transformWithStateInPandas
+    + RocksDB state store): same per-user exact-integer running totals
+    as ``running_user_totals``, with state held in a named ValueState
+    instead of the applyInPandasWithState tuple. GATED: the python
+    protobuf package is absent in this image (see
+    ``transform_with_state_available``); the applyInPandasWithState
+    twin above is the registered contract path."""
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the 'protobuf' python package "
+            "in driver and workers (pip install protobuf); falling back to "
+            "running_user_totals (applyInPandasWithState) is equivalent."
+        )
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            prev = self._state.get() if self._state.exists() else (0, 0)
+            n, vunits = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                vunits += int(pdf["vunits"].sum())
+            self._state.update((n, vunits))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "value_sum": vunits / 1e6}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select(
+        "user_id", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("vunits")
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

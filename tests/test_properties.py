@@ -108,3 +108,28 @@ def test_sessionize_matches_python_reference(spark, events):
     got = {r.event_id: r.session_id for r in sessionize(df).collect()}
     want = _py_sessionize([(u, e, base + us) for u, e, us in events], gap_us)
     assert got == want
+
+
+def _py_bpe_merge(sym: list[str], left: str, right: str) -> list[str]:
+    """Pure-python reference of the greedy left-to-right BPE merge."""
+    out: list[str] = []
+    for x in sym:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "c")]),
+)
+@SET
+def test_bpe_merge_fold_matches_python_reference(spark, sym, pair):
+    from proceso_de_etl_spark.operators.text_analysis import _merge_pair
+
+    left, right = pair
+    df = spark.createDataFrame([(sym,)], "sym array<string>")
+    got = df.select(_merge_pair(F.col("sym"), left, right).alias("m")).first().m
+    assert got == _py_bpe_merge(sym, left, right), (sym, pair)

@@ -232,3 +232,19 @@ def test_checkpoint_restart_resumes_offsets(spark, tmp_path):
     assert sorted(run_once()) == [1, 2, 3]
     land([4, 5])  # arrives while the stream is down
     assert sorted(run_once()) == [4, 5]  # resumed, not reprocessed
+
+
+def test_transform_with_state_gated_with_actionable_error(spark):
+    """The new-API stateful twin is environment-gated (python
+    protobuf absent in this image); the gate must say exactly what
+    to install and what the fallback is."""
+    import pytest as _pytest
+
+    from proceso_de_etl_spark.streaming.stateful import (
+        running_user_totals_tws,
+        transform_with_state_available,
+    )
+
+    assert not transform_with_state_available()
+    with _pytest.raises(RuntimeError, match="protobuf"):
+        running_user_totals_tws(jobs.stream_events(spark, SF_SMOKE))

@@ -106,6 +106,7 @@ _PRIORITY = (
     "ann_pq_topk",
     "stream_approx_distinct",
     "text_bpe_train",
+    "join_type_matrix",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

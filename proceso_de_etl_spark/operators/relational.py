@@ -437,6 +437,93 @@ ORDER BY l_returnflag
 """
 
 
+def join_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 — join-semantics parity matrix, completing the scalar/
+    array/null matrices: every join type the engine serves (inner,
+    left, right, full outer, left semi, left anti, and null-safe
+    equality) over the same probe pair — customers vs their 1996
+    order counts, where some customers have no orders (null-extension
+    observable) and a planted NULL key on both sides separates `=`
+    from `<=>`. Each type reports matched-row count and a checksummed
+    key sum, so a wrong null-extension or dropped row moves a value,
+    not just a count."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None)).otherwise(F.col("c_custkey")).alias("ck")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.when(F.col("o_custkey") % 89 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias("ok"),
+            "n_orders",
+        )
+    )
+
+    def probe(label: str, how: str, null_safe: bool = False) -> DataFrame:
+        cond = cust.ck.eqNullSafe(ords.ok) if null_safe else cust.ck == ords.ok
+        j = cust.join(ords, cond, how)
+        cols = [F.count("*").alias("n_rows"), F.sum(F.coalesce("ck", F.lit(-1))).alias("key_sum")]
+        if how not in ("left_semi", "left_anti"):
+            cols.append(F.sum(F.coalesce("n_orders", F.lit(0))).alias("order_sum"))
+        else:
+            cols.append(F.lit(None).cast("bigint").alias("order_sum"))
+        return j.agg(*cols).select(
+            F.lit(label).alias("join_type"), "n_rows", "key_sum", "order_sum"
+        )
+
+    out = None
+    for label, how, ns in (
+        ("inner", "inner", False),
+        ("left", "left", False),
+        ("right", "right", False),
+        ("full", "full", False),
+        ("semi", "left_semi", False),
+        ("anti", "left_anti", False),
+        ("null_safe_inner", "inner", True),
+    ):
+        piece = probe(label, how, ns)
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("join_type")
+
+
+ORACLES["join_type_matrix"] = """
+WITH cust AS (
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS ck
+  FROM customer
+),
+ords AS (
+  SELECT CASE WHEN o_custkey % 89 = 0 THEN NULL ELSE o_custkey END AS ok, n_orders
+  FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+)
+SELECT 'inner' AS join_type, COUNT(*) AS n_rows,
+       CAST(SUM(COALESCE(ck, -1)) AS BIGINT) AS key_sum,
+       CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS order_sum
+FROM cust JOIN ords ON ck = ok
+UNION ALL
+SELECT 'left', COUNT(*), CAST(SUM(COALESCE(ck, -1)) AS BIGINT), CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT)
+FROM cust LEFT JOIN ords ON ck = ok
+UNION ALL
+SELECT 'right', COUNT(*), CAST(SUM(COALESCE(ck, -1)) AS BIGINT), CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT)
+FROM cust RIGHT JOIN ords ON ck = ok
+UNION ALL
+SELECT 'full', COUNT(*), CAST(SUM(COALESCE(ck, -1)) AS BIGINT), CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT)
+FROM cust FULL OUTER JOIN ords ON ck = ok
+UNION ALL
+SELECT 'semi', COUNT(*), CAST(SUM(COALESCE(ck, -1)) AS BIGINT), CAST(NULL AS BIGINT)
+FROM cust WHERE EXISTS (SELECT 1 FROM ords WHERE ck = ok)
+UNION ALL
+SELECT 'anti', COUNT(*), CAST(SUM(COALESCE(ck, -1)) AS BIGINT), CAST(NULL AS BIGINT)
+FROM cust WHERE NOT EXISTS (SELECT 1 FROM ords WHERE ck = ok)
+UNION ALL
+SELECT 'null_safe_inner', COUNT(*), CAST(SUM(COALESCE(ck, -1)) AS BIGINT), CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT)
+FROM cust JOIN ords ON ck IS NOT DISTINCT FROM ok
+ORDER BY join_type
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_unpivot": agg_unpivot,
@@ -452,4 +539,5 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_stats_matrix": agg_stats_matrix,
+    "join_type_matrix": join_type_matrix,
 }

@@ -108,6 +108,40 @@ GROUP BY 1, 2
 """
 
 
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39 — hopping (sliding) window aggregation: 1-hour windows
+    every 15 minutes, so each event lands in exactly 4 overlapping
+    windows — the moving-average / trailing-rate shape tumbling
+    windows can't express. Spark's native F.window handles the
+    4-window replication inside the aggregation (no explicit explode
+    on our side); the oracle makes the same replication explicit with
+    a 0..3 offset unnest against epoch-aligned 15-minute starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), 6).alias("value_sum"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+ORACLES["events_hopping_window"] = """
+WITH exploded AS (
+  SELECT (epoch_us(ts) // 900000000) * 900000000 - k * 900000000 AS window_start_us,
+         event_type, value
+  FROM events, unnest(generate_series(0, 3)) AS t(k)
+)
+SELECT window_start_us, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM exploded
+GROUP BY 1, 2
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A25 — ordered funnel signup → click → purchase per user: one
     conditional-min aggregation pass (no self-joins)."""
@@ -457,6 +491,7 @@ QUERIES = {
     "events_value_band_join": events_value_band_join,
     "events_retention_cohorts": events_retention_cohorts,
     "events_tumbling_window": events_tumbling_window,
+    "events_hopping_window": events_hopping_window,
     "events_funnel": events_funnel,
     "events_asof_join": events_asof_join,
     "events_json_extract": events_json_extract,

@@ -191,9 +191,89 @@ QUALIFY rk <= 100
 """
 
 
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28 — deterministic mixture rebalancing: hit a TARGET
+    per-source mixture (here: even-numbered sources weighted 2×) by
+    computing each source's keep fraction from the live counts and
+    downsampling with the LCG bucket — the "data mixing" step every
+    training run does over its corpus, made reproducible: no RNG, no
+    driver-side counts, and the same doc survives on any engine or
+    partitioning. One plan: counts → 1-row weighted totals broadcast
+    back → per-source keep fraction (quantized to /256 via floor —
+    engine-exact) → md5-bucket filter.
+
+    The bucket is the CONTENT hash (md5 prefix, as in T22), NOT the
+    LCG of T16 — deliberately: this testdata assigns source by
+    doc_id mod 20, and the LCG's multiplier (…45 mod 100) collapses
+    every mod-20 residue class to ONE bucket value, so an LCG-based
+    keep filter would keep 0% or 100% of a source instead of the
+    target fraction. Any arithmetic-on-key bucket can resonate with
+    structured keys like that; a cryptographic-hash bucket cannot.
+    Output is the per-source audit: size, keep_256 (kept fraction ×
+    256), kept."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_w = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source")).withColumn("w", src_w)
+    tot = counts.agg(
+        F.sum("n_source").cast("double").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    pct = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_256",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("n_total") * F.col("w") / F.col("w_total")) / F.col("n_source"),
+                )
+                * 256
+            ).cast("int"),
+        )
+        .select("source", "n_source", "keep_256")
+    )
+    md2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = (F.col("keep_256") >= 256) | (
+        md2 < F.lower(F.lpad(F.hex(F.col("keep_256")), 2, "0"))
+    )
+    return (
+        docs.join(F.broadcast(pct), "source")
+        .groupBy("source", "n_source", "keep_256")
+        .agg(F.count(F.when(keep, 1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+ORACLES["sample_mixture_rebalance"] = """
+WITH counts AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source),
+wtd AS (
+  SELECT source, n_source,
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0 THEN 2.0 ELSE 1.0 END AS w
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(n_source) AS DOUBLE) AS n_total, SUM(w) AS w_total FROM wtd),
+pct AS (
+  SELECT source, n_source,
+         CAST(FLOOR(LEAST(1.0, (n_total * w / w_total) / n_source) * 256) AS INT) AS keep_256
+  FROM wtd CROSS JOIN tot
+)
+SELECT p.source, p.n_source, p.keep_256,
+       COUNT(*) FILTER (
+         WHERE p.keep_256 >= 256
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+             < lower(lpad(hex(p.keep_256), 2, '0'))
+       ) AS n_kept
+FROM documents d JOIN pct p ON d.source = p.source
+GROUP BY 1, 2, 3
+ORDER BY p.source
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_cap_per_source": sample_cap_per_source,
     "sample_split_train_eval": sample_split_train_eval,
     "sample_weighted_aes": sample_weighted_aes,
+    "sample_mixture_rebalance": sample_mixture_rebalance,
 }

@@ -451,11 +451,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts above 0.1% of that nation's total. The original's partsupp
     value (supplycost×availqty) is proxied by lineitem revenue; the
     operator shape — one grouped aggregate + a 1-row global aggregate
-    broadcast back as the HAVING threshold, both from a single
-    semi-filtered scan — is Q11's. No second fact scan: the per-part
-    and global sums share the same shuffled input via the broadcast
-    scalar, and the threshold compare is a BroadcastNestedLoopJoin of
-    one row, not a cartesian."""
+    broadcast back as the HAVING threshold — is Q11's. The global
+    total re-aggregates the per-part DECIMAL partials (decimal
+    addition is associative, so sum-of-partials equals the direct
+    sum bit-for-bit), which makes the two references share one
+    canonical agg subtree: the static planner then reads lineitem
+    ONCE (ReusedExchange, plan-asserted in tests/test_plans.py).
+    Measured caveat: AQE's stage-level reuse does NOT fire on this
+    scalar-threshold pattern and re-plans the subtree per reference
+    (same engine trade q15 carries); the threshold compare is a
+    1-row BroadcastNestedLoopJoin, not a cartesian."""
+    from proceso_de_etl_spark.functions.columns import money
+
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -463,12 +470,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left_semi"
     ).select("s_suppkey")
     filtered = li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
-    per_part = filtered.groupBy("l_partkey").agg(
-        dsum(DISC_PRICE(), 6).alias("part_value")
+    per_part_dec = filtered.groupBy("l_partkey").agg(
+        F.sum(money(DISC_PRICE(), 6)).alias("dec_value")
     )
-    threshold = filtered.agg((dsum(DISC_PRICE(), 6) * F.lit(0.001)).alias("threshold"))
+    threshold = per_part_dec.agg(
+        (F.sum("dec_value").cast("double") * F.lit(0.001)).alias("threshold")
+    )
     return (
-        per_part.crossJoin(F.broadcast(threshold))
+        per_part_dec.select("l_partkey", F.col("dec_value").cast("double").alias("part_value"))
+        .crossJoin(F.broadcast(threshold))
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
@@ -482,14 +492,17 @@ WITH filtered AS (
   WHERE l_suppkey IN (
     SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_7')
+),
+per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS dec_value
+  FROM filtered
+  GROUP BY l_partkey
 )
-SELECT l_partkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS part_value
-FROM filtered
-GROUP BY l_partkey
-HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
-     > (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) * 0.001
-        FROM filtered)
+SELECT l_partkey, CAST(dec_value AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(dec_value AS DOUBLE)
+    > (SELECT CAST(SUM(dec_value) AS DOUBLE) * 0.001 FROM per_part)
 ORDER BY part_value DESC, l_partkey ASC
 """
 

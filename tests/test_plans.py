@@ -305,3 +305,23 @@ def test_q9_part_filter_pushed_to_scan(spark):
 
     plan = plan_of(q9_product_profit(spark, SF_CORRECT))
     assert "StringContains(p_name,bolt)" in plan, plan.split("PushedFilters")[1][:300]
+
+
+def test_q11_threshold_shares_one_fact_scan(spark):
+    """q11's per-part values and its global threshold must share one
+    canonical aggregation subtree — the static planner proves it by
+    reusing the exchange (one lineitem scan). AQE's stage reuse does
+    not fire on this pattern (it re-plans the subtree per reference,
+    like q15) — which is exactly why this invariant is pinned on the
+    static plan: a refactor that breaks subtree canonical equality
+    would silently double the fact reads under EVERY planner."""
+    from proceso_de_etl_spark.plans.tpch_ext import q11_important_parts
+
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = plan_of(q11_important_parts(spark, SF_CORRECT))
+        assert "ReusedExchange" in plan
+        assert plan.count("FileScan") == 3  # lineitem + supplier + nation, once each
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)

@@ -109,6 +109,7 @@ _PRIORITY = (
     "join_type_matrix",
     "events_hopping_window",
     "sample_mixture_rebalance",
+    "agg_histogram",
     # --- code/config changed this round (r3 rows now stale) ---
     "dedup_decontaminate",  # DF-cap changed query AND oracle
     "q20_excess_shippers",  # bloom-filter pruning config

@@ -524,6 +524,51 @@ ORDER BY join_type
 """
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500_000.0, 20
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40 — equal-width histogram of order totals: the numeric
+    profiling primitive behind every data-quality dashboard, as one
+    scan-side bucket expression + one aggregation (bounds are fixed
+    domain constants, so no extra min/max pass; for unknown domains
+    compose with E16's profiler or the KLL sketch A34). Bucket
+    arithmetic is floor((x-lo)/width) clamped to the last bin —
+    plain IEEE ops, bit-identical cross-engine; per-bin bounds are
+    emitted so the result is self-describing."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bucket = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(width)),
+    ).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bin"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_total"))
+        .withColumn("bin_lo", F.col("bin") * F.lit(width) + F.lit(HIST_LO))
+        .withColumn("bin_hi", (F.col("bin") + 1) * F.lit(width) + F.lit(HIST_LO))
+        .select("bin", "bin_lo", "bin_hi", "n", "sum_total")
+        .orderBy("bin")
+    )
+
+
+ORACLES["agg_histogram"] = f"""
+SELECT LEAST({HIST_BINS - 1},
+             CAST(FLOOR((o_totalprice - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}) AS INT)) AS bin,
+       LEAST({HIST_BINS - 1},
+             CAST(FLOOR((o_totalprice - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}) AS INT))
+         * {(HIST_HI - HIST_LO) / HIST_BINS} + {HIST_LO} AS bin_lo,
+       (LEAST({HIST_BINS - 1},
+              CAST(FLOOR((o_totalprice - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}) AS INT)) + 1)
+         * {(HIST_HI - HIST_LO) / HIST_BINS} + {HIST_LO} AS bin_hi,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_unpivot": agg_unpivot,
@@ -540,4 +585,5 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_stats_matrix": agg_stats_matrix,
     "join_type_matrix": join_type_matrix,
+    "agg_histogram": agg_histogram,
 }

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from proceso_de_etl_spark.functions.columns import dsum
+from proceso_de_etl_spark.functions.columns import dsum, money
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -484,6 +484,62 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+ZSCORE_THRESHOLD = 2.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43 — per-type z-score outlier flagging, the streaming-metrics
+    anomaly primitive (value more than ``ZSCORE_THRESHOLD`` standard
+    deviations from its type's mean). Two-pass shape that scales: a
+    tiny per-type moment aggregate (5 rows) broadcast back onto the
+    full scan — no window over the fact table, no second wide
+    shuffle. Moments accumulate in DECIMAL so mean/std are
+    order-independent and the derived double z is bit-identical
+    cross-engine (same IEEE ops from identical inputs; see
+    functions/columns.py note)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = money(F.col("value"), 2)
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    stats = stats.select(
+        "event_type", mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(ZSCORE_THRESHOLD))
+        .select("event_id", "event_type", "value", "mean_v", "std_v", "z")
+    )
+
+
+ORACLES["events_anomaly_zscore"] = f"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / n AS mean_v,
+         SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
+  FROM s
+)
+SELECT e.event_id, e.event_type, e.value, m.mean_v, m.std_v,
+       (e.value - m.mean_v) / m.std_v AS z
+FROM events e JOIN m USING (event_type)
+WHERE ABS((e.value - m.mean_v) / m.std_v) > {ZSCORE_THRESHOLD}
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_gap_fill": events_gap_fill,
@@ -496,4 +552,5 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_json_extract": events_json_extract,
     "events_interval_join_bucketed": events_interval_join_bucketed,
+    "events_anomaly_zscore": events_anomaly_zscore,
 }

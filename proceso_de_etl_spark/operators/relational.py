@@ -569,6 +569,88 @@ ORDER BY bin
 """
 
 
+SORT_RANK_PARTITIONS = 32
+
+
+def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41 — distributed global ranking (total-order row numbers)
+    without the single-partition window trap: ``row_number() OVER
+    (ORDER BY ...)`` funnels every row through ONE task, the classic
+    100 TB sort-killer. Instead: (1) range-partition on the sort key
+    (sampled range exchange — Spark's own TakeOrderedAndProject /
+    global-sort machinery), (2) rank WITHIN each range partition,
+    (3) add each partition's cumulative row-count offset, computed
+    from a tiny per-partition count aggregate (``SORT_RANK_
+    PARTITIONS`` rows collected to the driver — bounded, not a data
+    collect) and shipped back as a broadcast join. One wide exchange
+    total, perfectly parallel, identical output to the one-task
+    window. Tie-break on the unique o_orderkey makes the total order
+    — and therefore the rank column — deterministic cross-engine."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    ranged = orders.repartitionByRange(SORT_RANK_PARTITIONS, *key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # cheap narrow agg: SORT_RANK_PARTITIONS rows to the driver
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    offs = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    w = W.partitionBy("_pid").orderBy(*key)
+    return (
+        ranged.join(F.broadcast(offs), "_pid")
+        .withColumn("rank", F.row_number().over(w) + F.col("_offset"))
+        .select("rank", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLES["sort_global_rank"] = """
+SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank,
+       o_orderkey, o_custkey, o_totalprice
+FROM orders
+"""
+
+
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42 — deterministic per-group mode (most frequent value, ties
+    broken by smallest value): count-then-rank, the scalable mode
+    formulation — two key-local aggregations, no collect_list of the
+    group's raw rows. Here: each user's modal event type."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), F.col("n").alias("n_modal"))
+    )
+
+
+ORACLES["agg_mode_per_group"] = """
+WITH counted AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk
+  FROM counted
+)
+SELECT user_id, event_type AS modal_type, n AS n_modal
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_unpivot": agg_unpivot,

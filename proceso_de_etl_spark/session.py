@@ -43,9 +43,13 @@ def get_spark(app_name: str = "proceso_de_etl_spark", cpus: str | None = None) -
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.parquet stores TIMESTAMP(NANOS), which the
-        # parquet reader rejects; read as long and convert in catalog.
+        # testdata events.parquet has stored TIMESTAMP(NANOS) (reader
+        # rejects it without nanosAsLong) and, after a regeneration,
+        # naive TIMESTAMP(MICROS) (reads as NTZ unless NTZ inference
+        # is off). Pin both so ts always lands as a UTC instant;
+        # catalog.load_table converts whichever shows up.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

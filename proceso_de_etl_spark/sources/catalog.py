@@ -34,12 +34,16 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     the HOST built (e.g. the graft driver), which won't carry our
     factory configs. Two are load-bearing for correctness and are
     runtime-settable, so pin them here:
-    - nanosAsLong: events.parquet is TIMESTAMP(NANOS); without it the
-      scan throws PARQUET_TYPE_ILLEGAL;
+    - nanosAsLong: events.parquet generations that store
+      TIMESTAMP(NANOS) throw PARQUET_TYPE_ILLEGAL without it;
+    - inferTimestampNTZ off: generations that store naive
+      TIMESTAMP(MICROS) must read as a UTC instant, not NTZ, so
+      instant functions (unix_micros, window) resolve;
     - UTC session timezone: timestamp values must agree with
       UTC-naive ANSI engines (the DuckDB oracle)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down — proceed with whatever the host set
@@ -50,11 +54,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) on disk; with nanosAsLong it reads
-    # as epoch-nanos long. Convert to Spark-native micros (lossless for
-    # this data — generator emits whole microseconds).
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # ts on disk varies by testdata generation: TIMESTAMP(NANOS)
+        # (reads as epoch-nanos long under nanosAsLong) or naive
+        # TIMESTAMP(MICROS) (reads as NTZ if a locked-down host
+        # session kept NTZ inference on). Normalize both to a
+        # Spark-native UTC instant; the naive values are UTC by the
+        # generator's convention, so the NTZ→instant cast under the
+        # pinned UTC session timezone is value-preserving.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -24,18 +24,31 @@ from proceso_de_etl_spark.functions.columns import dsum
 
 ORACLES: dict[str, str] = {}
 
-# events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long
-# under nanosAsLong; converted to native micros below).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """events.parquet's ts encoding varies by testdata generation:
+    TIMESTAMP(NANOS) (streamed as long + div-1000 conversion, the
+    only way the reader accepts nanos) or naive TIMESTAMP(MICROS)
+    (streamed directly as a timestamp; with the session timezone
+    pinned to UTC the naive micros read as the intended instant).
+    Sniff the footer once driver-side; returns (schema, ts_is_long).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    ts_is_long = getattr(arrow_ts, "unit", None) == "ns"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_long else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, ts_is_long
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,8 +66,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_session_confs(spark)  # host-built sessions lack nanosAsLong/UTC
     stage = tempfile.mkdtemp(prefix="stream_events_")
     os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema, ts_is_long = _events_raw_schema(sf_dir)
+    raw = spark.readStream.schema(schema).parquet(stage)
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:

@@ -40,7 +40,20 @@ def test_stream_incremental_two_batches(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from proceso_de_etl_spark.streaming.jobs import EVENTS_RAW_SCHEMA
+    from pyspark.sql import types as T
+
+    # this test stages its own landing files with ts as epoch-nanos
+    # long (independent of the on-disk testdata's ts encoding)
+    nanos_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
     ev = load_table(spark, SF_SMOKE, "events").limit(40)
     raw = ev.select(
@@ -67,7 +80,7 @@ def test_stream_incremental_two_batches(spark, tmp_path):
             seen.append((epoch_id, n))
 
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(nanos_schema)
         .parquet(src)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )

@@ -69,70 +69,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. Round-4 rotation:
-#   1. queries ADDED this round (no driver row yet) — kept at the top;
-#   2. the 49 keys whose latest driver row dates from round-1 code
-#      (rounds 2-3 gated the other half of the contract; VERDICT r3
-#      item 1) — ETL core, the q-suite, windows, rollup/cube/sets,
-#      function matrices, §2 events;
-#   3. the tail past the 50-cap: bonus (non-§2) events keys and
-#      r3-green rows — they keep their existing driver signal and the
+# whatever keys most need a FRESH driver row. Round-5 rotation
+# (VERDICT r4 items 1 and 3):
+#   1. queries ADDED or CHANGED this round (the two operators
+#      registered this round, the three de-single-partitioned top-k
+#      queries, the zscore clamp, new r5 operators);
+#   2. the 32 keys whose latest driver row predates the last commit
+#      touching their code path (r1 rows: q-suite tail, windows,
+#      rollup/cube/sets, matrices, §2 events, bonus events keys);
+#   3. the tail past the 50-cap: keys with fresh r4 rows and code
+#      untouched since — they keep their r4 driver signal and the
 #      full pytest suite re-verifies them locally every round.
 _PRIORITY = (
-    # --- round-4 additions (no driver row yet) ---
-    "stream_cdc_apply",
-    "sketch_theta_setops",
-    "sketch_kll_quantiles",
-    "sketch_hll_rollup",
-    "q1_pricing_summary_v2",
-    "q3_shipping_priority_v2",
-    "q5_local_supplier_v2",
-    "q6_forecast_revenue_v2",
-    "q14_promo_effect_v2",
-    "dedup_incremental",
-    "dedup_incremental_minhash",
-    "bucketed_colocated_join",
-    "sample_split_train_eval",
-    "q9_product_profit",
-    "q11_important_parts",
-    "etl_dpp_join",
-    "etl_compact_small_files",
+    # --- round-5 additions / changes (need a first or fresh row) ---
+    "sort_global_rank",
+    "agg_mode_per_group",
     "sample_weighted_aes",
-    "text_unigram_lm_score",
-    "agg_stats_matrix",
+    "text_vocab_topk",
     "text_bigram_pairs",
-    "dedup_containment",
-    "etl_time_travel_read",
-    "ann_pq_topk",
-    "stream_approx_distinct",
+    "events_anomaly_zscore",
+    "ann_ivfpq_topk",
+    "stream_topk",
     "text_bpe_train",
-    "join_type_matrix",
-    "events_hopping_window",
-    "sample_mixture_rebalance",
-    "agg_histogram",
-    # --- code/config changed this round (r3 rows now stale) ---
-    "dedup_decontaminate",  # DF-cap changed query AND oracle
-    "q20_excess_shippers",  # bloom-filter pruning config
-    # --- stale round-1 driver rows: ETL core ---
-    "etl_clean_id",
-    "etl_dedup_keep_first",
-    "etl_dim_extract",
-    "etl_fk_map",
-    "etl_placeholders",
-    "etl_conflict_resolve",
-    "etl_semi_filter",
-    "etl_dropna_load",
-    "etl_incremental_antijoin",
-    "etl_star_flagship",
-    "etl_partition_prune",
-    "etl_aggregate_upsert",
-    "etl_profile_table",
-    "etl_atomic_write",
-    # --- stale: analytic q-suite (r2 edited tpch*.py) ---
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
+    # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -145,7 +104,7 @@ _PRIORITY = (
     "q19_disjunctive_filter",
     "q21_waiting_supplier",
     "q22_global_sales",
-    # --- stale: windows / grouped aggs / matrices / §2 events ---
+    # --- stale: windows / grouped aggs / matrices ---
     "window_topk_per_group",
     "window_running_sum",
     "window_lag_delta",
@@ -156,18 +115,30 @@ _PRIORITY = (
     "scalar_function_matrix",
     "array_function_matrix",
     "null_semantics_matrix",
+    # --- stale: §2 events + bonus events keys (r1 rows) ---
     "events_sessionize",
     "events_tumbling_window",
     "events_funnel",
     "events_asof_join",
     "events_gap_fill",
-    # --- tail (past the 50-cap this round): bonus events keys (r1
-    # rows, code untouched since r1) and the r3-green extract row ---
     "events_json_extract",
     "events_rolling_window",
     "events_value_band_join",
     "events_retention_cohorts",
+    # --- stale r3 rows for completeness (oldest remaining) ---
     "etl_extract_conform",
+    "etl_scd2_merge",
+    "etl_load_audit",
+    "etl_cdc_apply",
+    "etl_zorder_write",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "agg_pivot",
+    "agg_unpivot",
+    "set_ops_customers",
+    "agg_distinct_exact",
+    "agg_percentiles",
 )
 
 

@@ -45,17 +45,24 @@ HEADLINE = (
     "text_quality_score",
     "q21_waiting_supplier",
     "pipeline_clean_corpus",
-    # round-4 additions (no r1 baseline — tracked, not regression-gated)
     "q9_product_profit",
     "text_unigram_lm_score",
     "sample_weighted_aes",
+    # round-5 additions: the de-single-partitioned top-k pair and the
+    # timed total-order operator (no baseline yet — tracked this
+    # round, seeded next)
+    "text_vocab_topk",
+    "text_bigram_pairs",
+    "sort_global_rank",
 )
 
-# Round-1 per-query seconds (BENCH_r01.json, sf0.1 local[32]) — the
-# regression baseline. A query slower than REGRESSION_FACTOR x its
-# baseline lands in the output's "regressed" map; queries added after
-# r1 have no baseline and are skipped by the check.
-BASELINE_R1 = {
+# Per-query regression floors (sf0.1 local[32]): r1 entries from
+# BENCH_r01.json, r4 entries (q9 / unigram_lm / weighted_aes) seeded
+# from BENCH_r04.json medians. A query slower than REGRESSION_FACTOR x
+# its floor lands in the output's "regressed" map; queries with no
+# floor yet are tracked but skipped by the check.
+BASELINE = {
+    # --- r1 floors ---
     "q1_pricing_summary": 2.866,
     "q3_shipping_priority": 1.432,
     "q5_local_supplier": 1.194,
@@ -70,6 +77,10 @@ BASELINE_R1 = {
     "text_quality_score": 0.587,
     "q21_waiting_supplier": 1.32,
     "pipeline_clean_corpus": 2.922,
+    # --- r4 floors (medians, BENCH_r04.json) ---
+    "q9_product_profit": 1.198,
+    "text_unigram_lm_score": 1.139,
+    "sample_weighted_aes": 0.495,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression
@@ -109,9 +120,9 @@ def main() -> None:
     spreads = {name: round(max(ts) - min(ts), 3) for name, ts in reps.items()}
     total = round(sum(timings.values()), 3)
     deltas = {
-        name: round(t - BASELINE_R1[name], 3)
+        name: round(t - BASELINE[name], 3)
         for name, t in timings.items()
-        if name in BASELINE_R1
+        if name in BASELINE
     }
     # a query "regressed" only when its MEDIAN clears the factor gate
     # by more than that query's own observed rep spread — a shift the
@@ -119,11 +130,11 @@ def main() -> None:
     regressed = {
         name: {
             "median_sec": timings[name],
-            "baseline_sec": BASELINE_R1[name],
+            "baseline_sec": BASELINE[name],
             "spread_sec": spreads[name],
         }
         for name in deltas
-        if timings[name] > REGRESSION_FACTOR * BASELINE_R1[name]
+        if timings[name] > REGRESSION_FACTOR * BASELINE[name]
         and deltas[name] > max(REGRESSION_MIN_DELTA_SEC, spreads[name])
     }
     print(
@@ -136,7 +147,7 @@ def main() -> None:
                 "query_spread": spreads,
                 "reps": REPS,
                 "sf": sf,
-                "delta_vs_r1": deltas,
+                "delta_vs_baseline": deltas,
                 "regressed": regressed,
             }
         )

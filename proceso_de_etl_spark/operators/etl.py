@@ -52,14 +52,25 @@ def extract_dimension(df: DataFrame, value_col: str, id_col: str, name_col: str)
     dense_rank over the natural order replaces the DB's autoincrement:
     deterministic, re-runnable, and computable in parallel.
 
-    The unpartitioned rank window is safe BY CONSTRUCTION: it runs
-    after ``distinct()``, so only the dimension's few distinct values
-    pass through one partition — never the fact rows. Do not replace
-    with monotonically_increasing_id (unstable across runs)."""
+    The single-partition step is safe BY CONSTRUCTION: it runs after
+    ``distinct()``, so only the dimension's few distinct values pass
+    through one task — never the fact rows. It is expressed as
+    coalesce(1) + sortWithinPartitions + monotonically_increasing_id
+    (sequential within the one sorted partition, so ids are 1..n in
+    name order — STABLE across runs, unlike raw mi_id on arbitrary
+    partitioning) rather than an unpartitioned rank window, which
+    computes the same thing but makes WindowExec emit its
+    single-partition warning on every run; the id values equal
+    ``dense_rank() OVER (ORDER BY name)`` because the values are
+    distinct."""
     distinct = df.select(F.col(value_col).alias(name_col)).dropna().distinct()
-    w = W.orderBy(F.col(name_col))
-    return distinct.select(
-        F.dense_rank().over(w).cast("bigint").alias(id_col), name_col
+    return (
+        distinct.coalesce(1)
+        .sortWithinPartitions(name_col)
+        .select(
+            (F.monotonically_increasing_id() + 1).cast("bigint").alias(id_col),
+            name_col,
+        )
     )
 
 

@@ -508,8 +508,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")) / (
         F.col("n") - 1
     )
+    # clamp: the single-pass variance (s2 - s1^2/n) can round slightly
+    # negative in double for a (near-)constant group; Spark's sqrt
+    # would return NaN while DuckDB's SQRT raises, so both sides
+    # clamp to zero identically
     stats = stats.select(
-        "event_type", mean.alias("mean_v"), F.sqrt(var).alias("std_v")
+        "event_type",
+        mean.alias("mean_v"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_v"),
     )
     z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
     return (
@@ -530,7 +536,7 @@ WITH s AS (
 m AS (
   SELECT event_type,
          CAST(s1 AS DOUBLE) / n AS mean_v,
-         SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
+         SQRT(GREATEST((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 0)) AS std_v
   FROM s
 )
 SELECT e.event_id, e.event_type, e.value, m.mean_v, m.std_v,

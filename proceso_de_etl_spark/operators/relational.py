@@ -590,10 +590,21 @@ def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     key = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
-    ranged = orders.repartitionByRange(SORT_RANK_PARTITIONS, *key).withColumn(
-        "_pid", F.spark_partition_id()
+    # repartitionByRange estimates range bounds by SAMPLING with a
+    # per-execution seed, so the partitioning MUST be pinned via
+    # persist(): the count action below materializes the exact
+    # partitions the rank job reuses. Unpersisted, the two jobs could
+    # sample different bounds — broadcast offsets would mismatch real
+    # partition sizes (duplicate/missing ranks) and rows landing in a
+    # _pid empty during the count job would be dropped by the inner
+    # join. Persisting also removes the double source scan.
+    ranged = (
+        orders.repartitionByRange(SORT_RANK_PARTITIONS, *key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    # cheap narrow agg: SORT_RANK_PARTITIONS rows to the driver
+    # cheap narrow agg: SORT_RANK_PARTITIONS rows to the driver; this
+    # action also materializes the persisted partitioning
     counts = sorted(
         (r["_pid"], r["n"])
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -668,4 +679,6 @@ QUERIES = {
     "agg_stats_matrix": agg_stats_matrix,
     "join_type_matrix": join_type_matrix,
     "agg_histogram": agg_histogram,
+    "sort_global_rank": sort_global_rank,
+    "agg_mode_per_group": agg_mode_per_group,
 }

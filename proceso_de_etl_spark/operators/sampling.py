@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from proceso_de_etl_spark.operators.windows import ranked_topk
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -163,12 +164,13 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = drawn.groupBy("doc_id", "weight").agg(
         F.max(F.md5(F.concat_ws(":", "doc_id", "i"))).alias("sample_key")
     )
-    w = W.orderBy(F.desc("sample_key"), F.asc("doc_id"))
-    return (
-        keyed.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 100)
-        .select("rk", "doc_id", "weight", "sample_key")
-    )
+    # top-k via TakeOrderedAndProject, NOT a global window: the old
+    # row_number-over-ORDER-BY form moved one row per corpus document
+    # through a single task (VERDICT r4). ranked_topk keeps each
+    # partition's top-100 and ranks only the 100 survivors.
+    return ranked_topk(
+        keyed, [F.desc("sample_key"), F.asc("doc_id")], 100, rank_col="rk"
+    ).select("rk", "doc_id", "weight", "sample_key")
 
 
 ORACLES["sample_weighted_aes"] = """

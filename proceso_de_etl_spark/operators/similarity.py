@@ -305,9 +305,114 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_N_PROBE = 6  # cells scanned per query (of N_LISTS; >T7b's 4 to offset PQ loss)
+IVFPQ_RERANK = 120  # deeper than T7c's 80: the cell-pruned ADC ranking is noisier
+
+
+def _ivfpq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder for T7d (IVF×PQ): the ADC-scored candidate set
+    read from the PROBED CELLS ONLY — split out so the scale test can
+    count the rows the scan actually touches (must be well under
+    queries × corpus, the plain-PQ scan size)."""
+    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters, kmeans_fit
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = emb.withColumn(
+        "ne", F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    )
+    dim = len(emb.select("embedding").first()[0])
+    sub = dim // PQ_M
+    subcol = lambda m: F.slice(F.col("ne"), m * sub + 1, sub)  # noqa: E731
+
+    centroids = kmeans_fit(emb, k=N_LISTS, n_iter=3)
+    codebooks = [
+        kmeans_fit(
+            emb.select("vec_id", subcol(m).alias("sub")), k=PQ_K, n_iter=3, emb_col="sub"
+        )
+        for m in range(PQ_M)
+    ]
+
+    def _code(m: int) -> F.Column:
+        dists = F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    corpus = assign_clusters(emb, centroids).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        F.col("cluster").alias("list_id"),
+        *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    cells = F.array(
+        *[
+            F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(i).cast("bigint").alias("c"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qn"),
+            *[
+                F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]]).alias(f"qtab{m}")
+                for m in range(PQ_M)
+            ],
+            F.explode(F.slice(F.array_sort(cells), 1, IVFPQ_N_PROBE)).alias("p"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "qn",
+            *[f"qtab{m}" for m in range(PQ_M)],
+            F.col("p.c").alias("list_id"),
+        )
+    )
+    adc = sum(F.element_at(F.col(f"qtab{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M))
+    return (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7d — IVF×PQ ANN, composing the two scale paths (the FAISS
+    IVFPQ design point): the coarse quantizer prunes WHICH rows the
+    scan touches (each query reads only its IVFPQ_N_PROBE nearest
+    cells ≈ N_PROBE/N_LISTS of the corpus), and product quantization
+    shrinks WHAT each touched row costs (PQ_M 4-bit codes, table
+    lookups instead of float dot products). Plain PQ (T7c) still
+    reads the full code table per query batch — that is ADC's design
+    point, but at 100 TB the scan itself becomes the bottleneck;
+    cell-pruned ADC cuts it by ~N_PROBE/N_LISTS while the exact
+    re-rank of the top IVFPQ_RERANK keeps the output quality (recall vs
+    the exact twin pinned ≥0.85 in tests, candidate-scan size pinned
+    < queries × corpus). Same determinism as T7b/T7c (k-means init =
+    lowest vec_ids, lexicographic ties)."""
+    from pyspark.sql import Window as W
+
+    candidates = _ivfpq_candidates(spark, sf_dir)
+    cand_w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = candidates.withColumn("cand_rk", F.row_number().over(cand_w)).filter(
+        F.col("cand_rk") <= IVFPQ_RERANK
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn(
+            "cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
 }

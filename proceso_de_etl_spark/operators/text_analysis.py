@@ -7,6 +7,8 @@ at 100 TB they are scan-bound, which is the best case.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from proceso_de_etl_spark.functions.text import (
@@ -21,6 +23,7 @@ from proceso_de_etl_spark.functions.text import (
     tokens_sql,
 )
 from proceso_de_etl_spark.functions.columns import dsum
+from proceso_de_etl_spark.operators.windows import ranked_topk
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -180,13 +183,12 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("term_count"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("term_count"), F.asc("tok"))
-    return (
-        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "tok", "term_count", "doc_freq")
+    # top-k via TakeOrderedAndProject, NOT a global window: the term
+    # table is vocabulary-sized (10^8+ distinct tokens on a web
+    # corpus) and the old global row_number funneled all of it
+    # through one task (VERDICT r4).
+    return ranked_topk(stats, [F.desc("term_count"), F.asc("tok")], 50).select(
+        "rank", "tok", "term_count", "doc_freq"
     )
 
 
@@ -451,11 +453,12 @@ def text_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pair_count"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
-    w = W.orderBy(F.desc("pair_count"), F.asc("pair"))
-    return (
-        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "pair", "pair_count", "doc_freq")
+    # top-k via TakeOrderedAndProject, NOT a global window: the
+    # bigram table is strictly larger than the vocabulary and the old
+    # global row_number funneled all of it through one task
+    # (VERDICT r4).
+    return ranked_topk(stats, [F.desc("pair_count"), F.asc("pair")], 20).select(
+        "rank", "pair", "pair_count", "doc_freq"
     )
 
 
@@ -504,7 +507,11 @@ def _merge_pair(sym, left: str, right: str):
     )
 
 
-def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES) -> list[tuple[str, str, int]]:
+def bpe_train(
+    words: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    round_seconds: list[float] | None = None,
+) -> list[tuple[str, str, int]]:
     """Byte-pair-encoding vocabulary training over a (word, freq)
     table: each round counts adjacent symbol pairs (freq-weighted,
     pairs formed in-array like T25), merges the most frequent pair
@@ -516,14 +523,24 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES) -> list[tuple[str,
     is one explode + one freq-weighted aggregation + a 1-ROW collect
     (the argmax pair — the k-means-style bounded driver round-trip),
     and the merge application is a per-row fold expression. Ties
-    break lexicographically, so training is deterministic."""
+    break lexicographically, so training is deterministic.
+
+    Each round's merged table is ``localCheckpoint``ed, not merely
+    persisted: the fold expression nests one level per round, so
+    without plan truncation Spark re-analyzes an O(rounds)-deep plan
+    every round and a realistic 30k-merge vocabulary goes quadratic
+    in ANALYSIS time alone (the repo's iterative-plan note, SURVEY
+    §7; same fix as connected components). With the checkpoint, each
+    round starts from a flat scan of materialized blocks — per-round
+    cost stays flat (test-pinned in test_operators)."""
     sym_word = words.select(
         "freq",
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias("sym"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
+            t0 = time.perf_counter() if round_seconds is not None else 0.0
             pairs = F.when(
                 F.size("sym") >= 2,
                 F.expr(
@@ -543,9 +560,14 @@ def bpe_train(words: DataFrame, n_merges: int = BPE_N_MERGES) -> list[tuple[str,
                 break
             left, right, cnt = top[0].l, top[0].r, top[0].pair_count
             merges.append((left, right, int(cnt)))
-            nxt = sym_word.select("freq", _merge_pair(F.col("sym"), left, right).alias("sym")).persist()
+            # truncate the plan each round: the fold nests otherwise
+            nxt = sym_word.select(
+                "freq", _merge_pair(F.col("sym"), left, right).alias("sym")
+            ).localCheckpoint(eager=True)
             sym_word.unpersist()
             sym_word = nxt
+            if round_seconds is not None:
+                round_seconds.append(time.perf_counter() - t0)
     finally:
         sym_word.unpersist()
     return merges

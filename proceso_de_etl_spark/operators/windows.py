@@ -16,6 +16,32 @@ from proceso_de_etl_spark.sources.catalog import load_table
 ORACLES: dict[str, str] = {}
 
 
+def ranked_topk(df: DataFrame, order, k: int, rank_col: str = "rank") -> DataFrame:
+    """Distributed global top-k with rank numbers — the scale-safe
+    replacement for ``row_number() OVER (ORDER BY ...) <= k``, which
+    funnels the ENTIRE input through one task (WindowExec warns
+    "Moving all data to a single partition"; at 100 TB that task is
+    the job). ``orderBy(...).limit(k)`` instead compiles to
+    TakeOrderedAndProject: each partition keeps its own top-k and the
+    driver merges k×partitions rows. The k survivors are then ranked
+    WITHOUT a window at all: coalesce(1) + sortWithinPartitions puts
+    the k rows (a query constant, not data-sized) in one bounded
+    partition in rank order, and monotonically_increasing_id — which
+    numbers rows sequentially within a partition and, being flagged
+    nondeterministic, cannot be reordered past the sort — yields the
+    rank directly. (A window over partitionBy(lit(1)) does NOT work:
+    Catalyst constant-folds the literal out of the partition spec and
+    WindowExec is back to its single-partition warning.) ``order``
+    must be a total order (unique tie-break column) for the ranks to
+    be deterministic cross-engine."""
+    top = df.orderBy(*order).limit(k)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(*order)
+        .withColumn(rank_col, (F.monotonically_increasing_id() + 1).cast("bigint"))
+    )
+
+
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — top-3 parts by retail price per brand; row_number with a
     total order (price desc, partkey) so results are deterministic."""

@@ -36,8 +36,18 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 
     import pyarrow.parquet as pq
 
+    import pyarrow.types as pat
+
     arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    ts_is_long = getattr(arrow_ts, "unit", None) == "ns"
+    # fail fast on unrecognized encodings instead of silently reading
+    # a wrong schema (e.g. a future regeneration storing ts as int64)
+    if not pat.is_timestamp(arrow_ts):
+        raise ValueError(
+            f"events.parquet ts column has unsupported arrow type {arrow_ts!r}; "
+            "expected timestamp(ns|us|ms|s) — regenerate testdata or extend "
+            "_events_raw_schema for this encoding"
+        )
+    ts_is_long = arrow_ts.unit == "ns"
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -365,8 +375,70 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(windowed_distinct_users(stream_events(spark, sf_dir)), "complete")
 
 
+TOPK_K = 3
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 — streaming per-window top-k: the top-3 event types by
+    count in each 1h window. Rank windows are illegal on a streaming
+    DataFrame, so the standing pattern is: aggregate IN the stream
+    (watermarked windowed counts — bounded state), rank in
+    ``foreachBatch`` where the epoch's aggregate is a plain batch
+    DataFrame (keyed row_number per window — never global), and land
+    the ranked rows through an overwrite parquet stage the caller
+    reads back. Complete mode makes each epoch carry the full
+    aggregate, so the last epoch's write IS the answer; on an
+    unbounded source the same job continuously refreshes a
+    "trending now" table. No driver-side collect anywhere."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    counts = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "event_type", "n")
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="stream_topk_"), "out")
+
+    def rank_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = W.partitionBy("window_start_us").orderBy(F.desc("n"), F.asc("event_type"))
+        (
+            batch_df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= TOPK_K)
+            .select("window_start_us", "rk", "event_type", "n")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = counts.writeStream.outputMode("complete").foreachBatch(rank_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+ORACLES["stream_topk"] = f"""
+WITH counts AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_us,
+       CAST(row_number() OVER (PARTITION BY window_start_us
+            ORDER BY n DESC, event_type ASC) AS BIGINT) AS rk,
+       event_type, n
+FROM counts
+QUALIFY rk <= {TOPK_K}
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_topk": stream_topk,
     "stream_approx_distinct": stream_approx_distinct,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,

@@ -501,6 +501,41 @@ def test_ann_pq_recall_vs_exact(spark):
     assert len(pq & exact) / len(exact) >= 0.8, len(pq & exact) / len(exact)
 
 
+def test_ivfpq_recall_and_cell_pruned_scan(spark):
+    """T7d: composing IVF cells with PQ codes must (a) keep recall
+    ≥0.85 vs the exact twin — the quality bar — and (b) actually
+    prune the scan: the ADC candidate set reads only the probed
+    cells, so its row count must be well under queries × corpus (the
+    plain-PQ scan size). Both deterministic (k-means init and
+    tie-breaks fixed, no RNG)."""
+    from proceso_de_etl_spark.operators import similarity
+    from proceso_de_etl_spark.operators.similarity import (
+        IVFPQ_N_PROBE,
+        N_LISTS,
+        N_QUERIES,
+        _ivfpq_candidates,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, SF_CORRECT).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivfpq_topk(spark, SF_CORRECT).collect()
+    }
+    assert len(ivfpq & exact) / len(exact) >= 0.85, len(ivfpq & exact) / len(exact)
+
+    corpus_n = load_table(spark, SF_CORRECT, "embeddings").count()
+    scanned = _ivfpq_candidates(spark, SF_CORRECT).count()
+    # probed cells ≈ N_PROBE/N_LISTS of the corpus per query; allow
+    # 2x slack for uneven cell sizes, still far under the full scan
+    bound = 2.0 * (IVFPQ_N_PROBE / N_LISTS) * N_QUERIES * corpus_n
+    assert scanned < bound < N_QUERIES * corpus_n, (scanned, bound, corpus_n)
+
+
 def test_bpe_train_golden_merges(spark):
     """T27 on the textbook BPE toy corpus: 'es' merges first (newest
     6 + widest 3 = 9), then 'es'+'t', then 'l'+'o' — and greedy
@@ -519,3 +554,29 @@ def test_bpe_train_golden_merges(spark):
     runs = spark.createDataFrame([(["a", "a", "a"],), (["a", "a", "a", "a"],)], "sym array<string>")
     got = [r.m for r in runs.select(_merge_pair(F.col("sym"), "a", "a").alias("m")).collect()]
     assert got == [["aa", "a"], ["aa", "aa"]]
+
+
+def test_bpe_round_cost_stays_flat_at_realistic_merge_counts(spark):
+    """The merge loop localCheckpoints each round (SURVEY §7's
+    iterative-plan note): without the truncation the fold expression
+    nests one level per round and ANALYSIS time alone grows
+    super-linearly — at a realistic 30k-merge vocabulary the loop
+    would stall long before data size matters. Evidence: 60 rounds
+    on a synthetic word table, asserting late rounds cost about the
+    same as early rounds (generous 5x bound — plan-nesting blowup is
+    orders of magnitude, sandbox noise is not)."""
+    from proceso_de_etl_spark.operators.text_analysis import bpe_train
+
+    words = spark.createDataFrame(
+        [
+            ("".join(chr(ord("a") + (i * 7 + j * (2 + i % 7)) % 26) for j in range(40)), 1)
+            for i in range(150)
+        ],
+        "word string, freq long",
+    )
+    round_seconds: list[float] = []
+    merges = bpe_train(words, 60, round_seconds=round_seconds)
+    assert len(merges) == 60 and len(round_seconds) == 60
+    early = sorted(round_seconds[5:25])[10]  # median of rounds 6-25
+    late = sorted(round_seconds[-15:])[7]  # median of last 15 rounds
+    assert late <= 5 * early + 0.1, (early, late)

@@ -284,6 +284,46 @@ def test_aqe_splits_skewed_join_partition(spark):
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
 
+def test_topk_queries_use_take_ordered_not_global_window(spark):
+    """VERDICT r4 #2: global top-k must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge), never `row_number() OVER
+    (ORDER BY ...)` over the full input — that window moves the whole
+    corpus through ONE task. The only windows left in these plans rank
+    the k survivors and must carry a partition spec (constant lit(1)
+    over k rows), so WindowExec never sees a data-sized unpartitioned
+    input."""
+    from proceso_de_etl_spark.operators import relational, sampling, text_analysis
+
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        checked = {
+            "weighted_aes": sampling.sample_weighted_aes,
+            "vocab_topk": text_analysis.text_vocab_topk,
+            "bigram_pairs": text_analysis.text_bigram_pairs,
+        }
+        for name, fn in checked.items():
+            root = fn(spark, SF_CORRECT)._jdf.queryExecution().executedPlan()
+            assert "TakeOrderedAndProject" in root.toString(), (
+                f"{name}: top-k did not compile to TakeOrderedAndProject"
+            )
+            for node in _iter_plan_nodes(root):
+                if node.nodeName() == "Window":
+                    assert not node.partitionSpec().isEmpty(), (
+                        f"{name}: unpartitioned (single-task) window in plan"
+                    )
+        # A41's total-order ranking: every window partitioned (by _pid)
+        root = relational.sort_global_rank(spark, SF_CORRECT)._jdf.queryExecution().executedPlan()
+        for node in _iter_plan_nodes(root):
+            if node.nodeName() == "Window":
+                assert not node.partitionSpec().isEmpty(), (
+                    "sort_global_rank: unpartitioned window in plan"
+                )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        spark.catalog.clearCache()  # sort_global_rank pins its ranged partitioning
+
+
 def test_dpp_prunes_fact_partitions(spark):
     """E20's claim: when the year filter reaches the partitioned fact
     through a JOIN (not a literal), Catalyst must insert a

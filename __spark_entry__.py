@@ -90,6 +90,9 @@ _PRIORITY = (
     "events_anomaly_zscore",
     "ann_ivfpq_topk",
     "stream_topk",
+    "window_function_matrix",
+    "etl_reject_routing",
+    "text_perplexity_buckets",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",

@@ -972,8 +972,70 @@ GROUP BY l_returnflag
 """
 
 
+def etl_reject_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23 — validation routing with a dead-letter accounting table:
+    the reference silently DROPS rows that fail validation
+    (main.py:143,152,160 dropna); production ETL routes them to a
+    quarantine with a reason, so load counts reconcile. One scan, one
+    CASE expression assigning the FIRST failing rule (priority
+    order: null key > empty segment > deep-negative balance), one
+    aggregation — the quarantine split is then a cheap
+    filter-by-reason on the same tagged frame, never a second scan.
+    Dirty rows are synthesized deterministically from customer keys
+    (%13 null key, %17 empty segment) so the oracle reproduces them;
+    per-reason key checksums make a misrouted row move a value, not
+    just a count."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None)).otherwise(F.col("c_custkey")).alias("ck"),
+        F.col("c_custkey").alias("orig_key"),
+        F.when(F.col("c_custkey") % 17 == 0, F.lit("")).otherwise(F.col("c_mktsegment")).alias("seg"),
+        "c_acctbal",
+    )
+    reason = (
+        F.when(F.col("ck").isNull(), "reject_null_key")
+        .when(F.col("seg") == "", "reject_empty_segment")
+        .when(F.col("c_acctbal") < -900.0, "reject_deep_negative_balance")
+        .otherwise("ok")
+    )
+    return (
+        dirty.withColumn("reason", reason)
+        .groupBy("reason")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("orig_key").alias("key_checksum"),
+            dsum("c_acctbal").alias("balance_sum"),
+        )
+        .orderBy("reason")
+    )
+
+
+ORACLES["etl_reject_routing"] = """
+WITH dirty AS (
+  SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END AS ck,
+         c_custkey AS orig_key,
+         CASE WHEN c_custkey % 17 = 0 THEN '' ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+),
+tagged AS (
+  SELECT *, CASE WHEN ck IS NULL THEN 'reject_null_key'
+                 WHEN seg = '' THEN 'reject_empty_segment'
+                 WHEN c_acctbal < -900.0 THEN 'reject_deep_negative_balance'
+                 ELSE 'ok' END AS reason
+  FROM dirty
+)
+SELECT reason, COUNT(*) AS n_rows, CAST(SUM(orig_key) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
+FROM tagged
+GROUP BY reason
+ORDER BY reason
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
+    "etl_reject_routing": etl_reject_routing,
     "etl_clean_id": etl_clean_id,
     "etl_dedup_keep_first": etl_dedup_keep_first,
     "etl_dim_extract": etl_dim_extract,

@@ -400,19 +400,19 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     values route through a DECIMAL(18,12) accumulator so the per-doc
     sum is order-independent (columns.py dsum note), and the final
     4dp rounding absorbs ln's last-ulp engine difference."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _unigram_scores(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _unigram_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — shared by T23 and T29."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     cnt = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = tok.agg(F.count("*").cast("double").alias("n_total"))
     scored = tok.join(cnt, "tok").crossJoin(F.broadcast(total))
     logp = F.log(F.col("cnt") / F.col("n_total"))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(dsum(logp, 12) / F.count("*"), 4).alias("avg_logprob"),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(dsum(logp, 12) / F.count("*"), 4).alias("avg_logprob"),
     )
 
 
@@ -426,6 +426,72 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM tok JOIN cnt USING (tok) CROSS JOIN n
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+PPL_LO, PPL_HI, PPL_BINS = -3.7, -3.35, 14
+
+
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T29 — CCNet-style perplexity partitioning of the corpus: the
+    unigram-LM score (T23) bucketed into equal-width bands with a
+    head/middle/tail label — the step that splits a web crawl into
+    quality tiers before mixing (CCNet keeps head+middle, resamples
+    tail). Composition of T23's scorer and A40's fixed-bound
+    histogram: one extra aggregation over the scored table, bounds
+    are domain constants clamped BOTH ends (scores are negative
+    log-probs), bucket arithmetic on the 4dp-rounded score is
+    bit-identical cross-engine. High avg_logprob (stereotypical text)
+    = head, like CCNet's low-perplexity head. For corpus-dependent
+    tier cuts compose with A22's exact percentiles instead."""
+    width = (PPL_HI - PPL_LO) / PPL_BINS
+    scores = _unigram_scores(load_table(spark, sf_dir, "documents"))
+    bucket = F.least(
+        F.lit(PPL_BINS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("avg_logprob") - F.lit(PPL_LO)) / F.lit(width))),
+    ).cast("int")
+    band = (
+        F.when(F.col("bin") >= 12, "head").when(F.col("bin") >= 8, "middle").otherwise("tail")
+    )
+    return (
+        scores.groupBy(bucket.alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(dsum(F.col("avg_logprob"), 12) / F.count("*"), 4).alias("mean_logprob"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * F.lit(width) + F.lit(PPL_LO), 4))
+        .withColumn("band", band)
+        .select("bin", "bin_lo", "band", "n_docs", "sum_tokens", "mean_logprob")
+        .orderBy("bin")
+    )
+
+
+ORACLES["text_perplexity_buckets"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok),
+scores AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / n_total) AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*), 4) AS avg_logprob
+  FROM tok JOIN cnt USING (tok) CROSS JOIN n
+  GROUP BY doc_id
+),
+binned AS (
+  SELECT LEAST({PPL_BINS - 1},
+               GREATEST(0, CAST(FLOOR((avg_logprob - ({PPL_LO})) / {(PPL_HI - PPL_LO) / PPL_BINS}) AS INT))) AS bin,
+         n_tokens, avg_logprob
+  FROM scores
+)
+SELECT bin,
+       ROUND(bin * {(PPL_HI - PPL_LO) / PPL_BINS} + ({PPL_LO}), 4) AS bin_lo,
+       CASE WHEN bin >= 12 THEN 'head' WHEN bin >= 8 THEN 'middle' ELSE 'tail' END AS band,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(CAST(avg_logprob AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logprob
+FROM binned
+GROUP BY bin
+ORDER BY bin
 """
 
 
@@ -604,6 +670,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_unigram_lm_score": text_unigram_lm_score,
+    "text_perplexity_buckets": text_perplexity_buckets,
     "text_bigram_pairs": text_bigram_pairs,
     "text_bpe_train": text_bpe_train,
 }

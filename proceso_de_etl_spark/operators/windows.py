@@ -134,8 +134,47 @@ SELECT c_mktsegment, c_custkey, c_acctbal,
 FROM customer
 """
 
+def window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44 — analytic-function parity matrix: percent_rank /
+    cume_dist / nth_value / first_value / last_value per customer
+    order history, every frame spelled EXPLICITLY (rows unbounded
+    preceding → current row for the value functions) because default
+    frames are where engines silently disagree. All windows keyed by
+    o_custkey — one partition per customer, parallel at any scale.
+    The rank ratios are (rank−1)/(n−1)-style doubles computed
+    identically from identical integer inputs, so 6dp rounding is
+    belt-and-braces only."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.first("o_totalprice").over(frame).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(frame).alias("second_price"),
+        F.last("o_totalprice").over(frame).alias("running_last_price"),
+    )
+
+
+ORACLES["window_function_matrix"] = """
+SELECT o_custkey, o_orderkey,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume_dist,
+       first_value(o_totalprice) OVER wf AS first_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price,
+       last_value(o_totalprice) OVER wf AS running_last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "window_topk_per_group": window_topk_per_group,
+    "window_function_matrix": window_function_matrix,
     "window_running_sum": window_running_sum,
     "window_lag_delta": window_lag_delta,
     "window_rank_ntile": window_rank_ntile,

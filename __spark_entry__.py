@@ -92,6 +92,8 @@ _PRIORITY = (
     "stream_topk",
     "window_function_matrix",
     "etl_reject_routing",
+    "etl_snapshot_diff",
+    "sketch_count_min_tokens",
     "text_perplexity_buckets",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---

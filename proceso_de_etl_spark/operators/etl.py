@@ -1033,9 +1033,115 @@ ORDER BY reason
 """
 
 
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 — snapshot diff / reconciliation: classify every key
+    across two table versions as added / removed / changed /
+    unchanged in ONE full-outer join on the PK, rolled up to a
+    per-status accounting row (count, key checksum, exact price
+    delta) — the audit that makes E22's time travel actionable
+    ("what changed between v6 and v7, and does it reconcile with the
+    change feed we applied?"). At 100 TB each side shuffles once on
+    the PK; checksums make a misclassified row move a value, and the
+    price delta rides the DECIMAL accumulator so it is
+    order-independent.
+
+    Before = the pre-1999 base snapshot; after = E18's CDC-applied
+    snapshot, so the expected classification is exactly the change
+    feed (added = post-cutoff inserts, removed = deletes, changed =
+    updates minus delete-wins) — recomputed independently by the
+    oracle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.expr("TIMESTAMP '1999-01-01 00:00:00'")
+    before = orders.filter(F.col("o_orderdate") < cutoff).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    after = etl_cdc_apply(spark, sf_dir).select(
+        F.col("o_orderkey").alias("ak"),
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_totalprice").alias("a_price"),
+    )
+    j = before.join(after, before.bk == after.ak, "full_outer")
+    same = F.col("b_status").eqNullSafe(F.col("a_status")) & F.col("b_price").eqNullSafe(
+        F.col("a_price")
+    )
+    status = (
+        F.when(F.col("bk").isNull(), "added")
+        .when(F.col("ak").isNull(), "removed")
+        .when(~same, "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("a_price"), F.lit(0.0)) - F.coalesce(F.col("b_price"), F.lit(0.0))
+    return (
+        j.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.col("bk"), F.col("ak"))).alias("key_checksum"),
+            dsum(delta).alias("price_delta"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLES["etl_snapshot_diff"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+),
+changes AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op, 1 AS seq
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  UNION ALL
+  SELECT o_orderkey, 'U-REV', o_totalprice + 100.0, 'U', 2
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 'D', 3
+  FROM base WHERE o_orderkey % 13 = 0
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rk
+    FROM changes) WHERE rk = 1
+),
+after AS (
+  SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS ak,
+         COALESCE(l.o_orderstatus, b.o_orderstatus) AS a_status,
+         COALESCE(l.o_totalprice, b.o_totalprice) AS a_price
+  FROM base b FULL OUTER JOIN last l ON b.o_orderkey = l.o_orderkey
+  WHERE COALESCE(l.op, '') <> 'D'
+),
+j AS (
+  SELECT b.o_orderkey AS bk, b.o_orderstatus AS b_status, b.o_totalprice AS b_price,
+         a.ak, a.a_status, a.a_price
+  FROM base b FULL OUTER JOIN after a ON b.o_orderkey = a.ak
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN bk IS NULL THEN 'added'
+              WHEN ak IS NULL THEN 'removed'
+              WHEN NOT (b_status IS NOT DISTINCT FROM a_status
+                        AND b_price IS NOT DISTINCT FROM a_price) THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(a_price, 0.0) - COALESCE(b_price, 0.0) AS delta
+  FROM j
+)
+SELECT status, COUNT(*) AS n_rows,
+       CAST(SUM(COALESCE(bk, ak)) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS price_delta
+FROM tagged
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_reject_routing": etl_reject_routing,
+    "etl_snapshot_diff": etl_snapshot_diff,
     "etl_clean_id": etl_clean_id,
     "etl_dedup_keep_first": etl_dedup_keep_first,
     "etl_dim_extract": etl_dim_extract,

@@ -110,8 +110,42 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_EPS = 0.0005  # over-estimate bound: est - exact <= eps * totalCount
+CMS_CONF = 0.99
+CMS_SEED = 42
+CMS_PROBES = ("join", "hash", "row", "scan", "data", "the", "merge", "zzz_absent_token")
+
+
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45 — count-min frequency sketch over the corpus token stream:
+    point-frequency estimates from a fixed-size mergeable summary —
+    the streaming/observability answer to "how often does THIS token
+    appear" without storing the vocabulary-sized exact count table.
+    One scan builds the sketch (JVM partial agg, map-side combine,
+    width 2e/eps x depth ln(1/δ) counters regardless of corpus
+    size); the probe set is answered by decoding the sketch bytes ON
+    THE DRIVER — a bounded round-trip (one binary value, like the
+    k-means centroid collect), not a data collect. CMS never
+    under-estimates and over-estimates by at most eps·N with
+    confidence δ (test-pinned vs exact counts). Estimates are
+    hash-layout-specific, so rows-only."""
+    from proceso_de_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    row = tok.agg(
+        F.count_min_sketch(
+            "tok", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]
+    sk = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row.sk))
+    rows = [(t, int(sk.estimateCount(t)), int(sk.totalCount())) for t in CMS_PROBES]
+    return spark.createDataFrame(rows, "token string, est_count long, n_total long")
+
+
 QUERIES = {
     "sketch_theta_setops": sketch_theta_setops,
+    "sketch_count_min_tokens": sketch_count_min_tokens,
     "sketch_kll_quantiles": sketch_kll_quantiles,
     "sketch_hll_rollup": sketch_hll_rollup,
 }

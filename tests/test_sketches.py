@@ -71,6 +71,28 @@ def test_hll_rollup_union_matches_direct_sketch(spark):
         assert got[yr].est_customers == direct[yr]
 
 
+def test_count_min_bounds(spark):
+    """CMS never under-estimates; over-estimate bounded by eps x
+    totalCount (one-sided, with confidence — eps=5e-4 on this corpus
+    leaves generous room). The absent probe must estimate ~0."""
+    from proceso_de_etl_spark.functions.text import tokens
+    from proceso_de_etl_spark.operators.sketches import CMS_EPS, CMS_PROBES
+
+    got = {r.token: r for r in sketches.sketch_count_min_tokens(spark, SF_SMOKE).collect()}
+    assert set(got) == set(CMS_PROBES)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    n_total = tok.count()
+    exact = {
+        r.tok: r.n
+        for r in tok.filter(F.col("tok").isin(*CMS_PROBES)).groupBy("tok").agg(F.count("*").alias("n")).collect()
+    }
+    for t in CMS_PROBES:
+        e = exact.get(t, 0)
+        assert got[t].n_total == n_total
+        assert e <= got[t].est_count <= e + CMS_EPS * n_total, (t, e, got[t].est_count)
+
+
 def test_hash_split_fractions_and_stability(spark):
     """The hash split must land near its designed fractions, be
     disjoint+exhaustive, and assign every doc independently of

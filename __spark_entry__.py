@@ -94,6 +94,7 @@ _PRIORITY = (
     "etl_reject_routing",
     "etl_snapshot_diff",
     "sketch_count_min_tokens",
+    "embedding_int8_quantize",
     "text_perplexity_buckets",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---

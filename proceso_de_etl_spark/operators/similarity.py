@@ -409,8 +409,71 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T30 — symmetric int8 embedding quantization: per-vector scale
+    = 127/max|x|, codes = round(x·scale) ∈ [−127,127] — 4× smaller
+    embedding storage (the standard serving/index compression next to
+    PQ's 32×, but losslessly re-rankable to ~1e-2 cosine error).
+    Everything is JVM array expressions in ONE scan — transform /
+    array_max / zip_with, no Python, no shuffle; the output here is
+    the per-vector audit (scale + max reconstruction error), which is
+    what a quantization job must emit so downstream consumers can
+    gate on error. round() ties go away from zero in BOTH engines
+    (Spark HALF_UP, DuckDB ties-away), which is what makes the codes
+    — and therefore the error column — engine-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(1.0))
+    staged = emb.select("vec_id", xd.alias("xd"), scale.alias("scale"))
+    codes = F.transform(F.col("xd"), lambda x: F.round(x * F.col("scale")).cast("int"))
+    staged = staged.withColumn("codes", codes)
+    err = F.array_max(
+        F.zip_with(
+            F.col("xd"), F.col("codes"), lambda x, q: F.abs(x - q.cast("double") / F.col("scale"))
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.size("xd").alias("n_dims"),
+        F.round(F.col("scale"), 6).alias("scale_r6"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("bigint"), lambda acc, q: acc + q.cast("bigint")
+        ).alias("code_checksum"),
+        F.round(err, 8).alias("max_err"),
+    )
+
+
+ORACLES["embedding_int8_quantize"] = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xd,
+         CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 1.0 END AS scale
+  FROM e
+),
+c AS (
+  SELECT vec_id, xd, scale,
+         list_transform(xd, x -> CAST(round(x * scale) AS INT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(xd) AS INT) AS n_dims,
+       ROUND(scale, 6) AS scale_r6,
+       CAST(list_sum(codes) AS BIGINT) AS code_checksum,
+       ROUND(list_max(list_transform(range(1, len(xd) + 1),
+             i -> abs(xd[i] - CAST(codes[i] AS DOUBLE) / scale))), 8) AS max_err
+FROM c
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "embedding_int8_quantize": embedding_int8_quantize,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,

@@ -536,6 +536,19 @@ def test_ivfpq_recall_and_cell_pruned_scan(spark):
     assert scanned < bound < N_QUERIES * corpus_n, (scanned, bound, corpus_n)
 
 
+def test_int8_quantization_error_bound(spark):
+    """T30: symmetric int8 round-to-nearest guarantees per-element
+    reconstruction error <= 0.5/scale; codes stay in [-127, 127]."""
+    from proceso_de_etl_spark.operators.similarity import embedding_int8_quantize
+    from tests.conftest import SF_CORRECT
+
+    rows = embedding_int8_quantize(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.max_err * r.scale_r6 <= 0.5 + 1e-3, (r.vec_id, r.max_err, r.scale_r6)
+        assert abs(r.code_checksum) <= 127 * r.n_dims
+
+
 def test_bpe_train_golden_merges(spark):
     """T27 on the textbook BPE toy corpus: 'es' merges first (newest
     6 + widest 3 = 9), then 'es'+'t', then 'l'+'o' — and greedy

@@ -96,6 +96,7 @@ _PRIORITY = (
     "sketch_count_min_tokens",
     "embedding_int8_quantize",
     "text_perplexity_buckets",
+    "text_quality_terciles",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",

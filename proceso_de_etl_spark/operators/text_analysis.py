@@ -495,6 +495,79 @@ ORDER BY bin
 """
 
 
+def text_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31 — corpus-DEPENDENT quality tiers (the exact CCNet split,
+    complementing T29's fixed-bound bins): tercile cut points from
+    A22's exact percentile over the unigram-LM score, broadcast back
+    as a 1-row scalar, every doc tagged head/middle/tail, per-band
+    accounting. Two passes over the doc-level score table (tiny next
+    to the corpus): one global percentile agg, one tag+rollup — the
+    fact-scale work (tokenize + score) happens once upstream.
+
+    Cross-engine determinism: both engines linear-interpolate exact
+    percentiles with the same (n−1)·q position arithmetic on the
+    SAME 4dp-rounded doubles, so the cuts are bit-identical; a cut
+    can only coincide with a data value when the two neighbors are
+    equal, in which case interpolation returns exactly that value in
+    both engines — band comparisons can never disagree."""
+    scores = _unigram_scores(load_table(spark, sf_dir, "documents"))
+    cuts = scores.agg(
+        F.percentile("avg_logprob", F.lit(1.0 / 3.0)).alias("cut_lo"),
+        F.percentile("avg_logprob", F.lit(2.0 / 3.0)).alias("cut_hi"),
+    )
+    band = (
+        F.when(F.col("avg_logprob") > F.col("cut_hi"), "head")
+        .when(F.col("avg_logprob") > F.col("cut_lo"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(dsum(F.col("avg_logprob"), 12) / F.count("*"), 4).alias("mean_logprob"),
+            F.round(F.min("cut_lo"), 4).alias("cut_lo_r4"),
+            F.round(F.min("cut_hi"), 4).alias("cut_hi_r4"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLES["text_quality_terciles"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok),
+scores AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / n_total) AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*), 4) AS avg_logprob
+  FROM tok JOIN cnt USING (tok) CROSS JOIN n
+  GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(avg_logprob, {1.0 / 3.0}) AS cut_lo,
+         quantile_cont(avg_logprob, {2.0 / 3.0}) AS cut_hi
+  FROM scores
+),
+tagged AS (
+  SELECT s.*, c.cut_lo, c.cut_hi,
+         CASE WHEN avg_logprob > cut_hi THEN 'head'
+              WHEN avg_logprob > cut_lo THEN 'middle'
+              ELSE 'tail' END AS band
+  FROM scores s CROSS JOIN cuts c
+)
+SELECT band, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(CAST(avg_logprob AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 4) AS mean_logprob,
+       ROUND(MIN(cut_lo), 4) AS cut_lo_r4,
+       ROUND(MIN(cut_hi), 4) AS cut_hi_r4
+FROM tagged
+GROUP BY band
+ORDER BY band
+"""
+
+
 def text_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T25 — corpus adjacent-pair statistics: the top-20 most
     frequent token bigrams with their document frequency — the
@@ -671,6 +744,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_unigram_lm_score": text_unigram_lm_score,
     "text_perplexity_buckets": text_perplexity_buckets,
+    "text_quality_terciles": text_quality_terciles,
     "text_bigram_pairs": text_bigram_pairs,
     "text_bpe_train": text_bpe_train,
 }

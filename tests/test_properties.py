@@ -110,6 +110,39 @@ def test_sessionize_matches_python_reference(spark, events):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([1, 3, 10]),
+)
+@SET
+def test_ranked_topk_matches_global_window(spark, rows, k):
+    """ranked_topk (TakeOrderedAndProject + id-ranked survivors) must
+    equal the single-partition row_number window it replaces, for any
+    input and k — including k > |input| and the empty frame."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    df = spark.createDataFrame(rows, "id long, v long") if rows else (
+        spark.createDataFrame([], "id long, v long")
+    )
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        (r.rank, r.id, r.v)
+        for r in ranked_topk(df, order, k).select("rank", "id", "v").collect()
+    }
+    want = {
+        (i + 1, id_, v)
+        for i, (id_, v) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+        )
+    }
+    assert got == want, (rows, k)
+
+
 def _py_bpe_merge(sym: list[str], left: str, right: str) -> list[str]:
     """Pure-python reference of the greedy left-to-right BPE merge."""
     out: list[str] = []

@@ -97,6 +97,7 @@ _PRIORITY = (
     "embedding_int8_quantize",
     "text_perplexity_buckets",
     "text_quality_terciles",
+    "stream_late_data_accounting",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",

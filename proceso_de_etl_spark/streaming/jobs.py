@@ -375,6 +375,90 @@ def stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(windowed_distinct_users(stream_events(spark, sf_dir)), "complete")
 
 
+LATE_WM_DELAY = "2 hours"
+
+
+def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12 — watermark late-data accounting: how many GROUPS did the
+    watermark actually drop, and does the ledger reconcile? The
+    events table is replayed as three ordered micro-batches (recent
+    25% → middle 25% → oldest 50% as the late arrivals); the
+    engine's own `numRowsDroppedByWatermark` metric is the ground
+    truth for what the windowed agg refused.
+
+    Two engine facts this operator documents (empirically pinned,
+    Spark 4.1) that anyone building late-data SLAs must know:
+    1. the LATE-EVENTS watermark lags the global watermark by one
+       batch (SPARK-40925 split it from the eviction watermark), so
+       rows late relative to batch N's data are only FILTERED from
+       batch N+2 on — hence three batches, not two;
+    2. the metric counts rows AT THE STATEFUL OPERATOR — i.e. after
+       partial aggregation, one row per (window, event_type) group
+       per batch — so it tallies dropped GROUPS, not input rows.
+    The test pins the exact expected group count from the watermark
+    rule (window_end ≤ max(batch1.ts) − delay). Rows-only: the
+    metric is engine-internal by design."""
+    import os
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.sources.catalog import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cuts = ev.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.50)).alias("c50"),
+        F.percentile(F.unix_micros("ts"), F.lit(0.75)).alias("c75"),
+    ).collect()[0]
+    recent = ev.filter(F.unix_micros("ts") >= cuts.c75)
+    middle = ev.filter(
+        (F.unix_micros("ts") >= cuts.c50) & (F.unix_micros("ts") < cuts.c75)
+    )
+    late = ev.filter(F.unix_micros("ts") < cuts.c50)
+    stage = tempfile.mkdtemp(prefix="stream_late_")
+    # three single files with distinct mtimes -> deterministic replay
+    # order (maxFilesPerTrigger=1, oldest file first); coerce to
+    # TIMESTAMP(MICROS): pandas defaults to nanos, which the
+    # TimestampType stream schema would reject
+    for fname, part in (("b1_recent", recent), ("b2_middle", middle), ("b3_late", late)):
+        part.toPandas().to_parquet(
+            os.path.join(stage, f"{fname}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        _time.sleep(1.1)
+
+    src = (
+        spark.readStream.schema(recent.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    counts = (
+        src.withWatermark("ts", LATE_WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:12]}"
+    q = counts.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        dropped_groups = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    n_recent, n_middle, n_late = recent.count(), middle.count(), late.count()
+    return spark.createDataFrame(
+        [(n_recent + n_middle + n_late, n_recent, n_middle, n_late, dropped_groups)],
+        "n_input long, n_batch1 long, n_batch2 long, n_batch3_late long,"
+        " n_dropped_groups long",
+    )
+
+
 TOPK_K = 3
 
 
@@ -439,6 +523,7 @@ QUALIFY rk <= {TOPK_K}
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_topk": stream_topk,
+    "stream_late_data_accounting": stream_late_data_accounting,
     "stream_approx_distinct": stream_approx_distinct,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,

@@ -261,3 +261,37 @@ def test_transform_with_state_gated_with_actionable_error(spark):
     assert not transform_with_state_available()
     with _pytest.raises(RuntimeError, match="protobuf"):
         running_user_totals_tws(jobs.stream_events(spark, SF_SMOKE))
+
+
+def test_late_data_accounting_reconciles_exactly(spark):
+    """ST12: drops must actually happen, batch splits must conserve
+    the input, and the dropped-GROUP count must equal the watermark
+    rule computed independently: distinct (1h window, event_type)
+    groups among batch-3 rows whose window closed at or before
+    max(batch1.ts) - delay (the late-events watermark in effect for
+    batch 3 lags one batch, so it derives from batch 1)."""
+    row = jobs.stream_late_data_accounting(spark, SF_SMOKE).collect()[0]
+    assert row.n_dropped_groups > 0
+    assert row.n_input == row.n_batch1 + row.n_batch2 + row.n_batch3_late
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cuts = ev.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.50)).alias("c50"),
+        F.percentile(F.unix_micros("ts"), F.lit(0.75)).alias("c75"),
+    ).collect()[0]
+    recent_max_us = (
+        ev.filter(F.unix_micros("ts") >= cuts.c75)
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    wm_ms = recent_max_us // 1000 - 2 * 3600 * 1000
+    expected_groups = (
+        ev.filter(F.unix_micros("ts") < cuts.c50)
+        .filter(
+            (F.unix_micros(F.date_trunc("hour", "ts")) + 3600 * 1_000_000) <= wm_ms * 1000
+        )
+        .select(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert row.n_dropped_groups == expected_groups, (row.n_dropped_groups, expected_groups)

@@ -98,6 +98,7 @@ _PRIORITY = (
     "text_perplexity_buckets",
     "text_quality_terciles",
     "stream_late_data_accounting",
+    "dedup_duplicate_spans",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",

@@ -790,8 +790,75 @@ WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(lower(c.text)) = b.content_ha
 """
 
 
+SPAN_N = 12  # tokens per span: long enough that sharing one is never chance
+SPAN_TOPK = 50
+
+
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32 — exact duplicated-span detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring criterion, shingle-hash form): a SPAN_N-token span
+    appearing verbatim in ≥2 documents marks memorization-grade
+    duplication that document-level near-dup (T2-T5) under-flags —
+    e.g. a long quoted paragraph inside otherwise-distinct pages.
+    Suffix arrays are the single-node tool; the distributed shape is
+    the same machinery as decontamination (T19): rolling span hashes
+    → one equi-groupBy for document frequency → per-doc duplicated
+    fraction. Top-SPAN_TOPK most-duplicated docs via the scale-safe
+    ranked_topk (TakeOrderedAndProject, no global window). Span
+    hashes are md5 (engine-identical); within-doc repeats of a span
+    count once (distinct per doc) so the fraction is a document
+    property, not a repetition artifact."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), SPAN_N).alias("spans")
+    )
+    doc_span = (
+        staged.select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    df_counts = doc_span.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (
+        doc_span.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4))
+    )
+    return ranked_topk(
+        per_doc, [F.desc("dup_frac"), F.asc("doc_id")], SPAN_TOPK
+    ).select("rank", "doc_id", "n_spans", "n_dup_spans", "dup_frac")
+
+
+_SPAN_SQL = shingles_sql(_TOKS_SQL, SPAN_N)
+ORACLES["dedup_duplicate_spans"] = f"""
+WITH doc_span AS (
+  SELECT DISTINCT doc_id, md5(s) AS h
+  FROM (SELECT doc_id, unnest({_SPAN_SQL}) AS s FROM documents)
+),
+dfc AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM doc_span GROUP BY h),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM doc_span JOIN dfc USING (h)
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 4) DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, n_spans, CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+       ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 4) AS dup_frac
+FROM per_doc
+QUALIFY rank <= {SPAN_TOPK}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_duplicate_spans": dedup_duplicate_spans,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_connected_components": dedup_connected_components,

@@ -500,9 +500,14 @@ def text_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementing T29's fixed-bound bins): tercile cut points from
     A22's exact percentile over the unigram-LM score, broadcast back
     as a 1-row scalar, every doc tagged head/middle/tail, per-band
-    accounting. Two passes over the doc-level score table (tiny next
-    to the corpus): one global percentile agg, one tag+rollup — the
-    fact-scale work (tokenize + score) happens once upstream.
+    accounting. Two passes over the doc-level score table: one global
+    percentile agg, one tag+rollup — the fact-scale work (tokenize +
+    score) happens once upstream. Scale note: EXACT percentile state
+    is value-count-sized on the final reducer; that is fine for
+    thousands-to-millions of docs and is what makes the cuts
+    oracle-checkable here, but a billions-of-docs corpus should swap
+    the cut computation for the KLL sketch (A34, mergeable constant
+    state, ~1.65% rank error) — the tag+rollup stage is unchanged.
 
     Cross-engine determinism: both engines linear-interpolate exact
     percentiles with the same (n−1)·q position arithmetic on the

@@ -473,7 +473,12 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads back. Complete mode makes each epoch carry the full
     aggregate, so the last epoch's write IS the answer; on an
     unbounded source the same job continuously refreshes a
-    "trending now" table. No driver-side collect anywhere."""
+    "trending now" table. No driver-side collect anywhere. State
+    note: complete mode retains every (window, type) count — fine
+    here (state is one tiny row per hour × type, ~9k rows/year/type),
+    but a high-cardinality group key would switch to update mode +
+    a foreachBatch upsert so the watermark can evict closed
+    windows."""
     import os
     import tempfile
 

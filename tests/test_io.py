@@ -171,3 +171,16 @@ def test_time_travel_retains_and_vacuums_versions(spark, tmp_path):
         read_table_version(spark, root, "t", v1_txn)
     assert vacuum_table_versions(root, "t") == 1
     assert {r.id for r in read_table_version(spark, root, "t").collect()} == {0, 1, 2, 3}
+
+
+def test_load_table_fails_fast_with_actionable_errors(spark):
+    """Misuse must fail loudly at the call site: an unknown table name
+    raises a KeyError listing the known tables; a missing sf_dir
+    surfaces Spark's AnalysisException naming the path (eager parquet
+    existence check), not a later empty result."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(KeyError, match="unknown table"):
+        load_table(spark, SF_SMOKE, "bogus")
+    with pytest.raises(AnalysisException):
+        load_table(spark, "/root/testdata/does_not_exist", "orders")

@@ -324,6 +324,26 @@ def test_topk_queries_use_take_ordered_not_global_window(spark):
         spark.catalog.clearCache()  # sort_global_rank pins its ranged partitioning
 
 
+def test_results_invariant_to_shuffle_parallelism(spark):
+    """The dsum/davg DECIMAL-accumulation design's core claim: results
+    are BIT-IDENTICAL under any parallelism. Evidence: three
+    value-sensitive queries (pure agg, multi-join flagship, log-prob
+    scoring) re-run with shuffle.partitions=1 must equal the 32-way
+    results exactly — double-accumulation designs fail this (sum
+    order changes the last ulp)."""
+    keys = ("q1_pricing_summary", "etl_star_flagship", "text_unigram_lm_score")
+    qs = entrymod.queries()
+    wide = {k: sorted(tuple(r) for r in qs[k](spark, SF_CORRECT).collect()) for k in keys}
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        for k in keys:
+            narrow = sorted(tuple(r) for r in qs[k](spark, SF_CORRECT).collect())
+            assert narrow == wide[k], f"{k}: result depends on shuffle parallelism"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def test_dpp_prunes_fact_partitions(spark):
     """E20's claim: when the year filter reaches the partitioned fact
     through a JOIN (not a literal), Catalyst must insert a

@@ -99,6 +99,8 @@ _PRIORITY = (
     "text_quality_terciles",
     "stream_late_data_accounting",
     "dedup_duplicate_spans",
+    "recursive_cte_closure",
+    "events_variant_extract",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",

@@ -265,6 +265,37 @@ FROM events
 GROUP BY event_type
 """
 
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47 — VARIANT semi-structured access (Spark 4): ``props``
+    parsed ONCE into the binary variant encoding, then typed path
+    extraction with `variant_get` — repeated paths read the encoded
+    tree instead of re-parsing the JSON string per path, which is
+    the cost model that makes wide semi-structured scans viable at
+    100 TB (get_json_object re-parses per call; A's
+    `events_json_extract` keeps that legacy form for contrast).
+    Missing paths (`$.missing`) are NULL under `try_variant_get` —
+    counted here to pin the NULL semantics cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.try_variant_get("v", "$.missing", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("k_count"),
+        F.count(missing).alias("n_missing_present"),
+    )
+
+
+ORACLES["events_variant_extract"] = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_count,
+       COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_present
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization: a dense hourly spine per event
     type with zero-filled gaps — the resample step before any
@@ -559,4 +590,5 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_interval_join_bucketed": events_interval_join_bucketed,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_variant_extract": events_variant_extract,
 }

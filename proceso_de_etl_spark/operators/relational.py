@@ -662,8 +662,47 @@ FROM ranked WHERE rk = 1
 """
 
 
+def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46 — recursive CTE (Spark 4 `WITH RECURSIVE`): transitive
+    closure over a synthesized customer forest (parent(k) =
+    floor(k/10), roots are keys < 10 — parents always exist because
+    the key space is dense), rolled up to per-depth accounting with
+    root checksums. The iterative-join pattern the engine previously
+    had to hand-write (T4b's connected-components loop with manual
+    localCheckpoint) is here declared in one statement and executed
+    by the engine's own recursion machinery — bounded at
+    log10(max_key) ≈ 6 distributed join iterations, no driver loop.
+    DuckDB runs the identical statement, so this is value-oracled;
+    floor(k/10.0) is spelled portably (integer `/` differs between
+    the engines)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_rec_src")
+    return spark.sql(_RECURSIVE_SQL.format(table="customer_rec_src"))
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+  FROM {table} WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, a.root, a.depth + 1
+  FROM {table} c JOIN anc a
+    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = a.node
+  WHERE c.c_custkey >= 10
+)
+SELECT depth, COUNT(*) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_checksum,
+       CAST(SUM(root) AS BIGINT) AS root_checksum
+FROM anc
+GROUP BY depth
+ORDER BY depth
+"""
+
+ORACLES["recursive_cte_closure"] = _RECURSIVE_SQL.format(table="customer")
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
+    "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,
     "set_ops_customers": set_ops_customers,
     "agg_distinct_exact": agg_distinct_exact,

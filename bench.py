@@ -54,6 +54,7 @@ HEADLINE = (
     "text_vocab_topk",
     "text_bigram_pairs",
     "sort_global_rank",
+    "dedup_duplicate_spans",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from

@@ -57,17 +57,32 @@ def stop_hits_sql(toks_expr: str, words: tuple[str, ...]) -> str:
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined). Empty array when the
     document has fewer than n tokens (F.sequence would otherwise
-    descend and produce garbage)."""
-    count = F.size(toks) - (n - 1)
-    return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            # element_at is O(1); building each shingle via slice()
-            # allocates a subarray per shingle (measurably slower)
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    descend and produce garbage).
+
+    The input expression is BOUND ONCE per row via an outer transform
+    lambda before the per-position element_at references: inlined
+    directly, each of the n element_at calls per span position would
+    re-evaluate the whole ``toks`` expression (e.g. re-tokenize the
+    document) — and a caller-side projection boundary does NOT
+    protect against this because CollapseProject re-inlines adjacent
+    selects (measured 87 s → 2 s at sf0.1 for 12-token spans). The
+    one-element array wrap costs one allocation per row."""
+
+    def spans_of(t: Column) -> Column:
+        count = F.size(t) - (n - 1)
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                # element_at is O(1); building each shingle via slice()
+                # allocates a subarray per shingle (measurably slower)
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), spans_of), 1)
 
 
 def shingles_sql(toks_expr: str, n: int = 3) -> str:

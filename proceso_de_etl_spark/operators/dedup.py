@@ -812,8 +812,13 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from proceso_de_etl_spark.operators.windows import ranked_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", shingles(tokens(F.col("text")), SPAN_N).alias("spans")
+    # token array MUST materialize through a projection boundary
+    # before shingles() references it 12x per span position — inlined,
+    # each element_at re-tokenizes the whole document (the SURVEY §7
+    # engineering note; measured 87 s -> ~2 s at sf0.1)
+    toks_staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    staged = toks_staged.select(
+        "doc_id", shingles(F.col("toks"), SPAN_N).alias("spans")
     )
     doc_span = (
         staged.select("doc_id", F.explode("spans").alias("s"))

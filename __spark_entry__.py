@@ -101,6 +101,8 @@ _PRIORITY = (
     "dedup_duplicate_spans",
     "recursive_cte_closure",
     "events_variant_extract",
+    "multimodal_audio_energy",
+    "multimodal_image_resize",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",

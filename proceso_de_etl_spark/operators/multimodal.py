@@ -185,7 +185,141 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WIN = 1024  # samples per RMS window
+
+
+def make_audio_featurizer(win: int):
+    """Per-Arrow-batch audio featurizer (closure, shipped by value):
+    payload bytes reinterpreted as 16-bit little-endian PCM (the
+    codec-free stand-in for a real decode), then the classic
+    windowed DSP features — per-window RMS energy, global peak
+    amplitude, zero-crossing ratio — all numpy-vectorized (reshape +
+    one reduction per feature; no Python per-sample loop). A real
+    deployment swaps the frombuffer for librosa/soundfile decode;
+    the Spark contract (mapInPandas batch shape, per-doc summary
+    row) is identical."""
+
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data) // 2
+                x = np.frombuffer(data[: n * 2], dtype="<i2").astype(np.float64) / 32768.0
+                nwin = x.size // win
+                rms = (
+                    np.sqrt((x[: nwin * win].reshape(nwin, win) ** 2).mean(axis=1))
+                    if nwin
+                    else np.zeros(0)
+                )
+                zc = (
+                    int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if x.size > 1
+                    else 0
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": int(x.size),
+                        "n_windows": int(nwin),
+                        "mean_rms": round(float(rms.mean()), 6) if nwin else 0.0,
+                        "peak": round(float(np.abs(x).max()), 6) if x.size else 0.0,
+                        "zcr": round(zc / max(x.size - 1, 1), 6),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "n_windows", "mean_rms", "peak", "zcr"]
+            )
+
+    return feats
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 — audio feature extraction plumbing: binary payload →
+    int16-PCM reinterpret → windowed RMS / peak / zero-crossing
+    ratio per document. The per-doc summary shape an audio-quality
+    gate (silence or clipping filters) consumes. (Rows-only: DSP
+    over byte-reinterpreted samples has no SQL twin; the unit test
+    pins golden values on literal PCM.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        make_audio_featurizer(AUDIO_WIN),
+        schema="doc_id bigint, n_samples bigint, n_windows bigint,"
+        " mean_rms double, peak double, zcr double",
+    )
+
+
+IMG_W = 64  # stub image width (bytes per row)
+
+
+def make_image_resizer(width: int):
+    """Per-Arrow-batch 2× image downsampler (closure, shipped by
+    value): payload bytes as a width×H uint8 grid (codec-free decode
+    stand-in), 2×2 mean-pool via one reshape — the vectorized resize
+    every vision-data pipeline runs before feature extraction. Emits
+    dims + content digest so tests pin the exact output without
+    shipping pixels around."""
+
+    def resize(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                h = len(data) // width
+                img = np.frombuffer(data[: h * width], dtype=np.uint8).reshape(h, width)
+                oh, ow = h // 2, width // 2
+                # 2x2 mean pool, floor back to uint8 — one reshape + one mean
+                small = (
+                    img[: oh * 2, : ow * 2]
+                    .reshape(oh, 2, ow, 2)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                    if oh and ow
+                    else np.zeros((0, 0), dtype=np.uint8)
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "in_w": int(width),
+                        "in_h": int(h),
+                        "out_w": int(ow if oh else 0),
+                        "out_h": int(oh),
+                        "out_md5": hashlib.md5(small.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "in_w", "in_h", "out_w", "out_h", "out_md5"]
+            )
+
+    return resize
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T34 — image resize plumbing: binary payload as a 64-wide uint8
+    grid, 2×2 mean-pooled (numpy reshape, no Python pixel loop),
+    output dims + digest. (Rows-only: pixel pooling has no SQL twin;
+    the unit test pins golden digests on literal grids.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        make_image_resizer(IMG_W),
+        schema="doc_id bigint, in_w bigint, in_h bigint, out_w bigint,"
+        " out_h bigint, out_md5 string",
+    )
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_energy": multimodal_audio_energy,
+    "multimodal_image_resize": multimodal_image_resize,
 }

@@ -254,6 +254,53 @@ def test_multimodal_frame_sample_golden(spark):
     assert want[-1][2] == 4  # the tail frame really is short
 
 
+def test_multimodal_audio_energy_golden(spark):
+    """Audio featurizer: int16-PCM reinterpret + windowed RMS / peak /
+    zero-crossings, golden-checked against a numpy reference on a
+    synthetic square wave (known RMS=ampl, one crossing per
+    half-period)."""
+    import numpy as np
+
+    from proceso_de_etl_spark.operators.multimodal import make_audio_featurizer
+
+    # square wave: ±8192 alternating every 8 samples, 2048 samples
+    x = np.tile(np.concatenate([np.full(8, 8192), np.full(8, -8192)]), 128).astype("<i2")
+    payload = x.tobytes()
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = df.mapInPandas(
+        make_audio_featurizer(1024),
+        schema="doc_id bigint, n_samples bigint, n_windows bigint,"
+        " mean_rms double, peak double, zcr double",
+    ).collect()[0]
+    assert row.n_samples == 2048 and row.n_windows == 2
+    ampl = 8192 / 32768.0
+    assert abs(row.mean_rms - round(ampl, 6)) < 1e-9  # square wave: RMS == amplitude
+    assert row.peak == round(ampl, 6)
+    assert row.zcr == round(255 / 2047, 6)  # a crossing every 8 samples
+
+
+def test_multimodal_image_resize_golden(spark):
+    """2x2 mean-pool resize: golden digest against a numpy reference
+    on a known gradient grid, including odd-height crop."""
+    import hashlib
+
+    import numpy as np
+
+    from proceso_de_etl_spark.operators.multimodal import make_image_resizer
+
+    img = (np.arange(64 * 9, dtype=np.int64) % 251).astype(np.uint8).reshape(9, 64)
+    payload = img.tobytes() + b"x"  # trailing partial row must be cropped
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    row = df.mapInPandas(
+        make_image_resizer(64),
+        schema="doc_id bigint, in_w bigint, in_h bigint, out_w bigint,"
+        " out_h bigint, out_md5 string",
+    ).collect()[0]
+    assert (row.in_h, row.out_w, row.out_h) == (9, 32, 4)
+    want = img[:8].reshape(4, 2, 32, 2).mean(axis=(1, 3)).astype(np.uint8)
+    assert row.out_md5 == hashlib.md5(want.tobytes()).hexdigest()
+
+
 def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
     """The z-ordered layout must make parquet footer stats selective
     on BOTH dimensions: under a 2-D predicate, fewer files overlap

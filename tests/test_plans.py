@@ -180,7 +180,12 @@ def test_q1_partial_aggregation_and_codegen(spark):
 def test_no_python_udf_in_jvm_paths(spark):
     """Every query except the explicitly-Arrow ones must compile to a
     pure JVM plan: no BatchEvalPython (row-at-a-time Python)."""
-    arrow_ok = {"multimodal_features", "multimodal_frame_sample"}
+    arrow_ok = {
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "multimodal_audio_energy",
+        "multimodal_image_resize",
+    }
     streaming = {"stream_tumbling_window", "stream_session_window", "stream_dedup"}
     for name, fn in entrymod.queries().items():
         if name in streaming:

@@ -825,10 +825,19 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("s").alias("h"))
         .distinct()
     )
-    df_counts = doc_span.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency as a KEYED window over the span hash, not a
+    # groupBy+join-back: the join form re-computes the whole
+    # tokenize+shingle subtree for its probe side (2 FileScans — the
+    # dominant cost at 100 TB, twice), while the window does one scan
+    # and the same single h-shuffle the join would need anyway. A
+    # boilerplate span's doc list funnels through one task either
+    # way (bounded by that span's DF — cap ubiquitous spans first,
+    # as decontamination does, if that ever dominates).
+    from pyspark.sql import Window as W
+
+    flagged = doc_span.withColumn("df", F.count("*").over(W.partitionBy("h")))
     per_doc = (
-        doc_span.join(df_counts, "h")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup_spans"),

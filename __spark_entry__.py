@@ -29,6 +29,7 @@ from proceso_de_etl_spark.operators import (
 )
 from proceso_de_etl_spark.plans import tpch, tpch_ext, tpch_params
 from proceso_de_etl_spark.sources import bucketing
+from proceso_de_etl_spark.sources import io as sources_io
 from proceso_de_etl_spark.streaming import cdc as streaming_cdc
 from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 
@@ -52,6 +53,7 @@ _MODULES = (
     streaming_cdc,
     sketches,
     bucketing,
+    sources_io,
     relational,
     windows,
     events,
@@ -103,6 +105,7 @@ _PRIORITY = (
     "events_variant_extract",
     "multimodal_audio_energy",
     "multimodal_image_resize",
+    "source_binary_files",
     "text_bpe_train",
     # --- stale round-1 driver rows: analytic q-suite tail ---
     "q5_local_supplier",

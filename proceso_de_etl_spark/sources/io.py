@@ -126,3 +126,56 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+ORACLES: dict[str, str] = {}
+
+BINFILE_N_DOCS = 200  # files staged for the binaryFile demo
+
+
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — the built-in ``binaryFile`` source: whole-file ingestion
+    into (path, modificationTime, length, content) rows — how raw
+    media (images/audio/pdfs) lands in a multimodal table before the
+    mapInPandas feature extractors (operators/multimodal.py) take
+    over. Reading parallelizes by file across executors; content
+    never passes through a Python row object. Here the first
+    BINFILE_N_DOCS documents are staged as one .txt file each (test
+    scaffolding standing in for an upstream media drop), read back
+    via binaryFile, and verified by content digest — the oracle
+    recomputes md5/length from the documents table directly, so a
+    corrupted or truncated file read moves a value."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BINFILE_N_DOCS
+    )
+    stage = tempfile.mkdtemp(prefix="binfiles_")
+    for r in docs.select("doc_id", "text").collect():
+        with open(os.path.join(stage, f"{r.doc_id:08d}.txt"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    files = spark.read.format("binaryFile").load(stage)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+ORACLES["source_binary_files"] = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < {BINFILE_N_DOCS}
+"""
+
+
+QUERIES = {
+    "source_binary_files": source_binary_files,
+}

@@ -329,6 +329,26 @@ def test_topk_queries_use_take_ordered_not_global_window(spark):
         spark.catalog.clearCache()  # sort_global_rank pins its ranged partitioning
 
 
+def test_sort_global_rank_dense_and_deterministic(spark):
+    """A41's ADVICE-r4 failure mode: without the persisted range
+    partitioning, the count job and rank job could sample different
+    range bounds — duplicate/missing ranks and silently dropped rows.
+    Pin the invariants directly: ranks are exactly the dense
+    permutation 1..n over the full table, and a second run (fresh
+    sampling) returns the identical result."""
+    from proceso_de_etl_spark.operators import relational
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    n = load_table(spark, SF_CORRECT, "orders").count()
+    a = sorted(tuple(r) for r in relational.sort_global_rank(spark, SF_CORRECT).collect())
+    assert len(a) == n
+    assert sorted(t[0] for t in a) == list(range(1, n + 1))
+    spark.catalog.clearCache()
+    b = sorted(tuple(r) for r in relational.sort_global_rank(spark, SF_CORRECT).collect())
+    assert a == b
+    spark.catalog.clearCache()
+
+
 def test_results_invariant_to_shuffle_parallelism(spark):
     """The dsum/davg DECIMAL-accumulation design's core claim: results
     are BIT-IDENTICAL under any parallelism. Evidence: three

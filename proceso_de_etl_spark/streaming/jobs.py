@@ -419,9 +419,12 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = ev.filter(F.unix_micros("ts") < cuts.c50)
     stage = tempfile.mkdtemp(prefix="stream_late_")
     # three single files with distinct mtimes -> deterministic replay
-    # order (maxFilesPerTrigger=1, oldest file first); coerce to
-    # TIMESTAMP(MICROS): pandas defaults to nanos, which the
-    # TimestampType stream schema would reject
+    # order (maxFilesPerTrigger=1, oldest file first). The toPandas
+    # staging is TEST SCAFFOLDING for the ordered replay — in
+    # production the arrival order comes from the source itself
+    # (kafka offsets / file drops) and nothing passes the driver.
+    # Coerce to TIMESTAMP(MICROS): pandas defaults to nanos, which
+    # the TimestampType stream schema would reject
     for fname, part in (("b1_recent", recent), ("b2_middle", middle), ("b3_late", late)):
         part.toPandas().to_parquet(
             os.path.join(stage, f"{fname}.parquet"),

@@ -103,6 +103,7 @@ _PRIORITY = (
     "dedup_duplicate_spans",
     "recursive_cte_closure",
     "events_variant_extract",
+    "agg_argmax_no_window",
     "multimodal_audio_energy",
     "multimodal_image_resize",
     "source_binary_files",

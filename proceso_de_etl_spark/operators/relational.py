@@ -700,8 +700,47 @@ ORDER BY depth
 ORACLES["recursive_cte_closure"] = _RECURSIVE_SQL.format(table="customer")
 
 
+def agg_argmax_no_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48 — per-group argmax as an AGGREGATE, not a window: the
+    top-1-per-group formulation that scales past A11's row_number.
+    ``max(struct(ord, payload))`` is an algebraic aggregate — each
+    task combines map-side and ONE candidate row per group per task
+    crosses the shuffle — while a rank window must shuffle and sort
+    EVERY row of every group first. Same answer, different cost
+    class; the struct's field order (price, then negated partkey)
+    encodes the tie-break, so the argmax is deterministic where a
+    bare max_by is not. Partial aggregation is plan-asserted in
+    test_plans. Here: each brand's most expensive part."""
+    part = load_table(spark, sf_dir, "part")
+    best = part.groupBy("p_brand").agg(
+        F.max(
+            F.struct(
+                F.col("p_retailprice").alias("price"),
+                (-F.col("p_partkey")).alias("negkey"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "p_brand",
+        F.col("b.price").alias("top_price"),
+        (-F.col("b.negkey")).cast("bigint").alias("top_partkey"),
+    ).orderBy("p_brand")
+
+
+ORACLES["agg_argmax_no_window"] = """
+SELECT p_brand, p_retailprice AS top_price, p_partkey AS top_partkey
+FROM (SELECT p_brand, p_retailprice, p_partkey,
+             row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+      FROM part)
+WHERE rk = 1
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
+    "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,
     "set_ops_customers": set_ops_customers,

@@ -329,6 +329,17 @@ def test_topk_queries_use_take_ordered_not_global_window(spark):
         spark.catalog.clearCache()  # sort_global_rank pins its ranged partitioning
 
 
+def test_argmax_agg_combines_map_side(spark):
+    """A48's claim: max(struct(...)) per group is a partial
+    aggregate — the plan must carry a partial_max below the shuffle
+    (one candidate per group per task crosses the wire), which is
+    what makes the agg form cheaper than a rank window at scale."""
+    from proceso_de_etl_spark.operators.relational import agg_argmax_no_window
+
+    plan = plan_of(agg_argmax_no_window(spark, SF_CORRECT))
+    assert "partial_max" in plan, plan[:1500]
+
+
 def test_sort_global_rank_dense_and_deterministic(spark):
     """A41's ADVICE-r4 failure mode: without the persisted range
     partitioning, the count job and rank job could sample different

@@ -104,6 +104,8 @@ _PRIORITY = (
     "recursive_cte_closure",
     "events_variant_extract",
     "agg_argmax_no_window",
+    "q10_returned_items_v2",
+    "q18_large_orders_v2",
     "multimodal_audio_energy",
     "multimodal_image_resize",
     "source_binary_files",

@@ -217,8 +217,93 @@ WHERE l_shipdate >= TIMESTAMP '{Q14_PARAMS["month_start"]} 00:00:00'
 """
 
 
+# --- q10 family: returned items, another quarter ------------------
+
+Q10_PARAMS = {"quarter_start": "1997-01-01", "quarter_end": "1997-04-01"}
+
+
+def q10_returned_items_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q10 template at 1997-Q1: same join tree — nation the only
+    hinted broadcast, top-20 with custkey tie-break."""
+    p = Q10_PARAMS
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(p["quarter_start"]))
+        & (F.col("o_orderdate") < _ts(p["quarter_end"]))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(DISC_PRICE(), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLES["q10_returned_items_v2"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q10_PARAMS["quarter_start"]} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q10_PARAMS["quarter_end"]} 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- q18 family: large orders at a higher quantity threshold ------
+
+Q18_PARAMS = {"qty_threshold": 140}
+
+
+def q18_large_orders_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18 template at sum_qty > 140: the group-having still runs on
+    the fact side FIRST (one lineitem pass), joins pick up labels."""
+    thr = Q18_PARAMS["qty_threshold"]
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > thr)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLES["q18_large_orders_v2"] = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {Q18_PARAMS["qty_threshold"]}) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q1_pricing_summary_v2": q1_pricing_summary_v2,
+    "q10_returned_items_v2": q10_returned_items_v2,
+    "q18_large_orders_v2": q18_large_orders_v2,
     "q3_shipping_priority_v2": q3_shipping_priority_v2,
     "q5_local_supplier_v2": q5_local_supplier_v2,
     "q6_forecast_revenue_v2": q6_forecast_revenue_v2,

@@ -41,6 +41,14 @@ def test_parameters_are_not_vacuous(spark):
     assert tpch_params.q5_local_supplier_v2(spark, SF_SMOKE).count() > 0
     row = tpch_params.q14_promo_effect_v2(spark, SF_SMOKE).collect()[0]
     assert row.promo_revenue_pct is not None and 0.0 < row.promo_revenue_pct < 100.0
+    assert tpch_params.q10_returned_items_v2(spark, SF_SMOKE).count() == 20
+    assert tpch_params.q18_large_orders_v2(spark, SF_SMOKE).count() > 0
+    # the higher threshold must bite BEFORE the top-100 cap: strictly
+    # fewer qualifying orders than the family's > 130 instantiation
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty"))
+    n_130 = big.filter(F.col("sum_qty") > 130).count()
+    n_v2 = big.filter(F.col("sum_qty") > tpch_params.Q18_PARAMS["qty_threshold"]).count()
+    assert 0 < n_v2 < n_130
 
 
 def test_variant_plans_keep_family_invariants(spark):

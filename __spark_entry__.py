@@ -104,6 +104,7 @@ _PRIORITY = (
     "recursive_cte_closure",
     "events_variant_extract",
     "agg_argmax_no_window",
+    "q9_product_profit_v2",
     "q10_returned_items_v2",
     "q18_large_orders_v2",
     "multimodal_audio_energy",

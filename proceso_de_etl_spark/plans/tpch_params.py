@@ -300,8 +300,58 @@ LIMIT 100
 """
 
 
+# --- q9 family: product profit for another part word / cost rate --
+
+Q9_PARAMS = {"part_word": "gear", "cost_rate": 0.55}
+
+
+def q9_product_profit_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 template at (part_word 'gear', supply-cost rate 0.55): same
+    5-table star join; the substring filter still lands scan-side and
+    only nation is hinted broadcast."""
+    p = Q9_PARAMS
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(f"%{p['part_word']}%")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    profit = disc_price - F.lit(p["cost_rate"]) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part.select("p_partkey", "p_retailprice"), li.l_partkey == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit, 6).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+ORACLES["q9_product_profit_v2"] = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - {Q9_PARAMS["cost_rate"]} * p_retailprice * l_quantity
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_PARAMS["part_word"]}%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+
 QUERIES = {
     "q1_pricing_summary_v2": q1_pricing_summary_v2,
+    "q9_product_profit_v2": q9_product_profit_v2,
     "q10_returned_items_v2": q10_returned_items_v2,
     "q18_large_orders_v2": q18_large_orders_v2,
     "q3_shipping_priority_v2": q3_shipping_priority_v2,

@@ -66,6 +66,10 @@ def test_variant_plans_keep_family_invariants(spark):
     read_schema = plan.split("ReadSchema:")[1][:400]
     assert "l_returnflag" not in read_schema
 
+    # q9_v2: the alternate part word still pushes to the parquet scan
+    plan = plan_of(tpch_params.q9_product_profit_v2(spark, SF_SMOKE))
+    assert "StringContains(p_name,gear)" in plan, plan.split("PushedFilters")[1][:300]
+
     # q3_v2/q5_v2/q14_v2: with auto-broadcast off, no hinted broadcast
     # subtree may contain an SF-scaling table
     saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -738,8 +738,119 @@ ORDER BY p_brand
 """
 
 
+def interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49 — overlapping-interval merge (gaps-and-islands over true
+    intervals): per supplier, coalesce in-transit windows
+    [ship_start, ship_end] into maximal merged spans and report
+    coverage. The interval end is derived deterministically
+    (ship date + 1..20 days keyed on quantity — the testdata carries
+    no receipt date). Distinct from A23's point-gap sessionization:
+    intervals OVERLAP, so "new island" is decided against the running
+    maximum of all PRIOR interval ends (an exclusive-frame cummax
+    window), not against the previous row — interval k can be
+    swallowed by an interval that started many rows earlier.
+    Touching intervals (start == prior max end) merge.
+
+    Scale shape: one shuffle on l_suppkey (high cardinality, no
+    global window); the island rollup groups by (l_suppkey, island)
+    and the final per-supplier rollup by l_suppkey — both satisfied
+    by the window's hash partitioning, so Catalyst plans ZERO
+    additional exchanges after the window sort. Reference analogue:
+    the per-entity date-range consolidation the pandas script does
+    row-at-a-time (main.py groupby-apply shape)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_start"),
+        F.date_add(
+            F.to_date("l_shipdate"), F.col("l_quantity").cast("int") % 20 + 1
+        ).alias("ship_end"),
+    )
+    order = [
+        F.asc("ship_start"),
+        F.asc("ship_end"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    ]
+    w_prev = (
+        W.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    staged = staged.withColumn("prev_max_end", F.max("ship_end").over(w_prev))
+    w_run = W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    new_island = F.when(
+        F.col("prev_max_end").isNull()
+        | (F.col("ship_start") > F.col("prev_max_end")),
+        1,
+    ).otherwise(0)
+    islands = (
+        staged.withColumn("island", F.sum(new_island).over(w_run))
+        .groupBy("l_suppkey", "island")
+        .agg(
+            F.min("ship_start").alias("island_start"),
+            F.max("ship_end").alias("island_end"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+    day_span = F.datediff("island_end", "island_start") + F.lit(1)
+    return islands.groupBy("l_suppkey").agg(
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.count("*").alias("n_islands"),
+        F.sum(day_span).cast("bigint").alias("covered_days"),
+        F.max(day_span).cast("bigint").alias("max_island_days"),
+    )
+
+
+ORACLES["interval_islands"] = """
+WITH ivals AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS ship_start,
+         CAST(l_shipdate AS DATE)
+           + to_days((CAST(l_quantity AS INT) % 20) + 1) AS ship_end
+  FROM lineitem
+),
+staged AS (
+  SELECT *, MAX(ship_end) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY ship_start, ship_end, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+  FROM ivals
+),
+tagged AS (
+  SELECT *, SUM(CASE WHEN prev_max_end IS NULL
+                       OR ship_start > prev_max_end THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_suppkey
+                    ORDER BY ship_start, ship_end, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM staged
+),
+islands AS (
+  SELECT l_suppkey, island,
+         MIN(ship_start) AS island_start,
+         MAX(ship_end) AS island_end,
+         COUNT(*) AS n_intervals
+  FROM tagged GROUP BY l_suppkey, island
+)
+SELECT l_suppkey,
+       CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+       COUNT(*) AS n_islands,
+       CAST(SUM(date_diff('day', island_start, island_end) + 1) AS BIGINT) AS covered_days,
+       CAST(MAX(date_diff('day', island_start, island_end) + 1) AS BIGINT) AS max_island_days
+FROM islands
+GROUP BY l_suppkey
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
+    "interval_islands": interval_islands,
     "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,

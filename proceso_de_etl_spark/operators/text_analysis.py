@@ -627,6 +627,135 @@ QUALIFY rank <= 20
 """
 
 
+GOPHER_MIN_TOKENS = 16
+GOPHER_MEAN_WORD_LO = 3.0
+GOPHER_MEAN_WORD_HI = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP2_FRAC = 0.06
+GOPHER_MAX_TOP3_FRAC = 0.05
+GOPHER_MAX_DUP5_FRAC = 0.30
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35 — the Gopher repetition/quality rule battery (Rae et al.
+    2021, Table A1), token-gram form (the testdata documents carry no
+    line structure, so the line-based rules map onto n-gram rules):
+    mean word length in [3,10], ≥80% alphabetic words, top-2-gram and
+    top-3-gram occurrence fraction caps, duplicate-5-gram fraction
+    cap, and a minimum token count — plus the per-doc metrics
+    themselves so downstream filters can re-threshold without a
+    rescan.
+
+    Scale shape: scalar metrics are one codegen'd scan; each n-gram
+    statistic is explode → groupBy keyed by (doc_id[, gram]) — every
+    shuffle carries the doc_id key (no global aggregation, no
+    window); the three gram branches re-join the base on doc_id.
+    Short docs produce empty gram arrays, surface as NULL via the
+    left joins, and are coalesced to 0 — never silently dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks"))
+    t = F.col("toks")
+    n_tokens = F.size(t).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    scalars = base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(sum_len / F.greatest(n_tokens, F.lit(1)), 6).alias("mean_word_len"),
+        F.round(n_alpha / F.greatest(n_tokens, F.lit(1)), 6).alias("alpha_frac"),
+    )
+
+    def top_frac(n: int, out: str) -> DataFrame:
+        grams = base.select("doc_id", F.explode(shingles(t, n)).alias("g"))
+        per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy("doc_id").agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias(out)
+        )
+
+    dup5 = (
+        base.select("doc_id", F.explode(shingles(t, 5)).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (F.count("*") - F.countDistinct("g")) / F.count("*"), 6
+            ).alias("dup5_frac")
+        )
+    )
+    joined = (
+        scalars.join(top_frac(2, "top2_frac"), "doc_id", "left")
+        .join(top_frac(3, "top3_frac"), "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .fillna(
+            0.0, subset=["top2_frac", "top3_frac", "dup5_frac"]
+        )
+    )
+    verdict = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("mean_word_len") >= GOPHER_MEAN_WORD_LO)
+        & (F.col("mean_word_len") <= GOPHER_MEAN_WORD_HI)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("top2_frac") <= GOPHER_MAX_TOP2_FRAC)
+        & (F.col("top3_frac") <= GOPHER_MAX_TOP3_FRAC)
+        & (F.col("dup5_frac") <= GOPHER_MAX_DUP5_FRAC)
+    )
+    return joined.withColumn("gopher_pass", verdict)
+
+
+ORACLES["text_gopher_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+scalars AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+               / greatest(CAST(len(toks) AS BIGINT), 1), 6) AS mean_word_len,
+         ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+               / greatest(CAST(len(toks) AS BIGINT), 1), 6) AS alpha_frac
+  FROM base
+),
+g2 AS (
+  SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top2_frac FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest({shingles_sql('toks', 2)}) AS g FROM base)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, ROUND(MAX(c) / SUM(c), 6) AS top3_frac FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest({shingles_sql('toks', 3)}) AS g FROM base)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id,
+         ROUND((COUNT(*) - COUNT(DISTINCT g)) / COUNT(*), 6) AS dup5_frac
+  FROM (SELECT doc_id, unnest({shingles_sql('toks', 5)}) AS g FROM base)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens, s.mean_word_len, s.alpha_frac,
+       COALESCE(g2.top2_frac, 0.0) AS top2_frac,
+       COALESCE(g3.top3_frac, 0.0) AS top3_frac,
+       COALESCE(g5.dup5_frac, 0.0) AS dup5_frac,
+       (s.n_tokens >= {GOPHER_MIN_TOKENS}
+        AND s.mean_word_len >= {GOPHER_MEAN_WORD_LO}
+        AND s.mean_word_len <= {GOPHER_MEAN_WORD_HI}
+        AND s.alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND COALESCE(g2.top2_frac, 0.0) <= {GOPHER_MAX_TOP2_FRAC}
+        AND COALESCE(g3.top3_frac, 0.0) <= {GOPHER_MAX_TOP3_FRAC}
+        AND COALESCE(g5.dup5_frac, 0.0) <= {GOPHER_MAX_DUP5_FRAC}) AS gopher_pass
+FROM scalars s
+LEFT JOIN g2 USING (doc_id)
+LEFT JOIN g3 USING (doc_id)
+LEFT JOIN g5 USING (doc_id)
+"""
+
+
 BPE_N_MERGES = 8
 
 
@@ -752,4 +881,5 @@ QUERIES = {
     "text_quality_terciles": text_quality_terciles,
     "text_bigram_pairs": text_bigram_pairs,
     "text_bpe_train": text_bpe_train,
+    "text_gopher_quality": text_gopher_quality,
 }

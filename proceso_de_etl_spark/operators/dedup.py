@@ -870,8 +870,82 @@ QUALIFY rank <= {SPAN_TOPK}
 """
 
 
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T38 — corpus source-overlap matrix: pairwise 3-gram shingle-set
+    Jaccard (and containment both ways) between every pair of
+    document sources — the dataset-level contamination check run
+    before mixing corpora into a training blend (T19/T26 answer
+    "which DOCUMENTS leak"; this answers "which SOURCES are the same
+    data").
+
+    Scale shape: the corpus is touched once to build the DISTINCT
+    (source, shingle) set — from there everything is bounded by
+    n_sources, not corpus size: per-shingle join fan-out is at most
+    n_sources² (each shingle appears once per source after the
+    distinct), the size/intersection tables are n_sources(²) rows,
+    and the full pair matrix (including zero-overlap pairs) comes
+    from a broadcast cross of the tiny per-source size table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokens(F.col("text")).alias("toks"))
+    src_sh = toks.select(
+        F.col("source").alias("src"), F.explode(shingles(F.col("toks"))).alias("sh")
+    ).distinct()
+    sizes = src_sh.groupBy("src").agg(F.count("*").alias("n_sh"))
+    inter = (
+        src_sh.select(F.col("src").alias("src_a"), "sh")
+        .join(src_sh.select(F.col("src").alias("src_b"), "sh"), "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        F.broadcast(sizes.select(F.col("src").alias("src_a"), F.col("n_sh").alias("n_a")))
+        .crossJoin(
+            F.broadcast(sizes.select(F.col("src").alias("src_b"), F.col("n_sh").alias("n_b")))
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint"))
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6).alias("jaccard"),
+        F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+        F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+    )
+
+
+ORACLES["dedup_source_overlap"] = f"""
+WITH src_sh AS (
+  SELECT DISTINCT source AS src, sh
+  FROM (SELECT source, unnest({_SH_SQL}) AS sh FROM documents)
+),
+sizes AS (SELECT src, COUNT(*) AS n_sh FROM src_sh GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+  FROM src_sh a JOIN src_sh b USING (sh)
+  WHERE a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT sa.src AS src_a, sb.src AS src_b,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(i.n_common, 0) / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)), 6) AS jaccard,
+       ROUND(COALESCE(i.n_common, 0) / sa.n_sh, 6) AS containment_a,
+       ROUND(COALESCE(i.n_common, 0) / sb.n_sh, 6) AS containment_b
+FROM sizes sa
+JOIN sizes sb ON sa.src < sb.src
+LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_source_overlap": dedup_source_overlap,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,

@@ -866,6 +866,66 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ENCODE_CHECKPOINT_EVERY = 16
+
+
+def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Apply a trained BPE merge list, in rank order, to a DISTINCT
+    word table → (word, sym) encoded symbol arrays. Each merge is one
+    ``_merge_pair`` fold expression, so k merges compose into ONE
+    JVM-side scan of the vocabulary — no Python in the loop and no
+    per-merge job. The composed expression nests one level per merge,
+    so every ``BPE_ENCODE_CHECKPOINT_EVERY`` merges the plan is
+    truncated via localCheckpoint (same iterative-plan rule as
+    training, SURVEY §7) — realistic 30k-merge vocabularies stay
+    analysis-flat."""
+    sym = words.select(
+        "word",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias("sym"),
+    )
+    for i, (left, right, _) in enumerate(merges):
+        sym = sym.select("word", _merge_pair(F.col("sym"), left, right).alias("sym"))
+        if (i + 1) % BPE_ENCODE_CHECKPOINT_EVERY == 0 and i + 1 < len(merges):
+            sym = sym.localCheckpoint(eager=True)
+    return sym
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T37 — encode the corpus with a BPE vocabulary trained in the
+    same job (T27's loop): the tokenize step of the actual
+    training-data pipeline. Scale shape — the expensive iterated
+    work happens on the DISTINCT word table (vocabulary-sized), never
+    the corpus: train on word frequencies, encode each distinct word
+    once, then ONE hash join maps the corpus token stream onto its
+    encoded lengths and a per-source rollup reports the compression
+    the vocabulary achieves. (Rows-only: the merge list is the output
+    of a data-dependent iterative loop; the golden unit test pins
+    encode results on the textbook corpus.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    words = tok.groupBy("word").agg(F.count("*").alias("freq"))
+    merges = bpe_train(words)
+    encoded = bpe_encode_words(words.select("word"), merges).select(
+        "word",
+        F.length("word").cast("bigint").alias("n_chars"),
+        F.size("sym").cast("bigint").alias("n_syms"),
+    )
+    return (
+        tok.join(encoded, "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("n_syms").cast("bigint").alias("sum_syms"),
+            F.round(F.sum("n_syms") / F.count("*"), 6).alias("syms_per_token"),
+            F.round(F.sum("n_chars") / F.sum("n_syms"), 6).alias("compression"),
+        )
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_vocab_topk": text_vocab_topk,
@@ -881,5 +941,6 @@ QUERIES = {
     "text_quality_terciles": text_quality_terciles,
     "text_bigram_pairs": text_bigram_pairs,
     "text_bpe_train": text_bpe_train,
+    "text_bpe_encode": text_bpe_encode,
     "text_gopher_quality": text_gopher_quality,
 }

@@ -616,6 +616,26 @@ def test_bpe_train_golden_merges(spark):
     assert got == [["aa", "a"], ["aa", "aa"]]
 
 
+def test_bpe_encode_golden(spark):
+    """T37 on the textbook corpus: after the 3 learned merges
+    (es, est, lo), every distinct word encodes to its reference BPE
+    segmentation — including the overlap-sensitive greedy order."""
+    from proceso_de_etl_spark.operators.text_analysis import bpe_encode_words, bpe_train
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+    merges = bpe_train(words, 3)
+    enc = {r.word: r.sym for r in bpe_encode_words(words.select("word"), merges).collect()}
+    assert enc == {
+        "low": ["lo", "w"],
+        "lower": ["lo", "w", "e", "r"],
+        "newest": ["n", "e", "w", "est"],
+        "widest": ["w", "i", "d", "est"],
+    }
+
+
 def test_bpe_round_cost_stays_flat_at_realistic_merge_counts(spark):
     """The merge loop localCheckpoints each round (SURVEY §7's
     iterative-plan note): without the truncation the fold expression

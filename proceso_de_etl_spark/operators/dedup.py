@@ -943,9 +943,93 @@ LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
 """
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = COSINE_THRESHOLD
+
+
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T36 — SemDeDup (Abbas et al. 2023): semantic deduplication via
+    k-means partitioning. Cluster the embeddings (k-means, driver-held
+    centroids — ml.py), form candidate pairs ONLY within clusters,
+    threshold on exact cosine, resolve dup groups with connected
+    components, and keep per group the member MOST similar to its
+    cluster centroid (ties → lower vec_id).
+
+    This is the scale design point of the paper: the quadratic pair
+    join is bounded per-cluster (n/k per cell in expectation) instead
+    of corpus-wide, the cluster assignment is one scan against
+    broadcast centroids, and the group resolution is the repo's
+    fixpoint CC loop. (Rows-only: k-means centroid means carry a
+    run-dependent last float ulp, so no cross-engine value oracle —
+    the structural invariants are test-pinned: exactly one keeper per
+    component, thresholded pairs land in one component, singletons
+    keep.)"""
+    from proceso_de_etl_spark.operators.ml import assign_clusters, kmeans_fit
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    centroids = kmeans_fit(emb, k=SEMDEDUP_K)
+    # centroid cosine per row: pick this row's centroid out of a
+    # k×dim literal array — stays in codegen, no join
+    cnorms = [sum(v * v for v in c) ** 0.5 for c in centroids]
+    carr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
+    cnarr = F.array(*[F.lit(float(n)) for n in cnorms])
+    assigned = (
+        assign_clusters(emb, centroids)
+        .withColumn("_c", F.element_at(carr, F.col("cluster").cast("int") + 1))
+        .withColumn(
+            "centroid_sim",
+            dot_cosine(
+                F.col("embedding"),
+                F.col("_c"),
+                F.col("norm"),
+                F.element_at(cnarr, F.col("cluster").cast("int") + 1),
+            ),
+        )
+        .select("vec_id", "cluster", "embedding", "norm", "centroid_sim")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a"), "cluster", F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b"), "cluster", F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select("a", "b")
+    )
+    comps = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster").alias("component")
+    )
+    labeled = assigned.join(comps, "vec_id", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("vec_id"))
+    )
+    best = labeled.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("centroid_sim").alias("s"), (-F.col("vec_id")).alias("negid"))
+        ).alias("bst")
+    ).select("component", (-F.col("bst.negid")).cast("bigint").alias("keep_vec"))
+    # best is component-count-sized (corpus order at 100 TB) — a
+    # plain hash join on component, NOT a broadcast
+    return (
+        labeled.join(best, "component")
+        .withColumn("keep", F.col("vec_id") == F.col("keep_vec"))
+        .select(
+            "vec_id",
+            "cluster",
+            "component",
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+            "keep",
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_source_overlap": dedup_source_overlap,
+    "dedup_semantic_semdedup": dedup_semantic_semdedup,
     "dedup_duplicate_spans": dedup_duplicate_spans,
     "dedup_incremental": dedup_incremental,
     "dedup_incremental_minhash": dedup_incremental_minhash,

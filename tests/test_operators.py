@@ -616,6 +616,55 @@ def test_bpe_train_golden_merges(spark):
     assert got == [["aa", "a"], ["aa", "aa"]]
 
 
+def test_semdedup_invariants(spark):
+    """T36 structural pins (no value oracle — k-means means carry a
+    run-dependent ulp): exactly one keeper per dup component; every
+    within-cluster pair at/above the cosine threshold lands in one
+    component (so dropping non-keepers removes all semantic dups);
+    singleton components keep themselves; and the removed set is
+    exactly the non-keepers of multi-member components."""
+    import pyspark.sql.functions as F
+
+    from proceso_de_etl_spark.operators import dedup
+    from tests.conftest import SF_CORRECT
+
+    out = dedup.dedup_semantic_semdedup(spark, SF_CORRECT).cache()
+    rows = out.collect()
+    by_vec = {r.vec_id: r for r in rows}
+    comps: dict[int, list] = {}
+    for r in rows:
+        comps.setdefault(r.component, []).append(r)
+    assert all(sum(m.keep for m in ms) == 1 for ms in comps.values())
+    for comp, ms in comps.items():
+        if len(ms) == 1:
+            assert ms[0].keep and ms[0].component == ms[0].vec_id
+        else:
+            keeper = max(ms, key=lambda m: (m.centroid_sim, -m.vec_id))
+            assert by_vec[keeper.vec_id].keep
+    # thresholded within-cluster cosine pairs co-clustered
+    emb = dedup.with_norm(
+        __import__("proceso_de_etl_spark.sources.catalog", fromlist=["load_table"]).load_table(
+            spark, SF_CORRECT, "embeddings"
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    allp = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dedup.dot_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
+        .filter(F.col("cos") >= dedup.SEMDEDUP_TAU)
+        .collect()
+    )
+    same_cluster = [
+        (p.a, p.b) for p in allp if by_vec[p.a].cluster == by_vec[p.b].cluster
+    ]
+    assert same_cluster, "test data should contain at least one in-cluster dup pair"
+    for x, y in same_cluster:
+        assert by_vec[x].component == by_vec[y].component, (x, y)
+    out.unpersist()
+
+
 def test_bpe_encode_golden(spark):
     """T37 on the textbook corpus: after the 3 learned merges
     (es, est, lo), every distinct word encodes to its reference BPE

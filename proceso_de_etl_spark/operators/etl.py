@@ -1138,8 +1138,69 @@ ORDER BY status
 """
 
 
+def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25 — dynamic partition overwrite (`replaceWhere`-style partition
+    reload): the standard nightly-restatement pattern — a batch
+    recomputes ONE period and replaces exactly that period's
+    partition directory, leaving every other partition's files
+    physically untouched. With static overwrite (Spark's default)
+    the same write would TRUNCATE THE WHOLE TABLE first — the classic
+    footgun this operator exists to encode; with
+    ``partitionOverwriteMode=dynamic`` only partitions present in the
+    batch are replaced. At 100 TB that is the difference between
+    rewriting one day and rewriting the table.
+
+    Here: orders partitioned by order year; a restated 1997 batch
+    (prices adjusted +1000) overwrites in dynamic mode; the read-back
+    yearly rollup must show 1997 restated and all other years
+    byte-identical to the original load (the untouched-files claim is
+    separately pinned in test_io by file listing)."""
+    import tempfile
+
+    from proceso_de_etl_spark.sources.io import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    target = tempfile.mkdtemp(prefix="orders_dpo_")
+    write_parquet(orders, target, partition_by=["order_year"])
+    batch = (
+        orders.filter(F.col("order_year") == 1997)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batch.write.mode("overwrite").partitionBy("order_year").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy(F.col("order_year").cast("bigint").alias("order_year"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("order_year")
+    )
+
+
+ORACLES["etl_dynamic_partition_overwrite"] = """
+WITH restated AS (
+  SELECT o_orderdate,
+         CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM restated
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
+    "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
     "etl_reject_routing": etl_reject_routing,
     "etl_snapshot_diff": etl_snapshot_diff,
     "etl_clean_id": etl_clean_id,

@@ -184,3 +184,39 @@ def test_load_table_fails_fast_with_actionable_errors(spark):
         load_table(spark, SF_SMOKE, "bogus")
     with pytest.raises(AnalysisException):
         load_table(spark, "/root/testdata/does_not_exist", "orders")
+
+
+def test_dynamic_partition_overwrite_touches_only_batch_partitions(spark, tmp_path):
+    """E25's physical claim: in dynamic mode an overwrite replaces
+    ONLY the partitions present in the batch — other partition
+    directories keep their exact files (same names, same bytes —
+    no rewrite); in the default static mode the same write would
+    have dropped them entirely."""
+    import os
+
+    root = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "id long, part string, v double"
+    )
+    base.write.partitionBy("part").parquet(root)
+
+    def listing(part: str) -> list[tuple[str, int]]:
+        d = os.path.join(root, f"part={part}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    a_before = listing("a")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([(9, "b", 99.0)], "id long, part string, v double").write.mode(
+            "overwrite"
+        ).partitionBy("part").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert listing("a") == a_before  # untouched partition: identical files
+    got = {(r.id, r.part, r.v) for r in spark.read.parquet(root).collect()}
+    assert got == {(1, "a", 10.0), (2, "a", 20.0), (9, "b", 99.0)}

@@ -528,8 +528,117 @@ QUALIFY rk <= {TOPK_K}
 """
 
 
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13 — stream-stream LEFT OUTER interval join: ST6's
+    purchase⋈click pairing, but purchases with NO click in the
+    preceding hour must still emit — with NULL click columns. On a
+    stream that null can only be produced when the watermark proves
+    no matching click can still arrive, so unmatched rows emit from
+    STATE EVICTION, batches after the purchase itself — the part of
+    outer-join semantics a batch engine never has to think about.
+
+    Replay shape (ST12's ordered two-batch scaffolding): batch 1 is
+    the real event history; batch 2 is a pair of far-future sentinel
+    rows (one per side — each side's watermark only advances on rows
+    that SURVIVE its own filter) that push both watermarks ~30 days
+    past every real event, forcing the engine to evict and emit every
+    real unmatched purchase. Sentinels are filtered from the output,
+    which then equals the batch LEFT JOIN exactly — a full value
+    oracle for outer-join eviction semantics.
+
+    State note for 100 TB streams: both sides' state is bounded by
+    the 2h watermark delay + 1h join window regardless of stream
+    length; the sentinel trick is the test-time stand-in for the
+    continuously-arriving data that advances watermarks in
+    production."""
+    import os
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.sources.catalog import _ensure_session_confs, load_table
+
+    _ensure_session_confs(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0].m
+    day_us = 24 * 3600 * 1_000_000
+    sentinels = spark.createDataFrame(
+        [(-1, mx + 30 * day_us, -1, "purchase", 0.0), (-2, mx + 31 * day_us, -2, "click", 0.0)],
+        "event_id long, ts_us long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    stage = tempfile.mkdtemp(prefix="stream_loj_")
+    for fname, part in (("b1_events", ev), ("b2_sentinels", sentinels)):
+        part.toPandas().to_parquet(
+            os.path.join(stage, f"{fname}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        _time.sleep(1.1)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "2 hours")
+    )
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("pts").alias("purchase_ts_us"),
+        F.unix_micros("cts").alias("click_ts_us"),
+    )
+    return run_to_memory(joined, "append").filter(F.col("user_id") >= 0)
+
+
+ORACLES["stream_left_outer_join"] = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_ts_us, epoch_us(c.ts) AS click_ts_us
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_left_outer_join": stream_left_outer_join,
     "stream_topk": stream_topk,
     "stream_late_data_accounting": stream_late_data_accounting,
     "stream_approx_distinct": stream_approx_distinct,

@@ -71,72 +71,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. Round-5 rotation
-# (VERDICT r4 items 1 and 3):
-#   1. queries ADDED or CHANGED this round (the two operators
-#      registered this round, the three de-single-partitioned top-k
-#      queries, the zscore clamp, new r5 operators);
-#   2. the 32 keys whose latest driver row predates the last commit
-#      touching their code path (r1 rows: q-suite tail, windows,
-#      rollup/cube/sets, matrices, §2 events, bonus events keys);
-#   3. the tail past the 50-cap: keys with fresh r4 rows and code
-#      untouched since — they keep their r4 driver signal and the
-#      full pytest suite re-verifies them locally every round.
+# whatever keys most need a FRESH driver row. Round-6 rotation:
+#   1. the 7 queries ADDED this round;
+#   2. the 21 keys the r5 50-row cap cut off (events keys on r1 rows,
+#      then the oldest remaining r3 rows);
+#   3. the tail: keys with fresh r4/r5 rows and code untouched since —
+#      they keep their driver signal and the full pytest suite
+#      re-verifies them locally every round.
 _PRIORITY = (
-    # --- round-5 additions / changes (need a first or fresh row) ---
-    "sort_global_rank",
-    "agg_mode_per_group",
-    "sample_weighted_aes",
-    "text_vocab_topk",
-    "text_bigram_pairs",
-    "events_anomaly_zscore",
-    "ann_ivfpq_topk",
-    "stream_topk",
-    "window_function_matrix",
-    "etl_reject_routing",
-    "etl_snapshot_diff",
-    "sketch_count_min_tokens",
-    "embedding_int8_quantize",
-    "text_perplexity_buckets",
-    "text_quality_terciles",
-    "stream_late_data_accounting",
-    "dedup_duplicate_spans",
-    "recursive_cte_closure",
-    "events_variant_extract",
-    "agg_argmax_no_window",
-    "q9_product_profit_v2",
-    "q10_returned_items_v2",
-    "q18_large_orders_v2",
-    "multimodal_audio_energy",
-    "multimodal_image_resize",
-    "source_binary_files",
-    "text_bpe_train",
-    # --- stale round-1 driver rows: analytic q-suite tail ---
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q16_parts_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    # --- stale: windows / grouped aggs / matrices ---
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_rank_ntile",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "scalar_function_matrix",
-    "array_function_matrix",
-    "null_semantics_matrix",
-    # --- stale: §2 events + bonus events keys (r1 rows) ---
-    "events_sessionize",
+    # --- round-6 additions (need a first driver row) ---
+    "interval_islands",
+    "text_gopher_quality",
+    "dedup_source_overlap",
+    "dedup_semantic_semdedup",
+    "text_bpe_encode",
+    "etl_dynamic_partition_overwrite",
+    "stream_left_outer_join",
+    # --- cut off below round 5's 50-row gate cap: events keys still
+    #     carrying r1 driver rows ---
     "events_tumbling_window",
     "events_funnel",
     "events_asof_join",
@@ -145,7 +97,7 @@ _PRIORITY = (
     "events_rolling_window",
     "events_value_band_join",
     "events_retention_cohorts",
-    # --- stale r3 rows for completeness (oldest remaining) ---
+    # --- cut off below the r5 cap: oldest remaining (r3 rows) ---
     "etl_extract_conform",
     "etl_scd2_merge",
     "etl_load_audit",
@@ -159,6 +111,30 @@ _PRIORITY = (
     "set_ops_customers",
     "agg_distinct_exact",
     "agg_percentiles",
+    # --- tail: keys refreshed in r4/r5 whose code is untouched since;
+    #     they keep their driver signal and pytest re-verifies locally ---
+    "sort_global_rank",
+    "agg_mode_per_group",
+    "sample_weighted_aes",
+    "text_vocab_topk",
+    "text_bigram_pairs",
+    "events_anomaly_zscore",
+    "ann_ivfpq_topk",
+    "stream_topk",
+    "window_function_matrix",
+    "etl_reject_routing",
+    "etl_snapshot_diff",
+    "embedding_int8_quantize",
+    "text_perplexity_buckets",
+    "text_quality_terciles",
+    "dedup_duplicate_spans",
+    "recursive_cte_closure",
+    "events_variant_extract",
+    "agg_argmax_no_window",
+    "source_binary_files",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
 )
 
 

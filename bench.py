@@ -49,12 +49,17 @@ HEADLINE = (
     "text_unigram_lm_score",
     "sample_weighted_aes",
     # round-5 additions: the de-single-partitioned top-k pair and the
-    # timed total-order operator (no baseline yet — tracked this
-    # round, seeded next)
+    # timed total-order operator
     "text_vocab_topk",
     "text_bigram_pairs",
     "sort_global_rank",
     "dedup_duplicate_spans",
+    # round-6 additions (floors seeded from the r6 local run)
+    "interval_islands",
+    "text_gopher_quality",
+    "dedup_source_overlap",
+    "dedup_semantic_semdedup",
+    "text_bpe_encode",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from

@@ -986,6 +986,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("vec_id", "cluster", "embedding", "norm", "centroid_sim")
+        # three consumers (both pair sides + the final labeling) —
+        # persist so the assignment expressions (k×dim distance
+        # arithmetic) run once; released by the session-level cache
+        # clear the bench/tests already perform per pass
+        .persist()
     )
     a = assigned.select(
         F.col("vec_id").alias("a"), "cluster", F.col("embedding").alias("ea"), F.col("norm").alias("na")

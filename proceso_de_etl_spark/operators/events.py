@@ -577,8 +577,54 @@ WHERE ABS((e.value - m.mean_v) / m.std_v) > {ZSCORE_THRESHOLD}
 """
 
 
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 — time-weighted average (the metrics/IoT staple): a
+    sensor's reading holds until the next reading, so a plain AVG
+    over-weights bursts; each value is weighted by how long it was
+    CURRENT (lead(ts) − ts). The last observation per user has no
+    successor and is excluded — step-function integral semantics.
+    One lag-free keyed window (lead) + one aggregation, both on
+    user_id; weights are integer microseconds and values accumulate
+    in DECIMAL(value×µs) — exact, order-independent; the final
+    double quotient is rounded to 6 dp (division is the one step two
+    engines may differ on in the last ulp)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    staged = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    wv = money(F.col("value"), 2) * F.col("dur_us").cast("decimal(18,0)")
+    return staged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.round(F.sum(wv).cast("double") / F.sum("dur_us"), 6).alias("time_weighted_avg"),
+    )
+
+
+ORACLES["events_time_weighted_avg"] = """
+WITH staged AS (
+  SELECT user_id, value,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur_us AS DECIMAL(18,0))) AS DOUBLE)
+             / SUM(dur_us), 6) AS time_weighted_avg
+FROM staged
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
+    "events_time_weighted_avg": events_time_weighted_avg,
     "events_gap_fill": events_gap_fill,
     "events_rolling_window": events_rolling_window,
     "events_value_band_join": events_value_band_join,

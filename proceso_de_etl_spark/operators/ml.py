@@ -3,8 +3,9 @@ embedding column (SURVEY.md §2.3 adjunct — the clustering step of
 corpus curation / IVF index building).
 
 Shape of the computation, which is what matters at scale:
-- centroids live on the DRIVER (k × dim doubles — tiny) and are
-  broadcast into each iteration's assignment expression;
+- centroids live on the DRIVER (k × dim doubles — tiny) and enter
+  each iteration as a broadcast k-row TABLE (data, not literals —
+  iteration-invariant plan, cached codegen);
 - each iteration is one scan + one groupBy(cluster) over the corpus;
 - the corpus never moves to the driver and never re-shuffles between
   iterations (assignment is a per-row expression).
@@ -51,31 +52,73 @@ def kmeans_fit(df: DataFrame, k: int = K, n_iter: int = N_ITER, emb_col: str = "
     Init = the k lowest vec_ids, fetched with a pushdown-able
     ``vec_id < k`` filter (k rows cross the wire, no global sort);
     falls back to orderBy().limit(k) only if the id space isn't
-    0-based dense."""
-    dim_df = df.select(F.size(emb_col).alias("d")).limit(1).collect()
-    dim = dim_df[0].d
+    0-based dense.
+
+    The per-iteration assignment treats centroids as DATA (a
+    broadcast k-row table joined against the corpus; argmin over
+    |c|² − 2·x·c via a struct-min aggregate), not as literals baked
+    into the expression tree: literal centroids make every iteration
+    a NEW plan that Catalyst re-optimizes and Janino re-compiles
+    (measured ~3 s/iteration of pure compile at dim 64, k 8 — the
+    dominant cost at small data), and they stop scaling past a few
+    hundred k×dim literals anyway. With centroids as data the plan is
+    iteration-invariant — codegen caches hit — and per-dim means come
+    from one posexplode + (cluster, pos) aggregation (partial-agg
+    bounds shuffle rows at k·dim per task). Ties argmin to the lower
+    cluster id, matching assign_clusters."""
     init = df.filter(F.col("vec_id") < k).select("vec_id", emb_col).collect()
     if len(init) < k:  # ids not dense from 0 — pay the sort once
         init = df.orderBy("vec_id").limit(k).select("vec_id", emb_col).collect()
     centroids = [[float(v) for v in row[1]] for row in sorted(init, key=lambda r: r[0])]
-    for _ in range(n_iter):
-        assigned = assign_clusters(df, centroids, emb_col)
-        sums = assigned.groupBy("cluster").agg(
-            F.count("*").alias("n"),
-            *[
-                F.sum(F.element_at(F.col(emb_col), i + 1).cast("double")).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
-        rows = {r["cluster"]: r for r in sums.collect()}
-        new_centroids = [
-            [rows[c][f"s{i}"] / rows[c]["n"] for i in range(dim)] if c in rows else centroids[c]
-            for c in range(k)
-        ]
-        converged = new_centroids == centroids
-        centroids = new_centroids
-        if converged:
-            break
+    spark = df.sparkSession
+    vecs = df.select(
+        "vec_id", F.transform(F.col(emb_col), lambda x: x.cast("double")).alias("v")
+    ).persist()
+    try:
+        for _ in range(n_iter):
+            cdf = spark.createDataFrame(
+                [(i, c, sum(x * x for x in c)) for i, c in enumerate(centroids)],
+                "cluster int, cvec array<double>, cnorm2 double",
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), F.col("cvec"), lambda x, c: x * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # argmin |x-c|^2 == argmin |c|^2 - 2 x.c (|x|^2 constant per row)
+            best = (
+                vecs.join(F.broadcast(cdf))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.struct(
+                        (F.col("cnorm2") - 2.0 * dot).alias("d"),
+                        F.col("cluster").alias("c"),
+                    ).alias("dc"),
+                )
+                .groupBy("vec_id")
+                .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
+            )
+            sums = (
+                best.selectExpr("m.c AS cluster", "posexplode(v) AS (pos, val)")
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            )
+            rows: dict[int, dict[int, tuple[float, int]]] = {}
+            for r in sums.collect():
+                rows.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+            new_centroids = [
+                [rows[c][i][0] / rows[c][i][1] for i in range(len(centroids[c]))]
+                if c in rows
+                else centroids[c]
+                for c in range(k)
+            ]
+            converged = new_centroids == centroids
+            centroids = new_centroids
+            if converged:
+                break
+    finally:
+        vecs.unpersist()
     return centroids
 
 

@@ -272,8 +272,66 @@ ORDER BY p.source
 """
 
 
+PACK_BUDGET_TOKENS = 512
+
+
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T41 — contiguous sequence packing: assign whole documents to
+    fixed token-budget bins (the batch-assembly step before training;
+    Raffel et al. 2020's "packing"). True first-fit bin packing is
+    inherently sequential; the scalable deterministic variant packs
+    CONTIGUOUSLY in (source, doc_id) order — a doc opens in the bin
+    where its running token count starts, so bins can overflow by at
+    most one document (reported as fill_frac > 1) and the assignment
+    is a pure per-source cumsum window: one shuffle on source, no
+    driver loop, identical on any engine/partitioning. Output is the
+    per-bin manifest a loader would consume: doc span, token total,
+    fill fraction vs budget."""
+    from proceso_de_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    binned = counted.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin", ((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET_TOKENS).cast("bigint")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(PACK_BUDGET_TOKENS), 6).alias("fill_frac"),
+    )
+
+
+ORACLES["sample_pack_sequences"] = f"""
+WITH counted AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counted
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       ROUND(SUM(n_tokens) / {PACK_BUDGET_TOKENS}.0, 6) AS fill_frac
+FROM binned
+GROUP BY source, CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET_TOKENS}) AS BIGINT)
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "sample_pack_sequences": sample_pack_sequences,
     "sample_cap_per_source": sample_cap_per_source,
     "sample_split_train_eval": sample_split_train_eval,
     "sample_weighted_aes": sample_weighted_aes,

@@ -926,8 +926,59 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T40 — context-window chunking: split every document into
+    fixed-size token chunks on a fixed stride (overlap =
+    CHUNK_TOKENS − CHUNK_STRIDE), the packing step that turns a
+    cleaned corpus into training sequences. Chunk starts are
+    generated in-array (one strided sequence + slice per row — no
+    self-join, no window) and exploded; each chunk carries its token
+    count and an md5 content hash so downstream exact-dedup (T1) can
+    run at CHUNK granularity. One scan, one explode — scan-bound at
+    100 TB, and the chunk table is the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE)),
+        lambda i: F.struct(
+            ((i - 1) / CHUNK_STRIDE + 1).cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("toks"), i, CHUNK_TOKENS)).alias("body"),
+            F.least(F.lit(CHUNK_TOKENS), n - i + 1).cast("bigint").alias("n_chunk_tokens"),
+        ),
+    )
+    out = staged.filter(n >= 1).select("doc_id", F.explode(chunks).alias("c"))
+    return out.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.md5(F.col("c.body")).alias("chunk_md5"),
+    )
+
+
+ORACLES["text_chunk_documents"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE})) AS i
+  FROM base WHERE len(toks) >= 1
+)
+SELECT doc_id,
+       CAST((i - 1) / {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, len(toks) - i + 1) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[i:i+{CHUNK_TOKENS - 1}], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
+    "text_chunk_documents": text_chunk_documents,
     "text_vocab_topk": text_vocab_topk,
     "text_sentiment": text_sentiment,
     "text_pii_redaction": text_pii_redaction,

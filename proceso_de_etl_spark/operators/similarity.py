@@ -471,8 +471,90 @@ FROM c
 """
 
 
+SPARSE_TOPK = 5
+SPARSE_N_QUERIES = 5
+SPARSE_W_SCALE = 1_000_000
+
+
+def ann_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T43 — sparse lexical top-k via an INVERTED INDEX (the BM25/
+    TF-IDF retrieval shape — the other half of hybrid search next to
+    T6's dense path): score(q,d) = Σ_t tf_q·tf_d·w(t) over shared
+    terms, where w(t) = floor(1e6 / df(t)) — integer df-damped
+    weights, so scores are exact BIGINTs with deterministic
+    accumulation on any engine (a float idf would make the sum
+    order-dependent; ln() itself differs between libm and the JVM in
+    the last ulp).
+
+    The scale shape IS the inverted index: postings = (term, doc, tf)
+    from one corpus scan; candidate generation is the postings
+    equi-join on term restricted to query terms — documents sharing
+    no term with a query are never touched, which is why sparse
+    retrieval over a 10⁹-doc corpus is feasible where dense
+    brute-force is not. Stop-term pressure is bounded by the same
+    DF-cap idea as decontamination (w(t) → 0 for df > 1e6 — here the
+    damping itself kills ubiquitous terms)."""
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("t").agg(
+        F.floor(F.lit(SPARSE_W_SCALE) / F.countDistinct("doc_id")).cast("bigint").alias("w")
+    )
+    weighted = postings.join(dfreq, "t")
+    qside = weighted.filter(F.col("doc_id") < SPARSE_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "t", F.col("tf").alias("qtf")
+    )
+    scored = (
+        weighted.join(qside, "t")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf") * F.col("w")).cast("bigint").alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= SPARSE_TOPK)
+        .select("query_id", "rank", F.col("doc_id").alias("neighbor_id"), "score")
+    )
+
+
+ORACLES["ann_sparse_tfidf_topk"] = f"""
+WITH postings AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+),
+dfreq AS (
+  SELECT t, CAST(FLOOR({SPARSE_W_SCALE} / COUNT(DISTINCT doc_id)) AS BIGINT) AS w
+  FROM postings GROUP BY t
+),
+weighted AS (SELECT p.doc_id, p.t, p.tf, d.w FROM postings p JOIN dfreq d USING (t)),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         CAST(SUM(q.tf * c.tf * c.w) AS BIGINT) AS score
+  FROM weighted q JOIN weighted c USING (t)
+  WHERE q.doc_id < {SPARSE_N_QUERIES} AND c.doc_id <> q.doc_id
+  GROUP BY q.doc_id, c.doc_id
+)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id AS neighbor_id, score
+FROM scored
+QUALIFY rank <= {SPARSE_TOPK}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_sparse_tfidf_topk": ann_sparse_tfidf_topk,
     "embedding_int8_quantize": embedding_int8_quantize,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,

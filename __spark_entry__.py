@@ -87,6 +87,10 @@ _PRIORITY = (
     "text_bpe_encode",
     "etl_dynamic_partition_overwrite",
     "stream_left_outer_join",
+    "text_chunk_documents",
+    "sample_pack_sequences",
+    "events_time_weighted_avg",
+    "ann_sparse_tfidf_topk",
     # --- cut off below round 5's 50-row gate cap: events keys still
     #     carrying r1 driver rows ---
     "events_tumbling_window",

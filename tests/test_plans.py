@@ -421,3 +421,24 @@ def test_q11_threshold_shares_one_fact_scan(spark):
         assert plan.count("FileScan") == 3  # lineitem + supplier + nation, once each
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_interval_islands_single_exchange(spark):
+    """A49's design claim: the exclusive-cummax window, the island
+    rollup, and the per-supplier rollup all key on l_suppkey, so the
+    whole operator plans exactly ONE shuffle — Catalyst reuses the
+    window's hash partitioning for both aggregations."""
+    from proceso_de_etl_spark.operators.relational import interval_islands
+
+    plan = plan_of(interval_islands(spark, SF_CORRECT))
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_chunking_is_shuffle_free(spark):
+    """T40's design claim: chunk generation is in-array (sequence +
+    slice) + explode — a pure scan-side pipeline with ZERO exchanges;
+    at 100 TB the operator is scan-bound by construction."""
+    from proceso_de_etl_spark.operators.text_analysis import text_chunk_documents
+
+    plan = plan_of(text_chunk_documents(spark, SF_CORRECT))
+    assert "Exchange" not in plan, plan[:3000]

@@ -91,6 +91,7 @@ _PRIORITY = (
     "sample_pack_sequences",
     "events_time_weighted_avg",
     "ann_sparse_tfidf_topk",
+    "ml_pagerank_bipartite",
     # --- cut off below round 5's 50-row gate cap: events keys still
     #     carrying r1 driver rows ---
     "events_tumbling_window",

@@ -148,6 +148,105 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_DAMPING = 0.85
+PR_N_ITER = 10
+
+
+def pagerank(edges: DataFrame, damping: float = PR_DAMPING, n_iter: int = PR_N_ITER) -> DataFrame:
+    """Weighted PageRank by power iteration over an edge list
+    (src, dst, weight) → (node, rank). The iteration shape that
+    scales (same discipline as connected_components):
+    - each round is ONE join (ranks ⋈ edges on src) + ONE groupBy(dst)
+      — both shuffles keyed on node ids, no global operation;
+    - out-weights are precomputed once; contributions are
+      rank·weight/out_weight;
+    - dangling nodes (no out-edges) leak their mass, which is
+      re-spread uniformly — the dangling sum is a 1-ROW aggregate
+      collect per round (bounded driver round-trip);
+    - ranks are ``localCheckpoint``ed per round (plan truncation —
+      persist alone re-analyzes an O(rounds) plan, SURVEY §7).
+    Rank mass is conserved to float accuracy each round (test-pinned
+    against a numpy twin)."""
+    edges = edges.select("src", "dst", F.col("weight").cast("double").alias("w")).persist()
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    weighted = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("share")
+    ).persist()
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    try:
+        for _ in range(n_iter):
+            # dangling mass enters the SAME plan as a broadcast 1-row
+            # aggregate (not a .collect()): each round is exactly ONE
+            # action — the eager checkpoint — instead of three
+            dang = ranks.join(dangling_nodes, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            contrib = (
+                ranks.join(weighted, ranks.node == weighted.src)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+            )
+            new_ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .join(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.col("dm") / n + F.coalesce(F.col("inflow"), F.lit(0.0)))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ranks = new_ranks
+    finally:
+        edges.unpersist()
+        weighted.unpersist()
+        dangling_nodes.unpersist()
+        nodes.unpersist()
+    return ranks
+
+
+def ml_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44/ML — PageRank over the customer→supplier purchase graph
+    (edge weight = number of lineitems bought from that supplier;
+    suppliers are dangling by construction, exercising the
+    mass-respread path). Returns the top-20 nodes by rank via
+    TakeOrderedAndProject + id-rank (no global window). (Rows-only:
+    float power iteration — the golden unit test pins ranks against
+    a numpy twin on a small graph instead.)"""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    ranks = pagerank(edges)
+    return ranked_topk(
+        ranks.select("node", F.round("rank", 8).alias("pr")),
+        [F.desc("pr"), F.asc("node")],
+        20,
+    ).select("rank", "node", "pr")
+
+
 QUERIES = {
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
+    "ml_pagerank_bipartite": ml_pagerank_bipartite,
 }

@@ -709,3 +709,42 @@ def test_bpe_round_cost_stays_flat_at_realistic_merge_counts(spark):
     early = sorted(round_seconds[5:25])[10]  # median of rounds 6-25
     late = sorted(round_seconds[-15:])[7]  # median of last 15 rounds
     assert late <= 5 * early + 0.1, (early, late)
+
+
+def test_pagerank_matches_numpy_twin(spark):
+    """T44 golden pin: the distributed power iteration (weighted
+    edges, damping, dangling-mass respread) reproduces a numpy
+    reference on a hand-sized graph to 1e-12, and total rank mass is
+    conserved."""
+    import numpy as np
+
+    from proceso_de_etl_spark.operators.ml import pagerank
+
+    edges = [
+        ("a", "b", 2.0),
+        ("a", "c", 1.0),
+        ("b", "c", 1.0),
+        ("c", "a", 1.0),
+        ("a", "d", 1.0),
+        # d is dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.node: r.rank for r in pagerank(df, damping=0.85, n_iter=20).collect()}
+
+    names = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(names)}
+    n = len(names)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[idx[s], idx[d]] = wt
+    out = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        dm = r[out == 0].sum()
+        inflow = np.zeros(n)
+        for s, dst, wt in edges:
+            inflow[idx[dst]] += r[idx[s]] * wt / out[idx[s]]
+        r = 0.15 / n + 0.85 * (dm / n + inflow)
+    for nm in names:
+        assert abs(got[nm] - r[idx[nm]]) < 1e-12, (nm, got[nm], r[idx[nm]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -92,6 +92,7 @@ _PRIORITY = (
     "events_time_weighted_avg",
     "ann_sparse_tfidf_topk",
     "ml_pagerank_bipartite",
+    "etl_write_audit_publish",
     # --- cut off below round 5's 50-row gate cap: events keys still
     #     carrying r1 driver rows ---
     "events_tumbling_window",

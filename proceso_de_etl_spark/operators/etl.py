@@ -1198,9 +1198,103 @@ ORDER BY order_year
 """
 
 
+def _wap_audit(staged: DataFrame) -> list[str]:
+    """The audit half of WAP: rule violations counted in ONE scan
+    (conditional sums, not one pass per rule). Returns the violated
+    rule names; empty = publishable."""
+    r = staged.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    violations = []
+    if r.n == 0:
+        violations.append("empty_batch")
+    if (r.null_keys or 0) > 0:
+        violations.append("null_order_keys")
+    if (r.nonpos_price or 0) > 0:
+        violations.append("non_positive_prices")
+    return violations
+
+
+def etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 — write-audit-publish (WAP, the Iceberg/Delta release
+    pattern; the reference gets the same guarantee from its DB
+    transaction + pre-load checks, main.py:173-195): every batch
+    lands in an UNPUBLISHED staging version, audits run against the
+    staged files, and only a clean audit promotes them atomically —
+    readers can never observe unaudited data, which is the property
+    a bare append loses. Composition of E13's stage-then-promote
+    sink (audit reads the staging dir the promote would rename) and
+    E23's validation rules.
+
+    Demonstrated end-to-end: a clean 1997 batch audits green and
+    publishes; a 1998 batch with planted NULL keys audits red and
+    ROLLS BACK — the published table provably excludes it (the
+    read-back rollup, value-oracled, contains 1997 but no 1998; the
+    rejected batch's staging dir is gone)."""
+    import os
+    import tempfile
+
+    from proceso_de_etl_spark.sources.atomic import AtomicBatchWriter
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="wap_")
+
+    base = orders.filter(F.col("order_year") <= 1996)
+    w0 = AtomicBatchWriter(root)
+    w0.stage(base, "orders")
+    assert not _wap_audit(spark.read.parquet(w0._staging_path("orders")))
+    w0.commit()
+
+    def publish(batch: DataFrame) -> list[str]:
+        published = spark.read.parquet(os.path.join(root, "orders"))
+        w = AtomicBatchWriter(root)
+        w.stage(published.unionByName(batch), "orders")
+        # audit the EXACT staged files promotion would rename in —
+        # not the logical batch — so what was audited is what readers
+        # will see
+        violations = _wap_audit(spark.read.parquet(w._staging_path("orders")))
+        if violations:
+            w.rollback()
+            return violations
+        w.commit()
+        return []
+
+    clean = orders.filter(F.col("order_year") == 1997)
+    assert publish(clean) == []
+
+    poisoned = orders.filter(F.col("order_year") == 1998).withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(F.col("o_orderkey")),
+    )
+    assert publish(poisoned) == ["null_order_keys"]
+
+    back = spark.read.parquet(os.path.join(root, "orders"))
+    return (
+        back.groupBy(F.col("order_year").cast("bigint").alias("order_year"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("order_year")
+    )
+
+
+ORACLES["etl_write_audit_publish"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE year(o_orderdate) <= 1997
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
+    "etl_write_audit_publish": etl_write_audit_publish,
     "etl_reject_routing": etl_reject_routing,
     "etl_snapshot_diff": etl_snapshot_diff,
     "etl_clean_id": etl_clean_id,

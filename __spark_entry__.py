@@ -93,6 +93,7 @@ _PRIORITY = (
     "ann_sparse_tfidf_topk",
     "ml_pagerank_bipartite",
     "etl_write_audit_publish",
+    "skew_key_diagnostics",
     # --- cut off below round 5's 50-row gate cap: events keys still
     #     carrying r1 driver rows ---
     "events_tumbling_window",

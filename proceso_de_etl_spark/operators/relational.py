@@ -848,9 +848,77 @@ GROUP BY l_suppkey
 """
 
 
+SKEW_TOPK = 10
+
+
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 — join-key skew diagnostics: the measurement step that
+    decides WHEN A27's salting / AQE skew handling is worth its cost.
+    One pass builds the per-key frequency table (orders per customer);
+    from it: the ``SKEW_TOPK`` heaviest keys with their share of all
+    rows, and corpus-level shape stats (skew ratio max/avg, exact p50
+    and p99 of per-key counts) attached to every row so the output is
+    a self-contained report. Key-table aggregations are key-hashed;
+    the shape stats reduce the KEY table (not the fact table) to one
+    broadcast row; top-k rides TakeOrderedAndProject — nothing
+    funnels fact-table rows through one task."""
+    orders = load_table(spark, sf_dir, "orders")
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    shape = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.max("n").alias("max_n"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+        F.round(F.percentile(F.col("n"), F.lit(0.5)), 6).alias("p50_n"),
+        F.round(F.percentile(F.col("n"), F.lit(0.99)), 6).alias("p99_n"),
+    )
+    top = ranked_topk(per_key, [F.desc("n"), F.asc("o_custkey")], SKEW_TOPK)
+    return top.join(F.broadcast(shape)).select(
+        "rank",
+        F.col("o_custkey").alias("key"),
+        "n",
+        F.round(F.col("n") / F.col("total_rows"), 6).alias("share"),
+        "n_keys",
+        "total_rows",
+        "max_n",
+        "skew_ratio",
+        "p50_n",
+        "p99_n",
+    )
+
+
+ORACLES["skew_key_diagnostics"] = f"""
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+),
+shape AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(n) AS BIGINT) AS total_rows,
+         MAX(n) AS max_n,
+         ROUND(MAX(n) / AVG(n), 6) AS skew_ratio,
+         ROUND(quantile_cont(n, 0.5), 6) AS p50_n,
+         ROUND(quantile_cont(n, 0.99), 6) AS p99_n
+  FROM per_key
+),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS BIGINT) AS rank,
+         o_custkey, n
+  FROM per_key
+  QUALIFY rank <= {SKEW_TOPK}
+)
+SELECT t.rank, t.o_custkey AS key, t.n,
+       ROUND(t.n / s.total_rows, 6) AS share,
+       s.n_keys, s.total_rows, s.max_n, s.skew_ratio, s.p50_n, s.p99_n
+FROM top t CROSS JOIN shape s
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
+    "skew_key_diagnostics": skew_key_diagnostics,
     "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,

@@ -1,5 +1,6 @@
 """Alternate-parameter variants of the analytic q-suite families
-(q1/q3/q5/q6/q14): proof the plans are not constant-specific.
+(q1/q3/q5/q6/q9/q10/q12/q14/q18/q19): proof the plans are not
+constant-specific.
 
 TPC-H defines each query as a TEMPLATE with substitution parameters;
 plans/tpch.py registers one instantiation per family. Each builder
@@ -349,8 +350,94 @@ ORDER BY nation ASC, o_year DESC
 """
 
 
+# --- q12 family: conditional class counts at another year/rule ----
+
+Q12_PARAMS = {"year_lo": "1997-01-01", "year_hi": "1998-01-01", "high_prefixes": ("1",)}
+
+
+def q12_priority_classes_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 template at ship year 1997 with a STRICTER high class
+    (only 1-URGENT counts as high — the class rule is a parameter,
+    not a constant): same one-join one-agg plan as the family."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(Q12_PARAMS["year_lo"]))
+        & (F.col("l_shipdate") < _ts(Q12_PARAMS["year_hi"]))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").startswith(Q12_PARAMS["high_prefixes"][0]), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+ORACLES["q12_priority_classes_v2"] = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '{Q12_PARAMS["high_prefixes"][0]}%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority LIKE '{Q12_PARAMS["high_prefixes"][0]}%'
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_PARAMS["year_lo"]} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q12_PARAMS["year_hi"]} 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+# --- q19 family: disjunctive bands over other brands/ranges --------
+
+Q19_PARAMS = {
+    "bands": (
+        {"brand": "Brand#13", "size_hi": 20, "qty_lo": 5, "qty_hi": 15},
+        {"brand": "Brand#34", "size_hi": 30, "qty_lo": 15, "qty_hi": 25},
+        {"brand": "Brand#45", "size_hi": 40, "qty_lo": 25, "qty_hi": 35},
+    )
+}
+
+
+def q19_disjunctive_filter_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19 template over three OTHER (brand, size, quantity) bands —
+    the whole OR-of-ANDs is built from the parameter dict, so band
+    count/shape is data, and it stays one scan-side codegen'd
+    residual filter like the family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = None
+    for b in Q19_PARAMS["bands"]:
+        c = (
+            (F.col("p_brand") == b["brand"])
+            & (F.col("p_size").between(1, b["size_hi"]))
+            & (F.col("l_quantity").between(b["qty_lo"], b["qty_hi"]))
+        )
+        cond = c if cond is None else cond | c
+    return j.filter(cond).agg(
+        dsum(DISC_PRICE(), 6).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+ORACLES["q19_disjunctive_filter_v2"] = f"""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(
+    f"(p_brand = '{b['brand']}' AND p_size BETWEEN 1 AND {b['size_hi']}"
+    f" AND l_quantity BETWEEN {b['qty_lo']} AND {b['qty_hi']})"
+    for b in Q19_PARAMS["bands"]
+)}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary_v2": q1_pricing_summary_v2,
+    "q12_priority_classes_v2": q12_priority_classes_v2,
+    "q19_disjunctive_filter_v2": q19_disjunctive_filter_v2,
     "q9_product_profit_v2": q9_product_profit_v2,
     "q10_returned_items_v2": q10_returned_items_v2,
     "q18_large_orders_v2": q18_large_orders_v2,

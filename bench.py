@@ -87,6 +87,17 @@ BASELINE = {
     "q9_product_profit": 1.198,
     "text_unigram_lm_score": 1.139,
     "sample_weighted_aes": 0.495,
+    # --- r6 floors: min of the two round-6 local median-of-3 runs
+    #     (r5 entries finally seeded + the round-6 additions) ---
+    "text_vocab_topk": 1.091,
+    "text_bigram_pairs": 1.473,
+    "sort_global_rank": 2.871,
+    "dedup_duplicate_spans": 2.797,
+    "interval_islands": 1.252,
+    "text_gopher_quality": 2.503,
+    "dedup_source_overlap": 2.689,
+    "dedup_semantic_semdedup": 11.603,
+    "text_bpe_encode": 4.661,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -94,6 +94,9 @@ _PRIORITY = (
     "ml_pagerank_bipartite",
     "etl_write_audit_publish",
     "skew_key_diagnostics",
+    "etl_aggregate_retract",
+    "q12_priority_classes_v2",
+    "q19_disjunctive_filter_v2",
     # --- cut off below round 5's 50-row gate cap: events keys still
     #     carrying r1 driver rows ---
     "events_tumbling_window",

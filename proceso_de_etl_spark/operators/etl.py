@@ -1291,10 +1291,97 @@ ORDER BY order_year
 """
 
 
+def etl_aggregate_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27 — incremental view maintenance WITH RETRACTIONS: E15's
+    upsert only ADDS; a real CDC feed also deletes and updates, and
+    the maintained rollup must absorb those without recomputing
+    history — delete contributes (−1, −old), update contributes
+    (0, new − old), insert (+1, +new). The old values come from ONE
+    join of the change batch against the current snapshot (keyed on
+    the PK — no history scan), deltas aggregate per group, and a
+    full-outer merge folds them into the stale rollup; groups whose
+    count reaches zero are dropped.
+
+    Everything accumulates in DECIMAL until the final cast, so the
+    incrementally-maintained rollup is BIT-IDENTICAL to a full
+    recompute of the post-change table — which is exactly what the
+    oracle computes. Change batch synthesized deterministically from
+    the base snapshot (delete keys %10==0, update keys %10==5 with
+    +500 restatements, inserts = the next year's orders)."""
+    from proceso_de_etl_spark.functions.columns import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.expr("TIMESTAMP '1998-01-01 00:00:00'")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    inserts = orders.filter(F.col("o_orderdate") >= cutoff)
+
+    stale = base.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(money(F.col("o_totalprice"), 2)).alias("t")
+    )
+    # change batch against base: deletes + updates carry old values
+    # via one PK-keyed projection of the snapshot (no history scan)
+    changes = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("old_price"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 10 == 5, F.lit("U"))
+        .otherwise(F.lit(None))
+        .alias("op"),
+    ).filter(F.col("op").isNotNull())
+    delta_n = F.when(F.col("op") == "D", -1).otherwise(0)
+    delta_t = F.when(F.col("op") == "D", -money(F.col("old_price"), 2)).otherwise(
+        money(F.col("old_price") + 500.0, 2) - money(F.col("old_price"), 2)
+    )
+    deltas = changes.groupBy("o_orderstatus").agg(
+        F.sum(delta_n).alias("dn"), F.sum(delta_t).alias("dt")
+    )
+    ins = inserts.groupBy("o_orderstatus").agg(
+        F.count("*").alias("in_n"), F.sum(money(F.col("o_totalprice"), 2)).alias("in_t")
+    )
+    merged = (
+        stale.join(deltas, "o_orderstatus", "full_outer")
+        .join(ins, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)) + F.coalesce("in_n", F.lit(0))
+            ).cast("bigint").alias("n_orders"),
+            (
+                F.coalesce(F.col("t"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("dt"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("in_t"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged
+
+
+ORACLES["etl_aggregate_retract"] = """
+WITH final_state AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+               AND o_orderkey % 10 = 5
+              THEN o_totalprice + 500.0 ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+     OR o_orderkey % 10 <> 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM final_state
+GROUP BY o_orderstatus
+HAVING COUNT(*) > 0
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
     "etl_write_audit_publish": etl_write_audit_publish,
+    "etl_aggregate_retract": etl_aggregate_retract,
     "etl_reject_routing": etl_reject_routing,
     "etl_snapshot_diff": etl_snapshot_diff,
     "etl_clean_id": etl_clean_id,

@@ -770,34 +770,12 @@ def interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate"), F.col("l_quantity").cast("int") % 20 + 1
         ).alias("ship_end"),
     )
-    order = [
-        F.asc("ship_start"),
-        F.asc("ship_end"),
-        F.asc("l_orderkey"),
-        F.asc("l_linenumber"),
-    ]
-    w_prev = (
-        W.partitionBy("l_suppkey")
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    staged = staged.withColumn("prev_max_end", F.max("ship_end").over(w_prev))
-    w_run = W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    new_island = F.when(
-        F.col("prev_max_end").isNull()
-        | (F.col("ship_start") > F.col("prev_max_end")),
-        1,
-    ).otherwise(0)
-    islands = (
-        staged.withColumn("island", F.sum(new_island).over(w_run))
-        .groupBy("l_suppkey", "island")
-        .agg(
-            F.min("ship_start").alias("island_start"),
-            F.max("ship_end").alias("island_end"),
-            F.count("*").alias("n_intervals"),
-        )
+    islands = merge_interval_islands(
+        staged,
+        key="l_suppkey",
+        start="ship_start",
+        end="ship_end",
+        tiebreak=["l_orderkey", "l_linenumber"],
     )
     day_span = F.datediff("island_end", "island_start") + F.lit(1)
     return islands.groupBy("l_suppkey").agg(
@@ -805,6 +783,38 @@ def interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_islands"),
         F.sum(day_span).cast("bigint").alias("covered_days"),
         F.max(day_span).cast("bigint").alias("max_island_days"),
+    )
+
+
+def merge_interval_islands(
+    df: DataFrame, key: str, start: str, end: str, tiebreak: list[str]
+) -> DataFrame:
+    """Core of A49, reusable over any (key, [start, end]) interval
+    table: one keyed window pass tags island breaks against the
+    running max of all PRIOR interval ends (exclusive frame), a
+    cumsum numbers the islands, and a keyed rollup emits one row per
+    merged island: (key, island, island_start, island_end,
+    n_intervals). Property-tested against a pure-Python sweep in
+    tests/test_properties.py."""
+    from pyspark.sql import Window as W
+
+    order = [F.asc(start), F.asc(end)] + [F.asc(c) for c in tiebreak]
+    w_prev = W.partitionBy(key).orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.partitionBy(key).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    staged = df.withColumn("prev_max_end", F.max(end).over(w_prev))
+    new_island = F.when(
+        F.col("prev_max_end").isNull() | (F.col(start) > F.col("prev_max_end")), 1
+    ).otherwise(0)
+    return (
+        staged.withColumn("island", F.sum(new_island).over(w_run))
+        .groupBy(key, "island")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count("*").alias("n_intervals"),
+        )
     )
 
 

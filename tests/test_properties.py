@@ -166,3 +166,39 @@ def test_bpe_merge_fold_matches_python_reference(spark, sym, pair):
     df = spark.createDataFrame([(sym,)], "sym array<string>")
     got = df.select(_merge_pair(F.col("sym"), left, right).alias("m")).first().m
     assert got == _py_bpe_merge(sym, left, right), (sym, pair)
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 25)),
+    min_size=1, max_size=40,
+))
+@SET
+def test_interval_islands_match_python_sweep(spark, ivals):
+    """A49's merge core vs a pure-Python sweep-line on random integer
+    intervals (overlapping, nested, touching, duplicated): the merged
+    island spans and their interval counts must agree exactly."""
+    from proceso_de_etl_spark.operators.relational import merge_interval_islands
+
+    rows = [(k, s, s + ln, i) for i, (k, s, ln) in enumerate(ivals)]
+    df = spark.createDataFrame(rows, "k int, s int, e int, tb int")
+    got = {
+        (r.k, r.island_start, r.island_end, r.n_intervals)
+        for r in merge_interval_islands(df, key="k", start="s", end="e", tiebreak=["tb"]).collect()
+    }
+
+    want = set()
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, s, ln in ivals:
+        by_key.setdefault(k, []).append((s, s + ln))
+    for k, spans in by_key.items():
+        spans.sort()
+        cur_s, cur_e, n = spans[0][0], spans[0][1], 1
+        for s, e in spans[1:]:
+            if s > cur_e:  # touching (s == cur_e) merges
+                want.add((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.add((k, cur_s, cur_e, n))
+    assert got == want

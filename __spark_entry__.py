@@ -95,6 +95,7 @@ _PRIORITY = (
     "etl_write_audit_publish",
     "skew_key_diagnostics",
     "etl_aggregate_retract",
+    "agg_filter_clause_matrix",
     "q12_priority_classes_v2",
     "q19_disjunctive_filter_v2",
     # --- cut off below round 5's 50-row gate cap: events keys still

@@ -925,10 +925,40 @@ FROM top t CROSS JOIN shape s
 """
 
 
+def agg_filter_clause_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 — SQL `FILTER (WHERE ...)` aggregate modifier parity: the
+    ANSI form of conditional aggregation (COUNT/SUM/AVG/MIN with
+    per-aggregate predicates in ONE pass over the fact — the
+    CASE-WHEN-less spelling BI generators emit). Same statement runs
+    on both engines; the planner folds every filtered aggregate into
+    the one hash aggregate, so cost is one scan regardless of how
+    many filters appear. Null-producing case included (SUM whose
+    filter matches nothing per group → NULL; COUNT would give 0)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_fc")
+    return spark.sql(_FILTER_SQL.format(table="lineitem_fc"))
+
+
+_FILTER_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_quantity > 45) AS n_bulk,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS discounted_price,
+       MIN(l_shipdate) FILTER (WHERE l_linestatus = 'O') AS first_open_ship,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity > 9000) AS DOUBLE) AS sum_impossible
+FROM {table}
+GROUP BY l_returnflag
+"""
+
+ORACLES["agg_filter_clause_matrix"] = _FILTER_SQL.format(table="lineitem")
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
     "skew_key_diagnostics": skew_key_diagnostics,
+    "agg_filter_clause_matrix": agg_filter_clause_matrix,
     "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,

@@ -96,6 +96,7 @@ _PRIORITY = (
     "skew_key_diagnostics",
     "etl_aggregate_retract",
     "agg_filter_clause_matrix",
+    "stream_dedup_within_watermark",
     "q12_priority_classes_v2",
     "q19_disjunctive_filter_v2",
     # --- cut off below round 5's 50-row gate cap: events keys still

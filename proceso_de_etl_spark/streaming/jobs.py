@@ -636,9 +636,56 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14 — ``dropDuplicatesWithinWatermark``: ST3's dedup with the
+    Spark 3.5+ state-eviction contract — dedup state for a key is
+    held only WITHIN the watermark delay and then dropped, which is
+    what makes infinite-stream dedup runnable (plain dropDuplicates
+    state grows forever unless every dedup column is covered by the
+    watermark). Exercised with a genuinely duplicated source: the
+    same file replayed as TWO ordered micro-batches, so every batch-2
+    row is a cross-batch duplicate the state must catch; the output
+    equals the batch distinct set (value oracle, shared shape with
+    ST3)."""
+    import os
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.sources.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    stage = tempfile.mkdtemp(prefix="stream_dedup_wm_")
+    src_file = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src_file, os.path.join(stage, "b1_events.parquet"))
+    _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    import shutil
+
+    shutil.copyfile(src_file, os.path.join(stage, "b2_replay.parquet"))
+    schema, ts_is_long = _events_raw_schema(sf_dir)
+    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        raw.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return run_to_memory(deduped, "append")
+
+
+ORACLES["stream_dedup_within_watermark"] = """
+SELECT event_id, user_id, event_type, value
+FROM (SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_left_outer_join": stream_left_outer_join,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_topk": stream_topk,
     "stream_late_data_accounting": stream_late_data_accounting,
     "stream_approx_distinct": stream_approx_distinct,

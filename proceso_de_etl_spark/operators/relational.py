@@ -954,11 +954,68 @@ GROUP BY l_returnflag
 ORACLES["agg_filter_clause_matrix"] = _FILTER_SQL.format(table="lineitem")
 
 
+def lateral_explode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 — LATERAL VIEW / table-generating-function parity, the
+    corner cases generators get wrong: ``posexplode`` positions,
+    OUTER vs inner explode of an EMPTY array (outer keeps the parent
+    row with NULL pos/val; inner drops it — the left-join-vs-inner
+    distinction in generator form). Arrays synthesized per customer
+    (c_custkey % 4 elements, so empties exist). The generate runs
+    scan-side (no shuffle); the DuckDB oracle spells the same
+    semantics with list_transform + unnest over structs, with the
+    empty case made explicit as a [NULL] sentinel — documenting
+    exactly what OUTER adds."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql("""
+        WITH base AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 4 = 0 THEN CAST(array() AS ARRAY<INT>)
+                      ELSE sequence(1, CAST(c_custkey % 4 AS INT)) END AS arr
+          FROM customer_lat
+        )
+        SELECT c_custkey, 'outer' AS mode, pos, val
+        FROM base LATERAL VIEW OUTER posexplode(arr) t AS pos, val
+        UNION ALL
+        SELECT c_custkey, 'inner' AS mode, pos, val
+        FROM base LATERAL VIEW posexplode(arr) t AS pos, val
+    """)
+
+
+ORACLES["lateral_explode_matrix"] = """
+WITH base AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0 THEN []
+              ELSE range(1, CAST(c_custkey % 4 AS INT) + 1) END AS arr
+  FROM customer
+),
+pairs AS (
+  SELECT c_custkey,
+         list_transform(range(1, len(arr) + 1),
+                        i -> {'pos': CAST(i - 1 AS INT), 'val': CAST(arr[i] AS BIGINT)}) AS ps
+  FROM base
+),
+outer_side AS (
+  SELECT c_custkey,
+         unnest(CASE WHEN len(ps) = 0
+                     THEN [{'pos': CAST(NULL AS INT), 'val': CAST(NULL AS BIGINT)}]
+                     ELSE ps END) AS p
+  FROM pairs
+),
+inner_side AS (
+  SELECT c_custkey, unnest(ps) AS p FROM pairs
+)
+SELECT c_custkey, 'outer' AS mode, p.pos AS pos, p.val AS val FROM outer_side
+UNION ALL
+SELECT c_custkey, 'inner' AS mode, p.pos AS pos, p.val AS val FROM inner_side
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
     "skew_key_diagnostics": skew_key_diagnostics,
     "agg_filter_clause_matrix": agg_filter_clause_matrix,
+    "lateral_explode_matrix": lateral_explode_matrix,
     "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,

@@ -1010,12 +1010,57 @@ SELECT c_custkey, 'inner' AS mode, p.pos AS pos, p.val AS val FROM inner_side
 """
 
 
+def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 — map-typed column surface (the semi-structured sibling of
+    A30's array matrix): construct (``map_from_arrays``), read
+    (``element_at`` present + ABSENT key → NULL), introspect
+    (``map_keys`` sorted for determinism — map iteration order is
+    engine-internal), transform values (``transform_values``), and
+    flatten entries to rows (``explode`` of the map). All scan-side
+    expressions. The oracle reconstructs the identical rows
+    relationally (no MAP type needed) — pinning Spark's map
+    semantics against ground truth rather than against another
+    engine's different map model."""
+    cust = load_table(spark, sf_dir, "customer")
+    m = F.map_from_arrays(
+        F.array(F.lit("seg"), F.lit("name")),
+        F.array(F.col("c_mktsegment"), F.col("c_name")),
+    )
+    staged = cust.select("c_custkey", m.alias("m"))
+    scalars = staged.select(
+        "c_custkey",
+        F.lit("scalar").alias("kind"),
+        F.element_at(F.col("m"), F.lit("seg")).alias("k"),
+        F.element_at(F.col("m"), F.lit("missing")).alias("v"),
+        F.array_join(F.array_sort(F.map_keys(F.col("m"))), ",").alias("extra"),
+    )
+    exploded = staged.select(
+        "c_custkey",
+        F.lit("entry").alias("kind"),
+        F.explode(F.transform_values(F.col("m"), lambda k, v: F.upper(v))),
+    ).select("c_custkey", "kind", F.col("key").alias("k"), F.col("value").alias("v"),
+             F.lit(None).cast("string").alias("extra"))
+    return scalars.unionByName(exploded)
+
+
+ORACLES["map_function_matrix"] = """
+SELECT c_custkey, 'scalar' AS kind, c_mktsegment AS k,
+       CAST(NULL AS VARCHAR) AS v, 'name,seg' AS extra
+FROM customer
+UNION ALL
+SELECT c_custkey, 'entry', 'seg', upper(c_mktsegment), NULL FROM customer
+UNION ALL
+SELECT c_custkey, 'entry', 'name', upper(c_name), NULL FROM customer
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
     "skew_key_diagnostics": skew_key_diagnostics,
     "agg_filter_clause_matrix": agg_filter_clause_matrix,
     "lateral_explode_matrix": lateral_explode_matrix,
+    "map_function_matrix": map_function_matrix,
     "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,

@@ -412,7 +412,14 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITER = 50
 
 
-def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+CC_DRIVER_MAX_EDGES = 200_000
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = CC_MAX_ITER,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id,
     cluster) with cluster = smallest member id. Each iteration is one
     join + one aggregate; the loop runs TO FIXPOINT — it stops the
@@ -423,6 +430,18 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     this converges in 1-3 iterations — the fixpoint check is one tiny
     aggregate over the already-checkpointed node set.
 
+    Adaptive small-graph fast path (same idea as the broadcast-join
+    threshold): the EDGE LIST of a near-dup graph is usually tiny
+    even when the corpus is not — pair generation already bounded it.
+    When it fits under ``driver_max_edges`` the materialized edges
+    union-find on the driver in one pass (identical labels by
+    construction: label = min member id), skipping 1-3 rounds of
+    join + checkpoint + fixpoint-count jobs (~4-5 s of fixed cost per
+    call at any data size). Above the threshold — the 100 TB regime —
+    the distributed loop runs unchanged; equality of the two paths is
+    test-pinned, and the gate threshold is a parameter so tests
+    exercise both.
+
     This is the canonical way dedup PAIRS become dedup GROUPS (keep
     one representative per cluster, drop the rest)."""
     # persist the (possibly expensive) edge subtree — the loop
@@ -431,6 +450,37 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).persist()
+    n_sym = sym.count()  # materializes the persist; the loop needs it anyway
+    if n_sym <= 2 * driver_max_edges:
+        id_type = edges.schema["a"].dataType.simpleString()
+        pairs = sym.collect()  # bounded by the threshold, not the corpus
+        sym.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        label: dict = {}
+        for node in parent:
+            root = find(node)
+            if root not in label or node < label[root]:
+                label[root] = node
+        rows = [(node, label[find(node)]) for node in parent]
+        return edges.sparkSession.createDataFrame(
+            rows, f"doc_id {id_type}, cluster {id_type}"
+        )
     nodes = sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     for _ in range(max_iter):
         neigh = (

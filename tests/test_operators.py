@@ -748,3 +748,22 @@ def test_pagerank_matches_numpy_twin(spark):
     for nm in names:
         assert abs(got[nm] - r[idx[nm]]) < 1e-12, (nm, got[nm], r[idx[nm]])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The adaptive CC fast path must label identically to the
+    distributed fixpoint loop — same (id, cluster) set on a graph
+    with chains, a cycle, an isolated pair, and out-of-order ids."""
+    from proceso_de_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11), (20, 21), (40, 41), (41, 42), (42, 40), (100, 7)],
+        "a long, b long",
+    )
+    fast = {(r.doc_id, r.cluster) for r in connected_components(edges).collect()}
+    dist = {
+        (r.doc_id, r.cluster)
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert {(3, 3), (5, 3), (9, 3), (11, 3), (7, 7), (100, 7)} <= fast

@@ -1054,6 +1054,55 @@ SELECT c_custkey, 'entry', 'name', upper(c_name), NULL FROM customer
 """
 
 
+def datetime_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 — calendar/datetime parity matrix over order dates: the
+    extractors engines disagree on by default, pinned to ONE
+    definition on both sides — ISO week number and ISO weekday
+    (Mon=1..Sun=7; Spark's dayofweek is Sun=1, DuckDB's dow is
+    Sun=0 — both sides use their ISO spellings instead), quarter,
+    month/quarter/week date_trunc, end-of-month, and day-arithmetic
+    across a month boundary. All scan-side; UTC session pinned (the
+    engine's session factory) so truncations are timezone-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    iso = "yyyy-MM-dd"
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, iso).alias("d"),
+        F.year(d).cast("bigint").alias("y"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.month(d).cast("bigint").alias("m"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.dayofweek(F.date_add(d, -1)).cast("bigint").alias("iso_dow"),
+        # dates emitted as ISO STRINGS (house rule: engines disagree on
+        # whether a date materializes as date or midnight timestamp
+        # client-side — see etl_extract_conform)
+        F.date_format(F.date_trunc("quarter", d), iso).alias("quarter_start"),
+        F.date_format(F.date_trunc("week", d), iso).alias("week_start"),
+        F.date_format(F.last_day(d), iso).alias("month_end"),
+        F.date_format(F.date_add(d, 45), iso).alias("plus45"),
+        F.round(F.months_between(F.lit("1998-01-01").cast("date"), d), 4).alias("mb"),
+    )
+
+
+ORACLES["datetime_function_matrix"] = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS d,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_dow,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       strftime(CAST(o_orderdate AS DATE) + 45, '%Y-%m-%d') AS plus45,
+       ROUND(12 * (1998 - year(o_orderdate)) + (1 - month(o_orderdate))
+             - (day(o_orderdate) - 1) / 31.0, 4) AS mb
+FROM orders
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
@@ -1061,6 +1110,7 @@ QUERIES = {
     "agg_filter_clause_matrix": agg_filter_clause_matrix,
     "lateral_explode_matrix": lateral_explode_matrix,
     "map_function_matrix": map_function_matrix,
+    "datetime_function_matrix": datetime_function_matrix,
     "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,

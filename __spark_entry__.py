@@ -100,6 +100,7 @@ _PRIORITY = (
     "lateral_explode_matrix",
     "map_function_matrix",
     "datetime_function_matrix",
+    "subquery_semantics_matrix",
     "q12_priority_classes_v2",
     "q19_disjunctive_filter_v2",
     # --- cut off below round 5's 50-row gate cap: events keys still

@@ -1103,6 +1103,47 @@ FROM orders
 """
 
 
+def subquery_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 — subquery predicate semantics, one statement on both
+    engines: the four spellings that look interchangeable and are
+    not. ``NOT IN`` against a subquery CONTAINING A NULL returns
+    UNKNOWN for every row (count 0 — the classic production outage);
+    ``NOT EXISTS`` with the same correlation returns the intuitive
+    complement; ``IN`` ignores the NULL; plus a correlated scalar
+    subquery in the projection. The NULL is planted (nationkey 13 →
+    NULL) so the trap actually fires. Catalyst rewrites all four to
+    joins (null-aware anti / semi / left) — no per-row subquery
+    execution at scale."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(_SUBQ_SQL.format(cust="customer_sq", orders="orders_sq"))
+
+
+_SUBQ_SQL = """
+WITH nat AS (
+  SELECT CASE WHEN c_nationkey = 13 THEN NULL ELSE c_nationkey END AS nk
+  FROM {cust}
+)
+SELECT 'not_in_with_null' AS test, COUNT(*) AS n FROM {cust}
+WHERE c_nationkey NOT IN (SELECT nk FROM nat)
+UNION ALL
+SELECT 'in_ignores_null', COUNT(*) FROM {cust}
+WHERE c_nationkey IN (SELECT nk FROM nat WHERE nk IS NULL OR nk < 5)
+UNION ALL
+SELECT 'not_exists_complement', COUNT(*) FROM {cust} c
+WHERE NOT EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1998)
+UNION ALL
+SELECT 'scalar_subquery', COUNT(*) FROM (
+  SELECT c_custkey,
+         (SELECT COUNT(*) FROM {orders} o WHERE o.o_custkey = c.c_custkey) AS n_orders
+  FROM {cust} c
+) WHERE n_orders >= 12
+"""
+
+ORACLES["subquery_semantics_matrix"] = _SUBQ_SQL.format(cust="customer", orders="orders")
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
@@ -1111,6 +1152,7 @@ QUERIES = {
     "lateral_explode_matrix": lateral_explode_matrix,
     "map_function_matrix": map_function_matrix,
     "datetime_function_matrix": datetime_function_matrix,
+    "subquery_semantics_matrix": subquery_semantics_matrix,
     "agg_argmax_no_window": agg_argmax_no_window,
     "recursive_cte_closure": recursive_cte_closure,
     "agg_unpivot": agg_unpivot,

@@ -3,6 +3,8 @@ plans we designed — pushdown reaching parquet, dims broadcast, no
 accidental row-at-a-time Python in JVM-able paths.
 """
 
+import pytest
+
 import __spark_entry__ as entrymod
 from proceso_de_etl_spark.plans import tpch
 from tests.conftest import SF_CORRECT
@@ -177,7 +179,25 @@ def test_q1_partial_aggregation_and_codegen(spark):
     assert "isFinalPlan=true" in final and "*(" in final
 
 
-def test_no_python_udf_in_jvm_paths(spark):
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """One executed-plan string per registered batch query, built ONCE
+    per test module: several sweeps below read every plan, and
+    building a plan requires CALLING the query builder — which for
+    the iterative operators (k-means, PageRank, BPE training,
+    connected components, WAP publishes) executes their eager driver
+    loops. Sharing the cache keeps the sweep cost at one pass
+    regardless of how many sweep assertions exist. Streaming keys are
+    excluded: their batch twins carry the plan checks."""
+    streaming = {n for n in entrymod.queries() if n.startswith("stream_")}
+    return {
+        name: plan_of(fn(spark, SF_CORRECT))
+        for name, fn in entrymod.queries().items()
+        if name not in streaming
+    }
+
+
+def test_no_python_udf_in_jvm_paths(all_plans):
     """Every query except the explicitly-Arrow ones must compile to a
     pure JVM plan: no BatchEvalPython (row-at-a-time Python)."""
     arrow_ok = {
@@ -186,12 +206,7 @@ def test_no_python_udf_in_jvm_paths(spark):
         "multimodal_audio_energy",
         "multimodal_image_resize",
     }
-    streaming = {"stream_tumbling_window", "stream_session_window", "stream_dedup"}
-    for name, fn in entrymod.queries().items():
-        if name in streaming:
-            continue  # materialized via memory sink; inner plan checked via batch twins
-        df = fn(spark, SF_CORRECT)
-        plan = plan_of(df)
+    for name, plan in all_plans.items():
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
         if name not in arrow_ok:
             assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
@@ -199,17 +214,13 @@ def test_no_python_udf_in_jvm_paths(spark):
             )
 
 
-def test_no_cartesian_product_anywhere(spark):
+def test_no_cartesian_product_anywhere(all_plans):
     """No registered query may plan a CartesianProduct: every
     intentional non-equi join is either broadcast-of-one-row (scalar
     aggregates) or a size-bounded BroadcastNestedLoopJoin (band dims,
     the documented quadratic baselines). A CartesianProduct means an
     unintended unconstrained join slipped in."""
-    streaming = {n for n in entrymod.queries() if n.startswith("stream_")}
-    for name, fn in entrymod.queries().items():
-        if name in streaming:
-            continue
-        plan = plan_of(fn(spark, SF_CORRECT))
+    for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 

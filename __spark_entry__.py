@@ -101,6 +101,7 @@ _PRIORITY = (
     "map_function_matrix",
     "datetime_function_matrix",
     "subquery_semantics_matrix",
+    "text_chunk_dedup_stats",
     "q12_priority_classes_v2",
     "q19_disjunctive_filter_v2",
     # --- cut off below round 5's 50-row gate cap: events keys still

@@ -976,9 +976,56 @@ FROM starts
 """
 
 
+def text_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T45 — chunk-level duplication accounting: T40's chunk table
+    fed through T1's content-hash dedup criterion, rolled up per
+    source — what fraction of a source's TRAINING SEQUENCES is
+    corpus-duplicated (document-level dedup misses chunks repeated
+    across otherwise-distinct documents, e.g. boilerplate headers).
+    Chunk hashes never leave the JVM: one global hash-frequency
+    aggregation, one broadcast-free join back, one source rollup —
+    all keyed shuffles. unique_chunk_frac is the deduped-corpus size
+    a chunk-level exact dedup would keep."""
+    chunks = text_chunk_documents(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    freq = chunks.groupBy("chunk_md5").agg(F.count("*").alias("n_copies"))
+    tagged = chunks.join(freq, "chunk_md5").join(docs, "doc_id")
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk_md5").alias("n_distinct"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).cast("bigint").alias("n_duplicated"),
+        F.round(
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("dup_chunk_frac"),
+    )
+
+
+ORACLES["text_chunk_dedup_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i+{CHUNK_TOKENS - 1}], ' ')) AS chunk_md5
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks), 1), {CHUNK_STRIDE})) AS i
+        FROM base WHERE len(toks) >= 1)
+),
+freq AS (SELECT chunk_md5, COUNT(*) AS n_copies FROM chunks GROUP BY chunk_md5)
+SELECT d.source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT c.chunk_md5) AS n_distinct,
+       CAST(SUM(CASE WHEN f.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+       ROUND(SUM(CASE WHEN f.n_copies > 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_chunk_frac
+FROM chunks c JOIN freq f USING (chunk_md5) JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_chunk_documents": text_chunk_documents,
+    "text_chunk_dedup_stats": text_chunk_dedup_stats,
     "text_vocab_topk": text_vocab_topk,
     "text_sentiment": text_sentiment,
     "text_pii_redaction": text_pii_redaction,

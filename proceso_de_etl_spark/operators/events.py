@@ -622,6 +622,65 @@ GROUP BY user_id
 """
 
 
+ROLLING_DISTINCT_WINDOW_H = 4
+
+
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57 — trailing COUNT(DISTINCT) over event-time: distinct users
+    (and event types) in the 4-hour window ending at each hour bucket.
+    Spark window frames cannot express DISTINCT aggregates, and the
+    naive formulation — a bucket×events range join — rescans the fact
+    table once per bucket. Instead each event is replicated to the W
+    hour-buckets whose trailing window contains it (a constant W×
+    fan-out applied scan-side, same shape as the hopping-window oracle
+    A39), then ONE hash aggregation computes the distinct counts per
+    bucket. At 100 TB the cost is a bounded W× shuffle of (bucket,
+    user_id) pairs with map-side partial distinct; for large W or
+    cardinality-explosive keys, compose with the HLL rollup (A35),
+    which makes the trailing union a mergeable sketch instead of a
+    replication. Extends the reference's hourly activity reporting
+    (main.py:131-160 date-bucketed aggregates) to sliding uniques."""
+    ev = load_table(spark, sf_dir, "events")
+    slots = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ROLLING_DISTINCT_WINDOW_H - 1))
+        ).alias("o"),
+    )
+    return (
+        slots.select(
+            (
+                F.unix_micros(F.col("h")) + F.col("o") * F.lit(3_600_000_000)
+            ).alias("bucket_us"),
+            "user_id",
+            "event_type",
+        )
+        .groupBy("bucket_us")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("bucket_us")
+    )
+
+
+ORACLES["events_rolling_distinct"] = f"""
+WITH slots AS (
+  SELECT epoch_us(date_trunc('hour', ts)) + k * 3600000000 AS bucket_us,
+         user_id, event_type
+  FROM events, unnest(generate_series(0, {ROLLING_DISTINCT_WINDOW_H - 1})) AS t(k)
+)
+SELECT bucket_us, COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+FROM slots
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_time_weighted_avg": events_time_weighted_avg,
@@ -636,5 +695,6 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "events_interval_join_bucketed": events_interval_join_bucketed,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "events_rolling_distinct": events_rolling_distinct,
     "events_variant_extract": events_variant_extract,
 }

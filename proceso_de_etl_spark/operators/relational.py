@@ -1144,6 +1144,62 @@ SELECT 'scalar_subquery', COUNT(*) FROM (
 ORACLES["subquery_semantics_matrix"] = _SUBQ_SQL.format(cust="customer", orders="orders")
 
 
+LEV_CAP = 10
+
+
+def fuzzy_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58 — sorted-neighborhood fuzzy matching: edit-distance
+    distribution over candidate pairs produced by adjacent-key
+    blocking (sort the corpus by a blocking key, compare each record
+    to its neighbor) — the classic record-linkage shape that avoids
+    the O(n²) all-pairs comparison. Pairing is an equi-join on
+    ``p_partkey + 1`` (shuffle-safe, no global window), so at 100 TB
+    it is one co-partitioned join, not a single-partition lag. Two
+    variants share one pair scan: the full Levenshtein distance, and
+    Spark's bounded form ``levenshtein(a, b, threshold)`` that
+    short-circuits to -1 above the cap — the production form for
+    dedup where only near matches matter (bounded DP cost per pair).
+    Oracle reconstructs the cap with a CASE over DuckDB's exact
+    distance. Fuzzy-match parity extends the reference's exact
+    string-equality cleaning rules (main.py:70-96)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("name_a"))
+    b = p.select((F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("name_b"))
+    pairs = a.join(b, "k")
+    lev = (
+        pairs.groupBy(F.levenshtein("name_a", "name_b").alias("dist"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("lev").alias("kind"), "dist", "n")
+    )
+    capped = (
+        pairs.groupBy(
+            F.levenshtein("name_a", "name_b", LEV_CAP).alias("dist")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("lev_capped").alias("kind"), "dist", "n")
+    )
+    return lev.unionByName(capped).orderBy("kind", "dist")
+
+
+ORACLES["fuzzy_distance_matrix"] = f"""
+WITH pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+)
+SELECT kind, dist, n FROM (
+  SELECT 'lev' AS kind, levenshtein(name_a, name_b) AS dist, COUNT(*) AS n
+  FROM pairs GROUP BY 2
+  UNION ALL
+  SELECT 'lev_capped',
+         CASE WHEN levenshtein(name_a, name_b) > {LEV_CAP} THEN -1
+              ELSE levenshtein(name_a, name_b) END,
+         COUNT(*)
+  FROM pairs GROUP BY 2
+)
+ORDER BY kind, dist
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
@@ -1172,4 +1228,5 @@ QUERIES = {
     "agg_histogram": agg_histogram,
     "sort_global_rank": sort_global_rank,
     "agg_mode_per_group": agg_mode_per_group,
+    "fuzzy_distance_matrix": fuzzy_distance_matrix,
 }

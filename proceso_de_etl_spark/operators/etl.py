@@ -1377,6 +1377,167 @@ HAVING COUNT(*) > 0
 """
 
 
+def etl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28 — declarative data-quality expectations suite (the
+    dbt-tests / Deequ check-battery shape): not-null, accepted-values,
+    value-range, uniqueness, referential integrity and a minimum-
+    row-count freshness gate, evaluated in bulk and emitted as one
+    report row per check with its violation count. Generalizes the
+    reference's ad-hoc validity rules (main.py:141 ``isin`` filters,
+    main.py:70-96 cleaning) into a reusable audit surface that FAILS
+    LOUDLY via ``passed = false`` rows instead of silently dropping.
+
+    Plan shape, sized for 100 TB: all single-table checks on orders —
+    not-null, accepted-values, range, and uniqueness — fold into ONE
+    scan (conditional sums + count-distinct in a single aggregate,
+    then an unpivot of the 1-row result); referential integrity is a
+    left-anti join (broadcast when the PK side is dim-sized); nothing
+    materializes violating rows (that is E23 reject routing's job).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    one = orders.agg(
+        viol(F.col("o_custkey").isNull()).alias("not_null_custkey"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("accepted_status"),
+        viol(
+            (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1_000_000)
+        ).alias("range_totalprice"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("unique_orderkey"),
+        F.when(F.count("*") < 100, 1).otherwise(0).cast("bigint").alias("min_row_count"),
+    )
+    single = one.selectExpr(
+        "stack(5, 'not_null_custkey', not_null_custkey,"
+        " 'accepted_status', accepted_status,"
+        " 'range_totalprice', range_totalprice,"
+        " 'unique_orderkey', unique_orderkey,"
+        " 'min_row_count', min_row_count) AS (check_name, n_violations)"
+    )
+    fk = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("fk_custkey_customer").alias("check_name"), "n_violations")
+    )
+    return (
+        single.unionByName(fk)
+        .select(
+            F.lit("orders").alias("table_name"),
+            "check_name",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
+
+
+ORACLES["etl_expectations_report"] = """
+WITH single AS (
+  SELECT * FROM (
+    SELECT 'not_null_custkey' AS check_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_status',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_orderkey', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'min_row_count', CASE WHEN COUNT(*) < 100 THEN 1 ELSE 0 END FROM orders
+    UNION ALL
+    SELECT 'fk_custkey_customer', COUNT(*) FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+  )
+)
+SELECT 'orders' AS table_name, check_name, n_violations,
+       n_violations = 0 AS passed
+FROM single
+ORDER BY check_name
+"""
+
+
+BACKFILL_CUTOFF = "1997-10-01"
+BACKFILL_STALE_CAP = 400_000.0
+
+
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29 — partition backfill planner: diff a (simulated) stale
+    monthly rollup against the source of truth and emit exactly the
+    partitions that need recomputation, tagged ``missing`` (never
+    built) or ``stale`` (fingerprint drift). This is the planning
+    half of incremental recomputation — E15/E27 maintain a rollup
+    in-place; this op decides WHICH partitions a scheduler must
+    rebuild after late-arriving or corrected data, without comparing
+    row-level contents.
+
+    Scale shape: both sides reduce to per-month fingerprints (row
+    count + exact DECIMAL sum — bit-stable across partitioning) in
+    one aggregation each, so the diff join is over ~months rows, not
+    data rows; at 100 TB the expensive halves are two scans that AQE
+    partial-aggregates map-side, and the join is trivially broadcast.
+    The stale twin is derived in-plan (pre-cutoff, capped totalprice)
+    so the oracle can reproduce it exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    fingerprint_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    src = orders.groupBy(ym).agg(
+        F.count("*").alias("src_n"), fingerprint_sum.alias("src_sum")
+    )
+    tgt = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit(BACKFILL_CUTOFF).cast("date"))
+            & (F.col("o_totalprice") <= BACKFILL_STALE_CAP)
+        )
+        .groupBy(ym)
+        .agg(F.count("*").alias("tgt_n"), fingerprint_sum.alias("tgt_sum"))
+    )
+    diff = src.join(tgt, "ym", "full_outer").select(
+        "ym",
+        F.when(F.col("tgt_n").isNull(), F.lit("missing"))
+        .when(
+            (F.col("src_n") != F.col("tgt_n"))
+            | (F.col("src_sum") != F.col("tgt_sum")),
+            F.lit("stale"),
+        )
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+        "src_n",
+        F.coalesce("tgt_n", F.lit(0)).alias("tgt_n"),
+    )
+    return diff.filter(F.col("status") != "fresh").orderBy("ym")
+
+
+ORACLES["etl_backfill_plan"] = f"""
+WITH src AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS src_n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS src_sum
+  FROM orders GROUP BY 1
+),
+tgt AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS tgt_n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tgt_sum
+  FROM orders
+  WHERE o_orderdate < DATE '{BACKFILL_CUTOFF}' AND o_totalprice <= {BACKFILL_STALE_CAP}
+  GROUP BY 1
+)
+SELECT src.ym AS ym,
+       CASE WHEN tgt.ym IS NULL THEN 'missing'
+            WHEN src_n <> tgt_n OR src_sum <> tgt_sum THEN 'stale'
+            ELSE 'fresh' END AS status,
+       src_n, COALESCE(tgt_n, 0) AS tgt_n
+FROM src FULL OUTER JOIN tgt ON src.ym = tgt.ym
+WHERE CASE WHEN tgt.ym IS NULL THEN 'missing'
+           WHEN src_n <> tgt_n OR src_sum <> tgt_sum THEN 'stale'
+           ELSE 'fresh' END <> 'fresh'
+ORDER BY ym
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -1404,4 +1565,6 @@ QUERIES = {
     "etl_dpp_join": etl_dpp_join,
     "etl_compact_small_files": etl_compact_small_files,
     "etl_time_travel_read": etl_time_travel_read,
+    "etl_expectations_report": etl_expectations_report,
+    "etl_backfill_plan": etl_backfill_plan,
 }

@@ -246,7 +246,142 @@ def ml_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "node", "pr")
 
 
+LOGREG_N_ITER = 30
+LOGREG_LR = 1.0
+
+
+def _doc_features(docs: DataFrame) -> DataFrame:
+    """Features for T46: log length plus English- and non-English-
+    marker token ratios (the same stopword signals T8's lang-id
+    scores with — punctuation/digit densities are degenerate on this
+    corpus), label = is-English. All closed-form expressions, no
+    UDFs."""
+    from proceso_de_etl_spark.functions.text import STOPWORDS, stop_hits, tokens
+
+    n_chars = F.col("n_chars").cast("double")
+    staged = docs.select(
+        "doc_id", "lang", "n_chars", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    ntok = F.size(t).cast("double") + 1.0
+    other = tuple(
+        w for lang, ws in STOPWORDS.items() if lang != "en" for w in ws
+    )
+    return staged.select(
+        "doc_id",
+        F.log1p(n_chars).alias("x1"),
+        (stop_hits(t, STOPWORDS["en"]).cast("double") / ntok).alias("x2"),
+        (stop_hits(t, other).cast("double") / ntok).alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def logreg_fit(feat: DataFrame, n_iter: int = LOGREG_N_ITER, lr: float = LOGREG_LR):
+    """T46 — batch-gradient-descent logistic regression, the
+    quality-classifier trainer of a corpus curation pipeline
+    (fastText-style filters), built on the same iteration discipline
+    as k-means/PageRank:
+
+    - features are standardized IN-PLAN from one stats aggregate
+      (collected once — means/stds are model constants, so baking
+      them as literals keeps the training plan iteration-invariant);
+    - the weight vector enters each iteration as a broadcast 1-ROW
+      TABLE (data, not literals — same codegen-cache argument as
+      kmeans_fit);
+    - each iteration is ONE scan of the persisted feature frame
+      producing a (dim+1)-value gradient row — the only driver
+      round-trip, bounded by dim, never by corpus size.
+
+    Returns (weights, n_rows). Float GD → no cross-engine value
+    oracle; the unit test pins weights against a numpy twin."""
+    dim = 4  # bias + 3 features
+    stats = feat.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in ("x1", "x2", "x3")],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in ("x1", "x2", "x3")],
+    ).collect()[0]
+    std_cols = []
+    for c in ("x1", "x2", "x3"):
+        s = stats[f"s_{c}"] or 1.0
+        s = s if s > 0 else 1.0
+        std_cols.append(((F.col(c) - float(stats[f"m_{c}"])) / float(s)).alias(c))
+    z = (
+        feat.select(*std_cols, "y")
+        .select(F.array(F.lit(1.0), "x1", "x2", "x3").alias("x"), "y")
+        .persist()
+    )
+    spark = feat.sparkSession
+    try:
+        n = z.count()
+        w = [0.0] * dim
+        for _ in range(n_iter):
+            wdf = spark.createDataFrame([(w,)], "w array<double>")
+            dot = F.aggregate(
+                F.zip_with("x", "w", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+            g = (
+                z.join(F.broadcast(wdf))
+                .select((p - F.col("y")).alias("r"), "x")
+                .agg(*[F.sum(F.col("r") * F.col("x")[k]).alias(f"g{k}") for k in range(dim)])
+                .collect()[0]
+            )
+            w = [w[k] - lr * g[k] / n for k in range(dim)]
+        return w, n
+    finally:
+        z.unpersist()
+
+
+def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T46 — train the quality classifier on the documents table and
+    report weights + training accuracy/log-loss in one row. The
+    scoring pass reuses the broadcast-weights plan (one extra scan).
+    The trained-model shape (a dim-sized driver vector) is what a
+    100 TB run ships to the scoring-only job. Supervised counterpart
+    of the reference's rule-based validity filters (main.py:141).
+
+    Note on the testdata: the generator assigns ``lang`` independent
+    of token content (measured: marker-word rates are flat across
+    langs), so trained accuracy here hovers at the majority-class
+    ceiling BY CONSTRUCTION — the x3 (non-English markers) feature is
+    constant-zero and exercises the zero-variance guard. The numpy
+    golden test trains the same machinery on a separable planted rule
+    and pins both the weights (1e-9) and >0.9 accuracy."""
+    feat = _doc_features(load_table(spark, sf_dir, "documents"))
+    w, n = logreg_fit(feat)
+    stats = feat.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in ("x1", "x2", "x3")],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in ("x1", "x2", "x3")],
+    ).collect()[0]
+    zcols = []
+    for c in ("x1", "x2", "x3"):
+        s = stats[f"s_{c}"] or 1.0
+        zcols.append(((F.col(c) - float(stats[f"m_{c}"])) / float(s if s > 0 else 1.0)).alias(c))
+    z = feat.select(*zcols, "y").select(F.array(F.lit(1.0), "x1", "x2", "x3").alias("x"), "y")
+    wdf = spark.createDataFrame([(w,)], "w array<double>")
+    dot = F.aggregate(
+        F.zip_with("x", "w", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    return (
+        z.join(F.broadcast(wdf))
+        .agg(
+            F.avg(((p > 0.5).cast("double") == F.col("y")).cast("double")).alias("acc"),
+            F.avg(
+                -(F.col("y") * F.log(pc) + (1.0 - F.col("y")) * F.log(1.0 - pc))
+            ).alias("loss"),
+        )
+        .select(
+            F.lit(n).alias("n_rows"),
+            *[F.lit(round(w[k], 6)).alias(f"w{k}") for k in range(4)],
+            F.round("acc", 4).alias("train_accuracy"),
+            F.round("loss", 4).alias("train_log_loss"),
+        )
+    )
+
+
 QUERIES = {
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_pagerank_bipartite": ml_pagerank_bipartite,
+    "ml_logreg_quality": ml_logreg_quality,
 }

@@ -1022,6 +1022,61 @@ GROUP BY d.source
 """
 
 
+HASH_TF_DIM = 64
+
+
+def text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T47 — feature hashing (the hashing trick): fixed-dimension
+    bag-of-words TF vectors with bucket = hash(token) mod D, emitted
+    sparse as (doc_id, bucket, tf, l2-normalized weight). This is the
+    vocabulary-free featurizer for corpus-scale classifiers (T46
+    trains on engineered features; this op is the text→vector path
+    that needs NO global vocabulary build, no second pass, no
+    driver-held dictionary — the property that makes it the 100 TB
+    featurizer of choice).
+
+    The hash is the first 8 hex chars of md5 (conv to int) — chosen
+    over xxhash64/murmur because md5 is bit-identical across engines,
+    so the DuckDB oracle verifies bucket assignment exactly (swap in
+    ``F.xxhash64`` for production throughput; the plan shape is
+    unchanged). Everything is JVM-side: explode → hash-mod →
+    count per (doc, bucket) → per-doc window for the L2 norm
+    (partitioned by doc_id — bounded by D buckets per doc, no global
+    window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % HASH_TF_DIM
+    ).cast("int")
+    tf = tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("tf")
+    )
+    w = W.partitionBy("doc_id")
+    return tf.select(
+        "doc_id",
+        "bucket",
+        "tf",
+        F.round(
+            F.col("tf") / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w)), 6
+        ).alias("weight"),
+    )
+
+
+ORACLES["text_hashed_tf"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+tf AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % {HASH_TF_DIM} AS INT) AS bucket,
+         COUNT(*) AS tf
+  FROM tok GROUP BY 1, 2
+)
+SELECT doc_id, bucket, tf,
+       ROUND(tf / sqrt(SUM(tf * tf) OVER (PARTITION BY doc_id)), 6) AS weight
+FROM tf
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_chunk_documents": text_chunk_documents,
@@ -1041,4 +1096,5 @@ QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_encode": text_bpe_encode,
     "text_gopher_quality": text_gopher_quality,
+    "text_hashed_tf": text_hashed_tf,
 }

@@ -329,6 +329,67 @@ GROUP BY source, CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET_TOKENS}) AS BIGINT)
 """
 
 
+def sample_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T48 — leakage-safe train/val/test split: bucket by a hash of
+    the DUPLICATE-GROUP key (md5 of the text), not the doc id, so
+    every copy of a duplicated document lands in the same split.
+    Splitting by doc id (sample_split_train_eval) leaks eval content
+    into train whenever the corpus contains duplicates — the classic
+    contamination bug benchmark-decontam (T19/T26) then has to catch
+    downstream; group-aware assignment prevents it at the split.
+
+    Emits per-split doc/group counts plus ``n_leaky_groups`` — the
+    number of groups straddling >1 split — computed, not assumed, so
+    a regression in the keying shows up as a nonzero value, and the
+    invariant is part of the oracle-checked contract. Scale shape:
+    one scan-side md5, two hash aggregations keyed on the group hash;
+    the leak check reuses the same shuffle key. For near-dup (rather
+    than exact) leakage, swap the group key for the connected-
+    component id (T4b) — same plan downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id", F.md5("text").alias("gk")
+    ).withColumn(
+        "split",
+        F.when(F.substring(F.md5("gk"), 1, 2) < SPLIT_TRAIN_BOUND, "train")
+        .when(F.substring(F.md5("gk"), 1, 2) < SPLIT_VAL_BOUND, "val")
+        .otherwise("test"),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.countDistinct("gk").alias("n_groups")
+    )
+    leaky = (
+        assigned.groupBy("gk")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaky_groups"))
+    )
+    return per_split.join(F.broadcast(leaky)).orderBy("split")
+
+
+ORACLES["sample_group_aware_split"] = f"""
+WITH assigned AS (
+  SELECT doc_id, md5(text) AS gk,
+         CASE WHEN substr(md5(md5(text)), 1, 2) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+              WHEN substr(md5(md5(text)), 1, 2) < '{SPLIT_VAL_BOUND}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per_split AS (
+  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gk) AS n_groups
+  FROM assigned GROUP BY 1
+),
+leaky AS (
+  SELECT COUNT(*) AS n_leaky_groups FROM (
+    SELECT gk FROM assigned GROUP BY gk HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split, n_docs, n_groups, n_leaky_groups
+FROM per_split CROSS JOIN leaky
+ORDER BY split
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_pack_sequences": sample_pack_sequences,
@@ -336,4 +397,5 @@ QUERIES = {
     "sample_split_train_eval": sample_split_train_eval,
     "sample_weighted_aes": sample_weighted_aes,
     "sample_mixture_rebalance": sample_mixture_rebalance,
+    "sample_group_aware_split": sample_group_aware_split,
 }

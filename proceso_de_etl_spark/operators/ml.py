@@ -425,6 +425,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_is_u, F.col("dv")).otherwise(F.col("du")).alias("dd"),
         )
     )
+    # The four report scalars all hang off `oriented`; persist it (and
+    # its `und` parent) so the expensive pair-generation join runs
+    # once, not once per scalar. Wedge and triangle counts fold into a
+    # SINGLE aggregation via a left-join hit flag, so the wedge join —
+    # the dominant cost — also runs exactly once (plan-pinned). The
+    # final 1-row × 1-row combines are bounded broadcast joins.
+    oriented = oriented.persist()
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(
         w2,
@@ -434,13 +441,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("w1.dd") == F.col("w2.dd")) & (F.col("w1.d") < F.col("w2.d")))
         ),
     ).select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
-    closing = oriented.select(F.col("s").alias("x"), F.col("d").alias("y"))
-    tri = wedges.join(closing, ["x", "y"])
+    closing = oriented.select(
+        F.col("s").alias("x"), F.col("d").alias("y"), F.lit(1).alias("hit")
+    )
+    wt = wedges.join(closing, ["x", "y"], "left").agg(
+        F.count("*").alias("n_wedges"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_triangles"),
+    )
     return (
-        deg.agg(F.count("*").alias("n_nodes"))
-        .join(und.agg(F.count("*").alias("n_edges")))
-        .join(wedges.agg(F.count("*").alias("n_wedges")))
-        .join(tri.agg(F.count("*").alias("n_triangles")))
+        oriented.agg(F.count("*").alias("n_edges"))
+        .join(
+            oriented.select(F.col("s").alias("node"))
+            .unionByName(oriented.select(F.col("d").alias("node")))
+            .agg(F.countDistinct("node").alias("n_nodes"))
+        )
+        .join(wt)
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
 
 

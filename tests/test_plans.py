@@ -453,3 +453,39 @@ def test_chunking_is_shuffle_free(spark):
 
     plan = plan_of(text_chunk_documents(spark, SF_CORRECT))
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_round7_new_ops_plan_shapes(spark):
+    """Plan pins for the r7 additions: (1) T47's L2-norm window is
+    partitioned by doc_id (never a data-sized single-task window);
+    (2) E28 folds all five single-table checks into at most two scans
+    of orders (one conditional aggregate + one RI anti-join probe);
+    (3) A59's wedge/closing joins are shuffle equi-joins, not
+    nested-loop — the degree-orientation keeps them key-partitioned."""
+    from proceso_de_etl_spark.operators.etl import etl_expectations_report
+    from proceso_de_etl_spark.operators.ml import graph_triangle_count
+    from proceso_de_etl_spark.operators.text_analysis import text_hashed_tf
+
+    root = text_hashed_tf(spark, SF_CORRECT)._jdf.queryExecution().executedPlan()
+    for node in _iter_plan_nodes(root):
+        if node.nodeName() == "Window":
+            assert not node.partitionSpec().isEmpty(), (
+                "text_hashed_tf: unpartitioned window"
+            )
+
+    plan = plan_of(etl_expectations_report(spark, SF_CORRECT))
+    n_orders_scans = plan.count("orders.parquet")
+    assert n_orders_scans <= 2, f"expectations re-scan orders {n_orders_scans}x"
+
+    plan = plan_of(graph_triangle_count(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    # the wedge self-join (the dominant cost) must appear exactly once
+    # — the 1-row scalar combines at the top are bounded broadcast
+    # nested-loops, never recomputations of the wedge pipeline
+    n_wedge_joins = sum(
+        1
+        for line in plan.splitlines()
+        if "SortMergeJoin" in line and "dd#" in line and "OR" in line
+    )
+    assert n_wedge_joins == 1, f"wedge join computed {n_wedge_joins}x"
+    spark.catalog.clearCache()

@@ -681,6 +681,47 @@ ORDER BY 1
 """
 
 
+RANGE_WINDOW_US = 3_600_000_000  # trailing 1 hour, in epoch-micros
+
+
+def events_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61 — RANGE-frame windows over event time: for every event,
+    the count/sum of the SAME USER's events in the trailing hour —
+    a true value-range frame (``rangeBetween`` on epoch-micros), not
+    a row-count frame. ROWS frames (A44's matrix) answer "previous k
+    events"; RANGE frames answer "previous hour", which is what rate
+    limiting, velocity scoring, and fraud features actually need —
+    and where engines disagree subtly: a RANGE frame includes ALL
+    peers of the current timestamp, so two events in the same
+    microsecond see each other (both engines, pinned here by the
+    exact-decimal sum). Partitioned by user_id — per-user task
+    locality, no global window; the trailing-window-per-BUCKET twin
+    at corpus granularity is A57."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RANGE_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_trailing_1h"),
+    )
+
+
+ORACLES["events_range_frame_window"] = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_WINDOW_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_time_weighted_avg": events_time_weighted_avg,
@@ -696,5 +737,6 @@ QUERIES = {
     "events_interval_join_bucketed": events_interval_join_bucketed,
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_rolling_distinct": events_rolling_distinct,
+    "events_range_frame_window": events_range_frame_window,
     "events_variant_extract": events_variant_extract,
 }

@@ -586,25 +586,37 @@ def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, perfectly parallel, identical output to the one-task
     window. Tie-break on the unique o_orderkey makes the total order
     — and therefore the rank column — deterministic cross-engine."""
-    from pyspark.sql import Window as W
-
     orders = load_table(spark, sf_dir, "orders")
     key = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
-    # repartitionByRange estimates range bounds by SAMPLING with a
-    # per-execution seed, so the partitioning MUST be pinned via
-    # persist(): the count action below materializes the exact
-    # partitions the rank job reuses. Unpersisted, the two jobs could
-    # sample different bounds — broadcast offsets would mismatch real
-    # partition sizes (duplicate/missing ranks) and rows landing in a
-    # _pid empty during the count job would be dropped by the inner
-    # join. Persisting also removes the double source scan.
+    ranked, _ = global_rank_frame(orders, key)
+    return ranked.select("rank", "o_orderkey", "o_custkey", "o_totalprice")
+
+
+def global_rank_frame(
+    df: DataFrame, key, partitions: int | None = None, rank_col: str = "rank"
+):
+    """The scale-safe total-order core shared by A41/A60: range-
+    partition on the sort key, rank within each range partition, add
+    broadcast cumulative offsets. Returns (ranked df, total rows).
+
+    repartitionByRange estimates range bounds by SAMPLING with a
+    per-execution seed, so the partitioning MUST be pinned via
+    persist(): the count action below materializes the exact
+    partitions the rank job reuses. Unpersisted, the two jobs could
+    sample different bounds — broadcast offsets would mismatch real
+    partition sizes (duplicate/missing ranks) and rows landing in a
+    _pid empty during the count job would be dropped by the inner
+    join. Persisting also removes the double source scan. The
+    per-partition count aggregate collects `partitions` rows to the
+    driver — bounded, not a data collect."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
     ranged = (
-        orders.repartitionByRange(SORT_RANK_PARTITIONS, *key)
+        df.repartitionByRange(partitions or SORT_RANK_PARTITIONS, *key)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    # cheap narrow agg: SORT_RANK_PARTITIONS rows to the driver; this
-    # action also materializes the persisted partitioning
     counts = sorted(
         (r["_pid"], r["n"])
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -617,11 +629,65 @@ def sort_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
     w = W.partitionBy("_pid").orderBy(*key)
-    return (
+    ranked = (
         ranged.join(F.broadcast(offs), "_pid")
-        .withColumn("rank", F.row_number().over(w) + F.col("_offset"))
-        .select("rank", "o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
     )
+    return ranked, acc
+
+
+EQUIDEPTH_BINS = 8
+
+
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60 — exact equi-depth (equal-height) histogram of order
+    totals: bin = ((rank − 1) · B) div N over the deterministic total
+    order (tie-break o_orderkey), so every bin holds N/B ± 1 rows and
+    the per-bin [lo, hi] bounds are true quantile cutpoints. The
+    equal-WIDTH histogram (A40) answers "how is the value range
+    populated"; equi-depth answers "where do the quantile boundaries
+    fall" — the form optimizers use for selectivity estimation.
+
+    NTILE over a global ORDER BY — the textbook formulation — funnels
+    the corpus through one task; this runs on the shared range-
+    partition + broadcast-offset core (global_rank_frame, A41), one
+    wide exchange, perfectly parallel. Integer (rank·B) div N
+    arithmetic is engine-exact, so bin assignment is bit-identical to
+    the oracle's window formulation. At 100 TB, when ± 1-row
+    exactness is not required, the KLL sketch (A34) gives the same
+    cutpoints in one narrow pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    ranked, total = global_rank_frame(orders.select("o_orderkey", "o_totalprice"), key)
+    return (
+        ranked.groupBy(
+            F.expr(f"CAST(((rank - 1) * {EQUIDEPTH_BINS}) div {total} AS INT)").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLES["agg_equidepth_histogram"] = f"""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
+         COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST(((rk - 1) * {EQUIDEPTH_BINS}) // n AS INT) AS bin,
+       COUNT(*) AS n_rows, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
 
 
 ORACLES["sort_global_rank"] = """
@@ -1229,4 +1295,5 @@ QUERIES = {
     "sort_global_rank": sort_global_rank,
     "agg_mode_per_group": agg_mode_per_group,
     "fuzzy_distance_matrix": fuzzy_distance_matrix,
+    "agg_equidepth_histogram": agg_equidepth_histogram,
 }

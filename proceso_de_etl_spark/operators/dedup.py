@@ -1081,6 +1081,94 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T49 — NEAR-dup leakage-safe train/val/test split: the split
+    key is the connected-component id of the near-dup graph (T4b), so
+    near-identical copies — not just byte-identical ones —
+    can never straddle train and eval. T48 (sample_group_aware_split)
+    closes the exact-dup leak; this closes the near-dup leak that
+    exact hashing misses and that benchmark decontamination papers
+    (Lee et al. 2022) document as the dominant eval-contamination
+    channel. Singleton docs (no near-dup edges) key by their own id
+    via a left join + coalesce.
+
+    Scale shape: cluster labeling is the bounded-fixpoint CC loop
+    (checkpointed, or the gated driver union-find when the edge list
+    is tiny); the split itself is one md5 over the group key and two
+    aggregations keyed on it — identical plan to T48 downstream. The
+    oracle recomputes the clusters with a recursive CTE over the
+    exact pair set and must agree bit-for-bit, including
+    ``n_leaky_groups = 0``."""
+    from proceso_de_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_BOUND,
+        SPLIT_VAL_BOUND,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cl = dedup_connected_components(spark, sf_dir).select("doc_id", "cluster")
+    assigned = (
+        docs.join(cl, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster", "doc_id").alias("gk"))
+        .withColumn(
+            "split",
+            F.when(
+                F.substring(F.md5(F.col("gk").cast("string")), 1, 2)
+                < SPLIT_TRAIN_BOUND,
+                "train",
+            )
+            .when(
+                F.substring(F.md5(F.col("gk").cast("string")), 1, 2)
+                < SPLIT_VAL_BOUND,
+                "val",
+            )
+            .otherwise("test"),
+        )
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.countDistinct("gk").alias("n_groups")
+    )
+    leaky = (
+        assigned.groupBy("gk")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").alias("n_leaky_groups"))
+    )
+    return per_split.join(F.broadcast(leaky)).orderBy("split")
+
+
+def _leakproof_split_oracle() -> str:
+    from proceso_de_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_BOUND,
+        SPLIT_VAL_BOUND,
+    )
+
+    return f"""
+WITH clusters AS ({ORACLES["dedup_connected_components"].strip()}),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS gk,
+         CASE WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 2) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+              WHEN substr(md5(CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)), 1, 2) < '{SPLIT_VAL_BOUND}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+),
+per_split AS (
+  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT gk) AS n_groups
+  FROM assigned GROUP BY 1
+),
+leaky AS (
+  SELECT COUNT(*) AS n_leaky_groups FROM (
+    SELECT gk FROM assigned GROUP BY gk HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split, n_docs, n_groups, n_leaky_groups
+FROM per_split CROSS JOIN leaky
+ORDER BY split
+"""
+
+
+ORACLES["dedup_leakproof_split"] = _leakproof_split_oracle()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_source_overlap": dedup_source_overlap,
@@ -1097,4 +1185,5 @@ QUERIES = {
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_containment": dedup_containment,
+    "dedup_leakproof_split": dedup_leakproof_split,
 }

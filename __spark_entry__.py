@@ -71,14 +71,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. Round-6 rotation:
-#   1. the 7 queries ADDED this round;
-#   2. the 21 keys the r5 50-row cap cut off (events keys on r1 rows,
-#      then the oldest remaining r3 rows);
-#   3. the tail: keys with fresh r4/r5 rows and code untouched since —
+# whatever keys most need a FRESH driver row. Round-7 rotation:
+#   1. the 11 queries ADDED this round;
+#   2. the round-6 additions (the driver gate has not run since they
+#      landed, so they still need their first row);
+#   3. keys cut off below earlier caps, oldest driver rows first;
+#   4. the tail: keys with fresh rows and code untouched since —
 #      they keep their driver signal and the full pytest suite
 #      re-verifies them locally every round.
 _PRIORITY = (
+    # --- round-7 additions (need a first driver row) ---
+    "events_rolling_distinct",
+    "events_range_frame_window",
+    "fuzzy_distance_matrix",
+    "agg_equidepth_histogram",
+    "etl_expectations_report",
+    "etl_backfill_plan",
+    "text_hashed_tf",
+    "ml_logreg_quality",
+    "graph_triangle_count",
+    "sample_group_aware_split",
+    "dedup_leakproof_split",
+    "stream_quota_per_source",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -682,10 +682,116 @@ WHERE rn = 1
 """
 
 
+QUOTA_CAP = 15  # admitted docs per source across the whole stream
+
+
+def stream_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15 — streaming per-source quota enforcement: admit at most
+    QUOTA_CAP documents per source across the LIFETIME of the stream
+    (the ingestion-side twin of T16's batch per-source cap — what a
+    live crawl pipeline runs so no source floods the corpus). Rank
+    windows are illegal on streaming frames and the cap must span
+    micro-batches, so the pattern is foreachBatch + a driver-held
+    per-source admitted-count map: each epoch ranks its batch WITHIN
+    sources (keyed window — bounded by the batch), offsets by the
+    running count, admits the remainder of the quota, and lands
+    admitted rows through an append parquet stage. The state is
+    n_sources integers on the driver — at 100 TB that map either
+    stays driver-held (sources are enumerable) or moves to
+    transformWithState keyed state (ST10's gated path); the plan
+    around it is unchanged.
+
+    Source = documents replayed as two ordered micro-batches (even
+    doc_ids, then odd), so the second batch MUST see the first's
+    consumption to stop at the cap — admitting naively per-batch
+    would emit 2× the quota. Arrival order (doc_id % 2, doc_id) is
+    deterministic, so the whole admission set is value-oracled."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    stage = tempfile.mkdtemp(prefix="stream_quota_src_")
+    for i, parity in enumerate((0, 1)):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_quota_b{i}_")
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_docs.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    raw = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="stream_quota_"), "admitted")
+    admitted_so_far: dict[str, int] = {}
+
+    def admit_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        off = sess.createDataFrame(
+            list(admitted_so_far.items()) or [("__none__", 0)],
+            "source string, _prior long",
+        )
+        w = W.partitionBy("source").orderBy("doc_id")
+        admitted = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(off), "source", "left")
+            .filter(F.col("_rn") + F.coalesce("_prior", F.lit(0)) <= QUOTA_CAP)
+            .select("doc_id", "source", "n_chars")
+        )
+        admitted.write.mode("append").parquet(out_dir)
+        # bounded driver round-trip: one row per source in this batch
+        for r in admitted.groupBy("source").agg(F.count("*").alias("n")).collect():
+            admitted_so_far[r["source"]] = admitted_so_far.get(r["source"], 0) + r["n"]
+
+    q = raw.writeStream.outputMode("append").foreachBatch(admit_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["stream_quota_per_source"] = f"""
+SELECT source, COUNT(*) AS n_admitted,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id % 2, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {QUOTA_CAP}
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_left_outer_join": stream_left_outer_join,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
+    "stream_quota_per_source": stream_quota_per_source,
     "stream_topk": stream_topk,
     "stream_late_data_accounting": stream_late_data_accounting,
     "stream_approx_distinct": stream_approx_distinct,

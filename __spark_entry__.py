@@ -93,6 +93,7 @@ _PRIORITY = (
     "sample_group_aware_split",
     "dedup_leakproof_split",
     "stream_quota_per_source",
+    "ann_ivf_incremental",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

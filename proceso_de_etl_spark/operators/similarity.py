@@ -181,9 +181,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     always builds the same index. (Rows-only: recall is approximate
     by construction; ann_cosine_topk is the exact twin and the
     recall test pins this variant against it.)"""
-    from pyspark.sql import Window as W
-
-    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters, kmeans_fit
+    from proceso_de_etl_spark.operators.ml import assign_clusters, kmeans_fit
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     centroids = kmeans_fit(emb, k=N_LISTS, n_iter=3)
@@ -193,6 +191,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("cn"),
         F.col("cluster").alias("list_id"),
     )
+    return ivf_search(corpus, emb.filter(F.col("vec_id") < N_QUERIES), centroids)
+
+
+def ivf_search(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """The probe-and-rerank half of IVF, shared by T7b and T50:
+    queries (with ``norm``) explode to their n_probe nearest cells,
+    the equi-join on list_id touches only those inverted lists, exact
+    cosine re-ranks inside them. `corpus_assigned` carries
+    (neighbor_id, ce, cn, list_id). Raising n_probe is the standard
+    recall knob when the quantizer has drifted from the data (T50's
+    report detects it; probing more cells buys recall at linear
+    scan-cost until the scheduled refit)."""
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.operators.ml import _sq_dist
+
     cells = F.array(
         *[
             F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(i).cast("bigint").alias("c"))
@@ -200,17 +219,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
+        queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("norm").alias("qn"),
-            F.explode(F.slice(F.array_sort(cells), 1, N_PROBE)).alias("p"),
+            F.explode(F.slice(F.array_sort(cells), 1, n_probe)).alias("p"),
         )
         .select("query_id", "qe", "qn", F.col("p.c").alias("list_id"))
     )
     scored = (
-        corpus.join(F.broadcast(probes), "list_id")
+        corpus_assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")))
     )
@@ -219,6 +237,55 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T50 — incremental IVF index maintenance: a new embedding batch
+    (odd vec_ids) joins an index whose coarse quantizer was fitted on
+    the EXISTING corpus only (even vec_ids) — one assignment scan of
+    the batch, NO refit, no touch of the already-indexed corpus. This
+    is how a growing 100 TB corpus stays searchable between periodic
+    re-trainings: batch inserts are O(batch), and the only global
+    work ever needed is the scheduled quantizer refresh.
+
+    The report is the index-health view that decides WHEN to refresh:
+    per-list corpus/batch occupancy plus each side's mean distance to
+    its centroid — batch mean-distance drifting above the corpus's
+    means the quantizer no longer fits the data distribution.
+    (Rows-only: float distances; the unit test pins that searching
+    the MERGED index keeps recall vs the exact twin, i.e. new
+    vectors are retrievable immediately.)"""
+    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters, kmeans_fit
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids = kmeans_fit(corpus, k=N_LISTS, n_iter=3)
+    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in centroids])
+
+    def side_stats(df: DataFrame, label: str) -> DataFrame:
+        return (
+            assign_clusters(df, centroids)
+            .withColumn("d", F.array_min(dists))
+            .groupBy(F.col("cluster").alias("list_id"))
+            .agg(
+                F.count("*").alias(f"n_{label}"),
+                F.round(F.avg("d"), 4).alias(f"mean_dist_{label}"),
+            )
+        )
+
+    return (
+        side_stats(corpus, "corpus")
+        .join(side_stats(batch, "batch"), "list_id", "full_outer")
+        .select(
+            "list_id",
+            F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
+            F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+            "mean_dist_corpus",
+            "mean_dist_batch",
+        )
+        .orderBy("list_id")
     )
 
 
@@ -560,4 +627,5 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivf_incremental": ann_ivf_incremental,
 }

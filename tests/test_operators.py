@@ -805,3 +805,44 @@ def test_logreg_matches_numpy_twin(spark):
     p = 1.0 / (1.0 + np.exp(-Z @ wn))
     acc = ((p > 0.5) == (y > 0.5)).mean()
     assert acc >= 0.9, acc
+
+
+def test_ivf_incremental_merged_index_recall(spark):
+    """T50: after assigning a new batch (odd vec_ids) to a quantizer
+    fitted on the corpus only (even vec_ids), searching the MERGED
+    index must (a) keep recall vs the exact twin and (b) retrieve
+    batch vectors — new data is searchable immediately, no refit."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators import similarity
+    from proceso_de_etl_spark.operators.dedup import with_norm
+    from proceso_de_etl_spark.operators.ml import assign_clusters, kmeans_fit
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = with_norm(load_table(spark, SF_CORRECT, "embeddings"))
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    centroids = kmeans_fit(corpus, k=similarity.N_LISTS, n_iter=3)
+
+    def indexed(df):
+        return assign_clusters(df, centroids).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            F.col("norm").alias("cn"),
+            F.col("cluster").alias("list_id"),
+        )
+
+    merged = indexed(corpus).unionByName(indexed(batch))
+    queries = emb.filter(F.col("vec_id") < similarity.N_QUERIES)
+    # the quantizer was fitted on half the data, so probe deeper —
+    # the documented recall knob until the scheduled refit
+    got = similarity.ivf_search(merged, queries, centroids, n_probe=6).collect()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, SF_CORRECT).collect()
+    }
+    hits = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(hits & exact) / len(exact)
+    assert recall >= 0.7, recall
+    assert any(r.neighbor_id % 2 == 1 for r in got), "batch vectors unreachable"

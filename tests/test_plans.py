@@ -190,11 +190,24 @@ def all_plans(spark):
     regardless of how many sweep assertions exist. Streaming keys are
     excluded: their batch twins carry the plan checks."""
     streaming = {n for n in entrymod.queries() if n.startswith("stream_")}
-    return {
-        name: plan_of(fn(spark, SF_CORRECT))
-        for name, fn in entrymod.queries().items()
-        if name not in streaming
-    }
+    plans: dict[str, str] = {}
+    unpartitioned_windows: dict[str, bool] = {}
+    for name, fn in entrymod.queries().items():
+        if name in streaming:
+            continue
+        root = fn(spark, SF_CORRECT)._jdf.queryExecution().executedPlan()
+        plans[name] = root.toString()
+        found = False
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                found = True
+                break
+            for i in range(node.children().size()):
+                stack.append(node.children().apply(i))
+        unpartitioned_windows[name] = found
+    return {"plans": plans, "unpartitioned_windows": unpartitioned_windows}
 
 
 def test_no_python_udf_in_jvm_paths(all_plans):
@@ -206,7 +219,7 @@ def test_no_python_udf_in_jvm_paths(all_plans):
         "multimodal_audio_energy",
         "multimodal_image_resize",
     }
-    for name, plan in all_plans.items():
+    for name, plan in all_plans["plans"].items():
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
         if name not in arrow_ok:
             assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
@@ -220,8 +233,23 @@ def test_no_cartesian_product_anywhere(all_plans):
     aggregates) or a size-bounded BroadcastNestedLoopJoin (band dims,
     the documented quadratic baselines). A CartesianProduct means an
     unintended unconstrained join slipped in."""
-    for name, plan in all_plans.items():
+    for name, plan in all_plans["plans"].items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_no_unpartitioned_window_anywhere(all_plans):
+    """Repo-wide generalization of the r4 verdict's top-k fix: NO
+    registered batch query may plan a Window with an empty partition
+    spec — that node moves its whole input through ONE task, the
+    silent 100 TB sort-killer. Global top-k compiles to
+    TakeOrderedAndProject, global ranks go through the range-
+    partitioned core (A41), survivor-ranking windows carry a
+    constant partition spec over k rows. Checked on the plan TREE
+    (node.partitionSpec()), not the plan string, during the shared
+    single sweep. Currently zero offenders; any new one must either
+    restructure or earn a documented allowlist entry here."""
+    offenders = [n for n, bad in all_plans["unpartitioned_windows"].items() if bad]
+    assert offenders == [], offenders
 
 
 def test_documents_scan_pruned_for_text_ops(spark):

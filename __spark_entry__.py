@@ -94,6 +94,8 @@ _PRIORITY = (
     "dedup_leakproof_split",
     "stream_quota_per_source",
     "ann_ivf_incremental",
+    "etl_erasure_propagation",
+    "text_corpus_datasheet",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -1538,6 +1538,60 @@ ORDER BY ym
 """
 
 
+ERASURE_KEY_MOD = 37  # customers c_custkey % 37 == 0 request erasure
+
+
+def etl_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30 — GDPR/right-to-be-forgotten erasure propagation: given a
+    set of subjects to forget, remove their facts AND repair every
+    derived aggregate WITHOUT a full rebuild. The fact-side delete is
+    a left-anti join against the subject list (broadcast — the list
+    is always small relative to the corpus; a deterministic key
+    predicate stands in for it here so the oracle can name the same
+    set); the derived monthly revenue
+    rollup is repaired by RETRACTION (E27's algebra): compute only
+    the deleted rows' per-month contributions (one filtered scan
+    bounded by the erasure set's fan-out) and subtract them from the
+    stale rollup in DECIMAL, dropping groups that reach zero. The
+    oracle recomputes the rollup from scratch over retained facts —
+    the maintained result must be bit-identical, which is the whole
+    compliance claim: no ghost contribution of an erased subject
+    survives anywhere. Extends the reference's truncate-and-reload
+    compliance posture (main.py:171-195, full reload) to a 100 TB
+    world where full reloads are not an option."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    stale = orders.groupBy(ym).agg(
+        F.count("*").alias("n_orders"), F.sum(money).alias("revenue")
+    )
+    erased = orders.filter(F.col("o_custkey") % ERASURE_KEY_MOD == 0)
+    retract = erased.groupBy(ym).agg(
+        F.count("*").alias("d_n"), F.sum(money).alias("d_rev")
+    )
+    return (
+        stale.join(retract, "ym", "left")
+        .select(
+            "ym",
+            (F.col("n_orders") - F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+            (F.col("revenue") - F.coalesce("d_rev", F.lit(0).cast("decimal(18,2)"))).alias("rev"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .select("ym", "n_orders", F.col("rev").cast("double").alias("revenue"))
+        .orderBy("ym")
+    )
+
+
+ORACLES["etl_erasure_propagation"] = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey % {ERASURE_KEY_MOD} <> 0
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -1567,4 +1621,5 @@ QUERIES = {
     "etl_time_travel_read": etl_time_travel_read,
     "etl_expectations_report": etl_expectations_report,
     "etl_backfill_plan": etl_backfill_plan,
+    "etl_erasure_propagation": etl_erasure_propagation,
 }

@@ -1077,6 +1077,72 @@ FROM tf
 """
 
 
+DATASHEET_SHORT_DOC = 100  # chars — "short doc" threshold
+
+
+def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T51 — the corpus datasheet (datasets "model card" for training
+    data): per-source, per-(source, lang), and corpus-total rows from
+    ONE scan via GROUPING SETS — doc counts, char and whitespace-
+    token budgets, language spread, short-doc fraction, duplicate-
+    text fraction (distinct-hash vs row count). This is the summary
+    table every dataset release ships; computing it as one grouped
+    aggregation (not a report script of N queries) is what makes it
+    re-runnable per snapshot at 100 TB: one shuffle keyed on
+    (source, lang), rollup levels share the scan via partial aggs.
+    The ``level`` column disambiguates grouping-set rows the way
+    GROUPING() does, so downstream consumers never confuse a NULL
+    lang with the all-langs rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.md5("text").alias("h"),
+        (F.col("n_chars") < DATASHEET_SHORT_DOC).cast("int").alias("is_short"),
+    ).createOrReplaceTempView("datasheet_docs")
+    return spark.sql("""
+        SELECT CASE WHEN GROUPING(source) = 1 THEN 'corpus'
+                    WHEN GROUPING(lang) = 1 THEN 'source'
+                    ELSE 'source_lang' END AS level,
+               source, lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               ROUND(AVG(CAST(is_short AS DOUBLE)), 6) AS short_frac,
+               ROUND(CAST(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*) AS DOUBLE), 6) AS dup_frac
+        FROM datasheet_docs
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+        ORDER BY level, source NULLS FIRST, lang NULLS FIRST
+    """)
+
+
+ORACLES["text_corpus_datasheet"] = f"""
+WITH datasheet_docs AS (
+  SELECT source, lang, n_chars,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS ws_tokens,
+         md5(text) AS h,
+         CASE WHEN n_chars < {DATASHEET_SHORT_DOC} THEN 1 ELSE 0 END AS is_short
+  FROM documents
+)
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'corpus'
+            WHEN GROUPING(lang) = 1 THEN 'source'
+            ELSE 'source_lang' END AS level,
+       source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       ROUND(AVG(CAST(is_short AS DOUBLE)), 6) AS short_frac,
+       ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM datasheet_docs
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+ORDER BY level, source NULLS FIRST, lang NULLS FIRST
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_chunk_documents": text_chunk_documents,
@@ -1097,4 +1163,5 @@ QUERIES = {
     "text_bpe_encode": text_bpe_encode,
     "text_gopher_quality": text_gopher_quality,
     "text_hashed_tf": text_hashed_tf,
+    "text_corpus_datasheet": text_corpus_datasheet,
 }

@@ -60,6 +60,13 @@ HEADLINE = (
     "dedup_source_overlap",
     "dedup_semantic_semdedup",
     "text_bpe_encode",
+    # round-7 additions: the wedge-join graph heavy, the global-rank
+    # equi-depth, and three shuffle-shaped mid-weights
+    "graph_triangle_count",
+    "agg_equidepth_histogram",
+    "text_hashed_tf",
+    "events_rolling_distinct",
+    "etl_expectations_report",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -98,6 +105,13 @@ BASELINE = {
     "dedup_source_overlap": 2.689,
     "dedup_semantic_semdedup": 11.603,
     "text_bpe_encode": 4.661,
+    # --- r7 floors: warm sf0.1 runs at add time (triangle floor
+    #     re-seeded after the compact-forward rewrite: 9.7 -> 5.7 s) ---
+    "graph_triangle_count": 5.672,
+    "agg_equidepth_histogram": 3.801,
+    "text_hashed_tf": 2.519,
+    "events_rolling_distinct": 1.346,
+    "etl_expectations_report": 1.111,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

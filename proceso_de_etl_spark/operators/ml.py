@@ -384,16 +384,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 — distributed triangle counting over the co-purchase part
     graph (parts are adjacent when they co-occur in an order), via
     the degree-ordered node-iterator: orient every undirected edge
-    from its (degree, id)-smaller endpoint to the larger, enumerate
-    wedges only from each node's oriented out-neighborhood, and close
-    them with one more equi-join. The orientation is THE scale
-    detail: out-degrees in the oriented DAG are bounded by O(sqrt(m))
-    for any graph, so wedge fan-out on a 100 TB-derived graph is
-    bounded even at power-law hubs, where the naive id-ordered join
-    explodes quadratically at high-degree nodes. Three shuffles
-    total (degrees, wedge join, closing join) — all key-partitioned,
-    no global structure. Per-order pair generation is bounded by
-    orders' line counts (≤7 lineitems in TPC-H ⇒ ≤21 pairs/order).
+    from its (degree, id)-smaller endpoint to the larger, then
+    intersect sorted out-neighbor arrays per edge (compact-forward).
+    The orientation is THE scale detail: out-degrees in the oriented
+    DAG are bounded by O(sqrt(m)) for any graph, so per-edge work on
+    a 100 TB-derived graph is bounded even at power-law hubs, where
+    the naive id-ordered formulation explodes quadratically. All
+    shuffles (degrees, adjacency build, edge⋈adjacency) are
+    key-partitioned, no global structure, and no wedge ROWS ever
+    materialize. Per-order pair generation is bounded by orders'
+    line counts (≤7 lineitems in TPC-H ⇒ ≤21 pairs/order).
     Reports nodes/edges/wedges/triangles in one row."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
@@ -422,31 +422,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
-            F.when(lower_is_u, F.col("dv")).otherwise(F.col("du")).alias("dd"),
         )
     )
-    # The four report scalars all hang off `oriented`; persist it (and
-    # its `und` parent) so the expensive pair-generation join runs
-    # once, not once per scalar. Wedge and triangle counts fold into a
-    # SINGLE aggregation via a left-join hit flag, so the wedge join —
-    # the dominant cost — also runs exactly once (plan-pinned). The
-    # final 1-row × 1-row combines are bounded broadcast joins.
+    # The report scalars all hang off `oriented`; persist it so the
+    # pair-generation join runs once, not once per scalar. Counting
+    # uses the compact-forward/adjacency-intersection form: triangles
+    # for an oriented edge (u,v) are |N⁺(u) ∩ N⁺(v)|, computed by
+    # joining each edge to the two sorted out-neighbor arrays and
+    # intersecting IN-MEMORY — no wedge ROWS ever materialize or
+    # shuffle (the wedge-join formulation shuffles O(Σ deg²) rows;
+    # this shuffles O(m) rows carrying O(√m)-bounded arrays, the
+    # orientation's degree cap). Wedge count = Σ C(outdeg, 2) from
+    # the same adjacency frame. Final 1-row combines are bounded
+    # broadcast joins.
     oriented = oriented.persist()
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
-    wedges = w1.join(
-        w2,
-        (F.col("w1.s") == F.col("w2.s"))
-        & (
-            (F.col("w1.dd") < F.col("w2.dd"))
-            | ((F.col("w1.dd") == F.col("w2.dd")) & (F.col("w1.d") < F.col("w2.d")))
-        ),
-    ).select(F.col("w1.d").alias("x"), F.col("w2.d").alias("y"))
-    closing = oriented.select(
-        F.col("s").alias("x"), F.col("d").alias("y"), F.lit(1).alias("hit")
+    adj = (
+        oriented.groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list("d")).alias("nbrs"),
+            F.count("*").alias("outdeg"),
+        )
+        .persist()
     )
-    wt = wedges.join(closing, ["x", "y"], "left").agg(
-        F.count("*").alias("n_wedges"),
-        F.sum(F.coalesce("hit", F.lit(0))).alias("n_triangles"),
+    tri = (
+        oriented.join(
+            adj.select(F.col("s").alias("u2"), F.col("nbrs").alias("nu")),
+            oriented.s == F.col("u2"),
+        )
+        .join(
+            adj.select(F.col("s").alias("v2"), F.col("nbrs").alias("nv")),
+            oriented.d == F.col("v2"),
+            "left",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("nv").isNull(), 0).otherwise(
+                    F.size(F.array_intersect("nu", "nv"))
+                )
+            ).alias("n_triangles")
+        )
+    )
+    wedges = adj.agg(
+        F.sum(F.expr("outdeg * (outdeg - 1) div 2")).alias("n_wedges")
     )
     return (
         oriented.agg(F.count("*").alias("n_edges"))
@@ -455,7 +472,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(oriented.select(F.col("d").alias("node")))
             .agg(F.countDistinct("node").alias("n_nodes"))
         )
-        .join(wt)
+        .join(wedges)
+        .join(tri)
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
 

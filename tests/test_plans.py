@@ -507,13 +507,15 @@ def test_round7_new_ops_plan_shapes(spark):
 
     plan = plan_of(graph_triangle_count(spark, SF_CORRECT))
     assert "CartesianProduct" not in plan
-    # the wedge self-join (the dominant cost) must appear exactly once
-    # — the 1-row scalar combines at the top are bounded broadcast
-    # nested-loops, never recomputations of the wedge pipeline
-    n_wedge_joins = sum(
-        1
+    # compact-forward: triangles come from array_intersect over the
+    # adjacency arrays — no wedge self-join may appear anywhere (a
+    # SortMergeJoin with a disjunctive tie-break condition was the
+    # old wedge-materializing shape)
+    assert "array_intersect" in plan, "adjacency-intersection path missing"
+    wedge_joins = [
+        line
         for line in plan.splitlines()
-        if "SortMergeJoin" in line and "dd#" in line and "OR" in line
-    )
-    assert n_wedge_joins == 1, f"wedge join computed {n_wedge_joins}x"
+        if "SortMergeJoin" in line and " OR " in line
+    ]
+    assert wedge_joins == [], f"wedge rows materialized: {wedge_joins[:1]}"
     spark.catalog.clearCache()

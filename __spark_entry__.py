@@ -96,6 +96,7 @@ _PRIORITY = (
     "ann_ivf_incremental",
     "etl_erasure_propagation",
     "text_corpus_datasheet",
+    "pipeline_training_data",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -72,6 +72,75 @@ WHERE quality_score >= {QUALITY_MIN}
   AND quality.doc_id NOT IN (SELECT b FROM dups)
 """
 
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preparation chain, end-to-end in ONE
+    declarative plan: clean (quality + language + near-dup removal,
+    = pipeline_clean_corpus) → leakage-safe split assignment (T48's
+    dup-group hash keying) → per-split budget accounting (docs,
+    whitespace tokens, chars). This is the workflow a reference user
+    actually runs before training; every stage is an already-verified
+    operator, and the composition itself is value-checked by the same
+    CTE composition in DuckDB — so stage-boundary bugs (a filter
+    applied after the split, a split keyed on the wrong column) can't
+    hide. One corpus scan feeds the clean gates, one more computes
+    token budgets on survivors only; the split adds no extra shuffle
+    beyond T48's two keyed aggregations."""
+    from proceso_de_etl_spark.functions.text import tokens
+    from proceso_de_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_BOUND,
+        SPLIT_VAL_BOUND,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    kept = pipeline_clean_corpus(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.md5("text")), 1, 2)
+    return (
+        docs.join(kept, "doc_id", "left_semi")
+        .select(
+            F.when(bucket < SPLIT_TRAIN_BOUND, "train")
+            .when(bucket < SPLIT_VAL_BOUND, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+            F.col("n_chars"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def _training_data_oracle() -> str:
+    from proceso_de_etl_spark.functions.text import tokens_sql
+    from proceso_de_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_BOUND,
+        SPLIT_VAL_BOUND,
+    )
+
+    toks = tokens_sql("text")
+    return f"""
+WITH clean AS ({ORACLES["pipeline_clean_corpus"].strip()})
+SELECT CASE WHEN substr(md5(md5(text)), 1, 2) < '{SPLIT_TRAIN_BOUND}' THEN 'train'
+            WHEN substr(md5(md5(text)), 1, 2) < '{SPLIT_VAL_BOUND}' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({toks})) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM clean WHERE clean.doc_id = d.doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+ORACLES["pipeline_training_data"] = _training_data_oracle()
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
+    "pipeline_training_data": pipeline_training_data,
 }

@@ -97,6 +97,7 @@ _PRIORITY = (
     "etl_erasure_propagation",
     "text_corpus_datasheet",
     "pipeline_training_data",
+    "decimal_semantics_matrix",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

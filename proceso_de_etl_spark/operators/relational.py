@@ -1266,6 +1266,70 @@ ORDER BY kind, dist
 """
 
 
+def decimal_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62 — money-arithmetic parity matrix: the decimal behaviors an
+    ETL engine must pin before anyone trusts its ledgers, each probe
+    verified against GROUND-TRUTH integer arithmetic in the oracle
+    (the A54/A55 reconstruction pattern — never against another
+    engine's possibly-divergent builtin):
+
+    - exact DECIMAL aggregation of a product (scale propagation
+      through * stays exact; the sum is order-independent);
+    - ROUND = HALF_UP (away from zero for positives): oracle
+      reconstructs via cents // + carry on r >= 500;
+    - BROUND = HALF_EVEN (banker's rounding — ties go to the even
+      cent): oracle adds q % 2 only on the exact tie r = 500. The two
+      modes differ on this data (delta column is nonzero) — using the
+      wrong one misstates revenue;
+    - decimal division re-cast to a bounded scale (price/4 is exact
+      at 4 decimals; the cast normalizes Spark's (38,20) quotient);
+    - decimal squares (scale doubles, still exact in 38 digits).
+
+    Overflow is NOT in the matrix because this engine runs ANSI mode:
+    a decimal overflow RAISES (SparkArithmeticException
+    NUMERIC_VALUE_OUT_OF_RANGE) instead of returning NULL — fail-fast
+    is pinned in test_operators, not oracle-able."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_dec")
+    # every probe is computed in exact INTEGER units (cents,
+    # hundredth-cents, cents²); wide columns leave as DOUBLE only at
+    # the very end — both engines then cast the SAME exact integer,
+    # so the correctly-rounded doubles are bit-identical (a double
+    # cast mid-computation would not be)
+    return spark.sql("""
+        SELECT
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 3) * 100 AS DOUBLE) AS mul3_cents,
+          CAST(SUM(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.001 AS DECIMAL(6,3)), 2)) * 100 AS BIGINT) AS round_half_up_cents,
+          CAST(SUM(BROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.001 AS DECIMAL(6,3)), 2)) * 100 AS BIGINT) AS round_half_even_cents,
+          CAST((SUM(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.001 AS DECIMAL(6,3)), 2))
+                - SUM(BROUND(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.001 AS DECIMAL(6,3)), 2))) * 100 AS BIGINT) AS mode_delta_cents,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) / 4 AS DECIMAL(18,4))) * 10000 AS DOUBLE) AS div4_hundredth_cents,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) * 10000 AS DOUBLE) AS square_cents2
+        FROM orders_dec
+    """)
+
+
+ORACLES["decimal_semantics_matrix"] = """
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+rounded AS (
+  -- x = price * 0.001 has scale 5; x * 1e5 = cents. Rounding x to 2
+  -- decimals = rounding cents to thousandths: q = c // 1000 with
+  -- remainder r = c % 1000 (prices are positive, so no sign care).
+  SELECT c, c // 1000 AS q, c % 1000 AS r FROM cents
+)
+SELECT
+  CAST(SUM(c) * 3 AS DOUBLE) AS mul3_cents,
+  CAST(SUM(q + CASE WHEN r >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS round_half_up_cents,
+  CAST(SUM(q + CASE WHEN r > 500 THEN 1 WHEN r < 500 THEN 0 ELSE q % 2 END) AS BIGINT) AS round_half_even_cents,
+  CAST(SUM(CASE WHEN r >= 500 THEN 1 ELSE 0 END)
+       - SUM(CASE WHEN r > 500 THEN 1 WHEN r < 500 THEN 0 ELSE q % 2 END) AS BIGINT) AS mode_delta_cents,
+  CAST(SUM(c) * 25 AS DOUBLE) AS div4_hundredth_cents,
+  CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS square_cents2
+FROM rounded
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
@@ -1296,4 +1360,5 @@ QUERIES = {
     "agg_mode_per_group": agg_mode_per_group,
     "fuzzy_distance_matrix": fuzzy_distance_matrix,
     "agg_equidepth_histogram": agg_equidepth_histogram,
+    "decimal_semantics_matrix": decimal_semantics_matrix,
 }

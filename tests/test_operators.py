@@ -846,3 +846,17 @@ def test_ivf_incremental_merged_index_recall(spark):
     recall = len(hits & exact) / len(exact)
     assert recall >= 0.7, recall
     assert any(r.neighbor_id % 2 == 1 for r in got), "batch vectors unreachable"
+
+
+def test_decimal_overflow_raises_ansi(spark):
+    """A62's fail-fast pin: this engine runs ANSI mode, so a decimal
+    cast that cannot hold its value RAISES (NUMERIC_VALUE_OUT_OF_
+    RANGE) instead of silently nulling the ledger — the non-ANSI
+    silent-NULL is the behavior an ETL engine must NOT have."""
+    import pytest
+
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|cannot be represented"):
+        spark.sql(
+            "SELECT CAST(CAST(99999999.99 AS DECIMAL(10,2))"
+            " * CAST(99999999.99 AS DECIMAL(10,2)) AS DECIMAL(10,2))"
+        ).collect()

@@ -98,6 +98,7 @@ _PRIORITY = (
     "text_corpus_datasheet",
     "pipeline_training_data",
     "decimal_semantics_matrix",
+    "etl_scd_type_matrix",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -138,6 +138,147 @@ FROM merged
 GROUP BY 1, 2
 """
 
+def etl_scd_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E31 — the three SCD disciplines over ONE shared change batch
+    (E14's fixture: every 5th customer's segment changes, every 100th
+    spawns a new key), summarized side by side so the cost/history
+    trade is visible in data:
+
+    - type 1 (overwrite): full-outer upsert, no history — row count
+      stays keys-sized, changes vanish into the current value;
+    - type 2 (validity intervals): the scd2_merge history — superseded
+      versions survive as closed rows (n_changed = closed versions);
+    - type 3 (previous-value column): one row per key with a
+      ``prev_segment`` column — exactly ONE change deep.
+
+    All three are single declarative plans over the same two inputs
+    (anti/semi/full-outer joins — the MERGE emulation family); at
+    100 TB the type choice is a storage/shuffle trade the matrix
+    quantifies, not a code change. Extends main.py:61-74's
+    append-only dimension load with the change-tracking forms."""
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select("c_custkey", "c_mktsegment")
+    incoming = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    c, i = current.alias("c"), incoming.alias("i")
+    joined = c.join(i, "c_custkey", "full_outer").select(
+        "c_custkey",
+        F.col("c.c_mktsegment").alias("old_seg"),
+        F.col("i.c_mktsegment").alias("new_seg"),
+    )
+    type1 = joined.agg(
+        F.lit("type1_overwrite").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (
+                F.col("old_seg").isNotNull()
+                & F.col("new_seg").isNotNull()
+                & (F.col("old_seg") != F.col("new_seg"))
+            ).cast("bigint")
+        ).alias("n_changed"),
+        F.sum((F.coalesce("new_seg", "old_seg") == "MOVED").cast("bigint")).alias("n_moved"),
+    ).select("kind", "n_rows", "n_changed", "n_moved")
+    # type 2 numbers come from the real merge (full E14 machinery)
+    cur2 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(FAR_FUTURE).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    merged = scd2_merge(
+        cur2, incoming, "c_custkey", ["c_mktsegment"], "2024-06-01"
+    )
+    type2 = merged.agg(
+        F.lit("type2_history").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.sum((~F.col("is_current")).cast("bigint")).alias("n_changed"),
+        F.sum(
+            ((F.col("c_mktsegment") == "MOVED") & F.col("is_current")).cast("bigint")
+        ).alias("n_moved"),
+    ).select("kind", "n_rows", "n_changed", "n_moved")
+    type3 = (
+        joined.select(
+            "c_custkey",
+            F.coalesce("new_seg", "old_seg").alias("seg"),
+            F.when(
+                F.col("old_seg").isNotNull()
+                & F.col("new_seg").isNotNull()
+                & (F.col("old_seg") != F.col("new_seg")),
+                F.col("old_seg"),
+            ).alias("prev_seg"),
+        )
+        .agg(
+            F.lit("type3_prev_column").alias("kind"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("prev_seg").isNotNull().cast("bigint")).alias("n_changed"),
+            F.sum((F.col("seg") == "MOVED").cast("bigint")).alias("n_moved"),
+        )
+        .select("kind", "n_rows", "n_changed", "n_moved")
+    )
+    return type1.unionByName(type2).unionByName(type3).orderBy("kind")
+
+
+ORACLES["etl_scd_type_matrix"] = """
+WITH current AS (SELECT c_custkey, c_mktsegment FROM customer),
+incoming AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 100 = 0
+),
+joined AS (
+  SELECT COALESCE(c.c_custkey, i.c_custkey) AS c_custkey,
+         c.c_mktsegment AS old_seg, i.c_mktsegment AS new_seg
+  FROM current c FULL OUTER JOIN incoming i ON c.c_custkey = i.c_custkey
+),
+changed AS (SELECT c_custkey FROM joined
+            WHERE old_seg IS NOT NULL AND new_seg IS NOT NULL AND old_seg <> new_seg),
+merged AS (
+  SELECT c_custkey, c_mktsegment, FALSE AS is_current
+  FROM current WHERE c_custkey IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, TRUE
+  FROM current WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, TRUE
+  FROM incoming
+  WHERE c_custkey IN (SELECT c_custkey FROM changed)
+     OR c_custkey NOT IN (SELECT c_custkey FROM current)
+)
+SELECT kind, n_rows, n_changed, n_moved FROM (
+  SELECT 'type1_overwrite' AS kind, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN old_seg IS NOT NULL AND new_seg IS NOT NULL
+                        AND old_seg <> new_seg THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(SUM(CASE WHEN COALESCE(new_seg, old_seg) = 'MOVED' THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+  FROM joined
+  UNION ALL
+  SELECT 'type2_history', COUNT(*),
+         CAST(SUM(CASE WHEN NOT is_current THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN c_mktsegment = 'MOVED' AND is_current THEN 1 ELSE 0 END) AS BIGINT)
+  FROM merged
+  UNION ALL
+  SELECT 'type3_prev_column', COUNT(*),
+         CAST(SUM(CASE WHEN old_seg IS NOT NULL AND new_seg IS NOT NULL
+                        AND old_seg <> new_seg THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN COALESCE(new_seg, old_seg) = 'MOVED' THEN 1 ELSE 0 END) AS BIGINT)
+  FROM joined
+)
+ORDER BY kind
+"""
+
+
 QUERIES = {
     "etl_scd2_merge": etl_scd2_merge,
+    "etl_scd_type_matrix": etl_scd_type_matrix,
 }

@@ -99,6 +99,7 @@ _PRIORITY = (
     "pipeline_training_data",
     "decimal_semantics_matrix",
     "etl_scd_type_matrix",
+    "null_ordering_matrix",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

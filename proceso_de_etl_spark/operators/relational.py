@@ -1330,6 +1330,114 @@ FROM rounded
 """
 
 
+def null_ordering_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63 — NULL placement semantics, the silent cross-engine
+    divergence in every ORDER BY (Spark default: NULLS FIRST on ASC,
+    NULLS LAST on DESC; DuckDB: NULLS LAST on ASC — so UNSPELLED null
+    ordering gives different top-k on the two engines). Every variant
+    here spells its placement explicitly, which is the house rule
+    this matrix enforces by example:
+
+    - four explicit sort variants (ASC/DESC × NULLS FIRST/LAST) over
+      a planted-NULL measure, each taking top-5 via the distributed
+      ranked_topk (TakeOrderedAndProject — no global window);
+    - IGNORE NULLS gap-fill: last non-NULL balance per segment in key
+      order (``F.last(ignorenulls=True)`` vs DuckDB ``LAST_VALUE(x
+      IGNORE NULLS)``), summed per segment — the forward-fill
+      primitive A31's gap fill builds on, pinned at parity."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    variants = {
+        "asc_nulls_first": [F.col("bal").asc_nulls_first(), F.col("c_custkey").asc()],
+        "asc_nulls_last": [F.col("bal").asc_nulls_last(), F.col("c_custkey").asc()],
+        "desc_nulls_first": [F.col("bal").desc_nulls_first(), F.col("c_custkey").asc()],
+        "desc_nulls_last": [F.col("bal").desc_nulls_last(), F.col("c_custkey").asc()],
+    }
+    out = None
+    for kind, order in variants.items():
+        piece = ranked_topk(cust, order, 5).select(
+            F.lit(f"sort_{kind}").alias("kind"),
+            F.col("rank").cast("bigint").alias("pos"),
+            F.col("c_custkey").cast("string").alias("ref"),
+            F.col("bal").alias("val"),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fill = (
+        cust.withColumn("filled", F.last("bal", ignorenulls=True).over(w))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("filled").cast("decimal(18,2)")).cast("double"), 2).alias("val")
+        )
+        .select(
+            F.lit("fill_ignore_nulls").alias("kind"),
+            F.lit(0).cast("bigint").alias("pos"),
+            F.col("c_mktsegment").alias("ref"),
+            "val",
+        )
+    )
+    return out.unionByName(fill).orderBy("kind", "pos", "ref")
+
+
+ORACLES["null_ordering_matrix"] = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+),
+sorts AS (
+  SELECT 'sort_asc_nulls_first' AS kind,
+         CAST(row_number() OVER (ORDER BY bal ASC NULLS FIRST, c_custkey ASC) AS BIGINT) AS pos,
+         CAST(c_custkey AS VARCHAR) AS ref, bal AS val
+  FROM cust QUALIFY pos <= 5
+  UNION ALL
+  SELECT 'sort_asc_nulls_last',
+         CAST(row_number() OVER (ORDER BY bal ASC NULLS LAST, c_custkey ASC) AS BIGINT),
+         CAST(c_custkey AS VARCHAR), bal
+  FROM cust QUALIFY row_number() OVER (ORDER BY bal ASC NULLS LAST, c_custkey ASC) <= 5
+  UNION ALL
+  SELECT 'sort_desc_nulls_first',
+         CAST(row_number() OVER (ORDER BY bal DESC NULLS FIRST, c_custkey ASC) AS BIGINT),
+         CAST(c_custkey AS VARCHAR), bal
+  FROM cust QUALIFY row_number() OVER (ORDER BY bal DESC NULLS FIRST, c_custkey ASC) <= 5
+  UNION ALL
+  SELECT 'sort_desc_nulls_last',
+         CAST(row_number() OVER (ORDER BY bal DESC NULLS LAST, c_custkey ASC) AS BIGINT),
+         CAST(c_custkey AS VARCHAR), bal
+  FROM cust QUALIFY row_number() OVER (ORDER BY bal DESC NULLS LAST, c_custkey ASC) <= 5
+),
+fill AS (
+  SELECT 'fill_ignore_nulls' AS kind, CAST(0 AS BIGINT) AS pos,
+         c_mktsegment AS ref,
+         ROUND(CAST(SUM(CAST(filled AS DECIMAL(18,2))) AS DOUBLE), 2) AS val
+  FROM (
+    SELECT c_mktsegment,
+           LAST_VALUE(bal IGNORE NULLS) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM cust
+  )
+  GROUP BY c_mktsegment
+)
+SELECT kind, pos, ref, val FROM sorts
+UNION ALL
+SELECT kind, pos, ref, val FROM fill
+ORDER BY kind, pos, ref
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
@@ -1361,4 +1469,5 @@ QUERIES = {
     "fuzzy_distance_matrix": fuzzy_distance_matrix,
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "decimal_semantics_matrix": decimal_semantics_matrix,
+    "null_ordering_matrix": null_ordering_matrix,
 }

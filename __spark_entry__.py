@@ -100,6 +100,8 @@ _PRIORITY = (
     "decimal_semantics_matrix",
     "etl_scd_type_matrix",
     "null_ordering_matrix",
+    "etl_ri_audit",
+    "text_lang_confusion",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -1592,6 +1592,120 @@ ORDER BY 1
 """
 
 
+def etl_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E32 — star-schema-wide referential-integrity audit: every FK
+    edge of the schema checked in one report (lineitem→orders/part/
+    supplier, orders→customer, customer→nation, supplier→nation,
+    nation→region), one row per edge with orphan count and the
+    child's row count for rate context. Each check is a left-anti
+    join — dimension sides broadcast, the three fact-side checks
+    share one lineitem scan via a single aggregation over three
+    membership flags (scan count plan-matters at 100 TB: 1 fact scan,
+    not 3). This is E28's RI check promoted to the whole-schema
+    audit the reference's per-table isin filters (main.py:141)
+    approximate one table at a time."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    # one lineitem scan: membership via three broadcast semi-join-like
+    # left joins collapsed into flags, aggregated once
+    flags = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey")).distinct().withColumn("_ok", F.lit(1))),
+            "l_orderkey",
+            "left",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey")).distinct().withColumn("_pk", F.lit(1))),
+            "l_partkey",
+            "left",
+        )
+        .join(
+            F.broadcast(supplier.select(F.col("s_suppkey").alias("l_suppkey")).distinct().withColumn("_sk", F.lit(1))),
+            "l_suppkey",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("_ok").isNull(), 1).otherwise(0)).alias("o_orph"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias("p_orph"),
+            F.sum(F.when(F.col("_sk").isNull(), 1).otherwise(0)).alias("s_orph"),
+        )
+    )
+    fact_edges = flags.selectExpr(
+        "stack(3, 'lineitem->orders', o_orph, n,"
+        " 'lineitem->part', p_orph, n,"
+        " 'lineitem->supplier', s_orph, n) AS (fk_edge, n_orphans, n_child_rows)"
+    )
+
+    def anti(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, label: str) -> DataFrame:
+        orph = child.join(
+            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        total = child.agg(F.count("*").alias("n_child_rows"))
+        return orph.join(total).select(
+            F.lit(label).alias("fk_edge"), "n_orphans", "n_child_rows"
+        )
+
+    out = fact_edges
+    for piece in (
+        anti(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
+        anti(customer, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+        anti(supplier, "s_nationkey", nation, "n_nationkey", "supplier->nation"),
+        anti(nation, "n_regionkey", region, "r_regionkey", "nation->region"),
+    ):
+        out = out.unionByName(piece)
+    return out.select(
+        "fk_edge",
+        F.col("n_orphans").cast("bigint").alias("n_orphans"),
+        F.col("n_child_rows").cast("bigint").alias("n_child_rows"),
+        (F.col("n_orphans") == 0).alias("intact"),
+    ).orderBy("fk_edge")
+
+
+ORACLES["etl_ri_audit"] = """
+SELECT fk_edge, n_orphans, n_child_rows, n_orphans = 0 AS intact FROM (
+  SELECT 'lineitem->orders' AS fk_edge,
+         CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         COUNT(*) AS n_child_rows
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem->part',
+         CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey) THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem->supplier',
+         CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey) THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders->customer',
+         (SELECT COUNT(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+         (SELECT COUNT(*) FROM orders)
+  UNION ALL
+  SELECT 'customer->nation',
+         (SELECT COUNT(*) FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)),
+         (SELECT COUNT(*) FROM customer)
+  UNION ALL
+  SELECT 'supplier->nation',
+         (SELECT COUNT(*) FROM supplier WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)),
+         (SELECT COUNT(*) FROM supplier)
+  UNION ALL
+  SELECT 'nation->region',
+         (SELECT COUNT(*) FROM nation WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)),
+         (SELECT COUNT(*) FROM nation)
+)
+ORDER BY fk_edge
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -1622,4 +1736,5 @@ QUERIES = {
     "etl_expectations_report": etl_expectations_report,
     "etl_backfill_plan": etl_backfill_plan,
     "etl_erasure_propagation": etl_erasure_propagation,
+    "etl_ri_audit": etl_ri_audit,
 }

@@ -1143,6 +1143,38 @@ ORDER BY level, source NULLS FIRST, lang NULLS FIRST
 """
 
 
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T53 — language-ID confusion matrix: T8's predictions crossed
+    with the generator's labels, plus per-label recall — the standard
+    eval view of any classifier-shaped pipeline stage, as one grouped
+    aggregation over the scored frame (no second scan: reuses T8's
+    plan as a subtree). On this corpus the labels are content-
+    independent (see T46's note), so the matrix QUANTIFIES exactly
+    how the rule-based IDer degenerates — the honest diagnostic a
+    real pipeline publishes before trusting a lang filter."""
+    scored = text_lang_id(spark, sf_dir).select("doc_id", "lang", "predicted_lang")
+    cm = scored.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("frac_of_label"),
+    ).orderBy("lang", "predicted_lang")
+
+
+ORACLES["text_lang_confusion"] = f"""
+WITH scored AS (SELECT lang, predicted_lang FROM ({ORACLES["text_lang_id"].strip()})),
+cm AS (
+  SELECT lang, predicted_lang, COUNT(*) AS n FROM scored GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY lang), 4) AS frac_of_label
+FROM cm
+ORDER BY lang, predicted_lang
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_chunk_documents": text_chunk_documents,
@@ -1164,4 +1196,5 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_hashed_tf": text_hashed_tf,
     "text_corpus_datasheet": text_corpus_datasheet,
+    "text_lang_confusion": text_lang_confusion,
 }

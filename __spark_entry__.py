@@ -102,6 +102,8 @@ _PRIORITY = (
     "null_ordering_matrix",
     "etl_ri_audit",
     "text_lang_confusion",
+    "q4_order_priority_v2",
+    "q17_small_qty_revenue_v2",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

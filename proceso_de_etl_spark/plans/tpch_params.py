@@ -434,8 +434,83 @@ WHERE {" OR ".join(
 """
 
 
+# --- q4 family: order-priority at another window, spec lateness ----
+
+Q4_PARAMS = {"start": "1997-03-01", "end": "1997-09-01", "late_days": 90}
+
+
+def q4_order_priority_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 template at window [1997-03-01, 1997-09-01) with lateness
+    at 90 days instead of the family's 60 (this testdata has no
+    commit/receipt dates, so the spec's l_commitdate < l_receiptdate
+    substitution is out of domain): same correlated-comparison
+    semi-join shape on a different window AND threshold."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts(Q4_PARAMS["start"]))
+        & (F.col("o_orderdate") < _ts(Q4_PARAMS["end"]))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr(f"o_orderdate + INTERVAL {Q4_PARAMS['late_days']} DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+ORACLES["q4_order_priority_v2"] = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_PARAMS["start"]} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q4_PARAMS["end"]} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {Q4_PARAMS["late_days"]} DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q17 family: small-quantity revenue for another brand/factor ---
+
+Q17_PARAMS = {"brand": "Brand#45", "factor": 0.25}
+
+
+def q17_small_qty_revenue_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 template at (Brand#45, factor 0.25): same de-correlated
+    per-part-average join-back with the semi-filtered aggregate
+    input; a different brand proves the left-semi prune isn't keyed
+    to one partkey set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == Q17_PARAMS["brand"]
+    )
+    per_part = (
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < Q17_PARAMS["factor"] * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+ORACLES["q17_small_qty_revenue_v2"] = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{Q17_PARAMS["brand"]}'
+  AND l_quantity < {Q17_PARAMS["factor"]} * (SELECT SUM(l_quantity) / COUNT(l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary_v2": q1_pricing_summary_v2,
+    "q4_order_priority_v2": q4_order_priority_v2,
+    "q17_small_qty_revenue_v2": q17_small_qty_revenue_v2,
     "q12_priority_classes_v2": q12_priority_classes_v2,
     "q19_disjunctive_filter_v2": q19_disjunctive_filter_v2,
     "q9_product_profit_v2": q9_product_profit_v2,

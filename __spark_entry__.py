@@ -71,14 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. Round-7 rotation:
-#   1. the 11 queries ADDED this round;
-#   2. the round-6 additions (the driver gate has not run since they
-#      landed, so they still need their first row);
-#   3. keys cut off below earlier caps, oldest driver rows first;
-#   4. the tail: keys with fresh rows and code untouched since —
-#      they keep their driver signal and the full pytest suite
-#      re-verifies them locally every round.
+# whatever keys most need a FRESH driver row. The driver's last gate
+# run produced the r4 rows, so EVERYTHING added in build rounds 5-7
+# has never had a driver row; rotation order:
+#   1. round-7 additions, 2. round-6 additions, 3. round-5 additions
+#      (all never-gated — more than one 50-row gate will take to
+#      clear; later rounds keep rotating),
+#   4. keys whose newest driver row is r1, then r3,
+#   5. the tail: r4-refreshed keys, re-verified locally by pytest.
 _PRIORITY = (
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
@@ -129,8 +129,29 @@ _PRIORITY = (
     "text_chunk_dedup_stats",
     "q12_priority_classes_v2",
     "q19_disjunctive_filter_v2",
-    # --- cut off below round 5's 50-row gate cap: events keys still
-    #     carrying r1 driver rows ---
+    # --- round-5 additions: the driver gate has not run since rounds
+    #     5-7 landed (last driver row set is r4), so these have never
+    #     had a driver row either — they outrank keys that at least
+    #     carry an old row ---
+    "sort_global_rank",
+    "agg_mode_per_group",
+    "ann_ivfpq_topk",
+    "stream_topk",
+    "window_function_matrix",
+    "etl_reject_routing",
+    "etl_snapshot_diff",
+    "embedding_int8_quantize",
+    "text_perplexity_buckets",
+    "text_quality_terciles",
+    "dedup_duplicate_spans",
+    "recursive_cte_closure",
+    "events_variant_extract",
+    "agg_argmax_no_window",
+    "source_binary_files",
+    "stream_late_data_accounting",
+    "multimodal_audio_energy",
+    "multimodal_image_resize",
+    # --- keys still carrying r1 driver rows ---
     "events_tumbling_window",
     "events_funnel",
     "events_asof_join",
@@ -153,27 +174,12 @@ _PRIORITY = (
     "set_ops_customers",
     "agg_distinct_exact",
     "agg_percentiles",
-    # --- tail: keys refreshed in r4/r5 whose code is untouched since;
-    #     they keep their driver signal and pytest re-verifies locally ---
-    "sort_global_rank",
-    "agg_mode_per_group",
+    # --- tail: r4-refreshed keys whose code is untouched since; they
+    #     keep their driver signal and pytest re-verifies locally ---
     "sample_weighted_aes",
     "text_vocab_topk",
     "text_bigram_pairs",
     "events_anomaly_zscore",
-    "ann_ivfpq_topk",
-    "stream_topk",
-    "window_function_matrix",
-    "etl_reject_routing",
-    "etl_snapshot_diff",
-    "embedding_int8_quantize",
-    "text_perplexity_buckets",
-    "text_quality_terciles",
-    "dedup_duplicate_spans",
-    "recursive_cte_closure",
-    "events_variant_extract",
-    "agg_argmax_no_window",
-    "source_binary_files",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",

@@ -104,6 +104,8 @@ _PRIORITY = (
     "text_lang_confusion",
     "q4_order_priority_v2",
     "q17_small_qty_revenue_v2",
+    "lateral_join_topn",
+    "etl_observed_load",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -1706,6 +1706,56 @@ ORDER BY fk_edge
 """
 
 
+def etl_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33 — in-flight load metrics via ``Observation`` /
+    ``df.observe``: the audit numbers (row count, decimal revenue
+    total, null-key count, distinct-ish max key) are collected AS A
+    SIDE EFFECT of the load action itself — zero extra scans, zero
+    extra actions. E17's load audit re-aggregates the sink; this is
+    the production-grade alternative at 100 TB, where the audit scan
+    costs as much as the load: metrics ride the same pass the write
+    already makes. The load here is a noop-format write (the bench
+    sink), so the operator times/observes exactly one materialization
+    of the filtered load frame. Generalizes the reference's post-load
+    count checks (main.py:183-189) to a no-extra-pass form."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    obs = Observation("load_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_custkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["revenue"]),
+                int(m["n_null_custkey"]),
+                int(m["max_orderkey"]),
+            )
+        ],
+        "n_rows long, revenue double, n_null_custkey long, max_orderkey long",
+    )
+
+
+ORACLES["etl_observed_load"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_custkey,
+       MAX(o_orderkey) AS max_orderkey
+FROM orders
+WHERE year(o_orderdate) = 1997
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -1737,4 +1787,5 @@ QUERIES = {
     "etl_backfill_plan": etl_backfill_plan,
     "etl_erasure_propagation": etl_erasure_propagation,
     "etl_ri_audit": etl_ri_audit,
+    "etl_observed_load": etl_observed_load,
 }

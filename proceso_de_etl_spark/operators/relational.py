@@ -1438,6 +1438,45 @@ ORDER BY kind, pos, ref
 """
 
 
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64 — correlated LATERAL subquery (SQL:1999 lateral derived
+    table, Spark 3.4+): each BUILDING-segment customer joined to its
+    own top-2 orders by value, written as the per-row subquery users
+    port from Postgres/DuckDB — `FROM c, LATERAL (SELECT ... WHERE
+    o_custkey = c_custkey ORDER BY ... LIMIT 2)`. Catalyst
+    decorrelates this into a ranked join (DomainJoin → window over
+    the domain keys), NOT a per-customer re-execution — so the
+    lateral form is 100 TB-safe even though it reads like a loop; the
+    A11 ranked-window formulation and this one compile to the same
+    physical family. Oracle runs the identical statement (DuckDB
+    executes LATERAL natively)."""
+    load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).createOrReplaceTempView("lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_cust, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """)
+
+
+ORACLES["lateral_join_topn"] = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
@@ -1470,4 +1509,5 @@ QUERIES = {
     "agg_equidepth_histogram": agg_equidepth_histogram,
     "decimal_semantics_matrix": decimal_semantics_matrix,
     "null_ordering_matrix": null_ordering_matrix,
+    "lateral_join_topn": lateral_join_topn,
 }

@@ -106,6 +106,7 @@ _PRIORITY = (
     "q17_small_qty_revenue_v2",
     "lateral_join_topn",
     "etl_observed_load",
+    "string_function_matrix",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

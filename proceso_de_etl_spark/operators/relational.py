@@ -1477,6 +1477,66 @@ ORDER BY c_custkey, o_totalprice DESC, o_orderkey
 """
 
 
+def string_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65 — string-manipulation parity matrix, the companion to the
+    scalar matrix (A29, which is date/numeric-heavy): trim family on
+    planted padding, lpad/rpad, translate, replace, split_part,
+    substring position (Spark ``instr`` = DuckDB ``strpos``), repeat/
+    reverse/left/right, contains/startswith/endswith as booleans, and
+    initcap — which DuckDB LACKS, so the oracle reconstructs it
+    per-word with split/upper/lower (the reconstruction-not-
+    another-builtin rule). All scan-side JVM expressions over part;
+    one projection, no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    padded = F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))
+    return part.select(
+        "p_partkey",
+        F.trim(padded).alias("trimmed"),
+        F.ltrim(padded).alias("ltrimmed"),
+        F.rtrim(padded).alias("rtrimmed"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snaked"),
+        F.expr("split_part(p_type, ' ', 2)").alias("type_mid"),
+        F.instr("p_name", "a").cast("bigint").alias("first_a_pos"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.expr("left(p_name, 5)").alias("name_head"),
+        F.expr("right(p_name, 3)").alias("name_tail"),
+        F.col("p_name").contains("olive").alias("has_olive"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.col("p_type").endswith("TIN").alias("is_tin"),
+        F.initcap("p_name").alias("name_title"),
+    )
+
+
+ORACLES["string_function_matrix"] = """
+SELECT p_partkey,
+       trim(concat('  ', p_brand, '  ')) AS trimmed,
+       ltrim(concat('  ', p_brand, '  ')) AS ltrimmed,
+       rtrim(concat('  ', p_brand, '  ')) AS rtrimmed,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(p_brand, 12, '.') AS brand_padded,
+       translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+       regexp_replace(p_name, ' ', '_', 'g') AS name_snaked,
+       split_part(p_type, ' ', 2) AS type_mid,
+       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a_pos,
+       repeat(p_brand, 2) AS brand_twice,
+       reverse(p_brand) AS brand_rev,
+       left(p_name, 5) AS name_head,
+       right(p_name, 3) AS name_tail,
+       contains(p_name, 'olive') AS has_olive,
+       starts_with(p_type, 'STANDARD') AS is_standard,
+       suffix(p_type, 'TIN') AS is_tin,
+       array_to_string(list_transform(string_split(p_name, ' '),
+         w -> CASE WHEN len(w) = 0 THEN w
+                   ELSE concat(upper(substr(w, 1, 1)), lower(substr(w, 2))) END), ' ')
+         AS name_title
+FROM part
+"""
+
+
 QUERIES = {
     "agg_pivot": agg_pivot,
     "interval_islands": interval_islands,
@@ -1510,4 +1570,5 @@ QUERIES = {
     "decimal_semantics_matrix": decimal_semantics_matrix,
     "null_ordering_matrix": null_ordering_matrix,
     "lateral_join_topn": lateral_join_topn,
+    "string_function_matrix": string_function_matrix,
 }

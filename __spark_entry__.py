@@ -107,6 +107,7 @@ _PRIORITY = (
     "lateral_join_topn",
     "etl_observed_load",
     "string_function_matrix",
+    "dedup_threshold_curve",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

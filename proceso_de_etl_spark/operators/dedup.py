@@ -1169,6 +1169,85 @@ ORDER BY split
 ORACLES["dedup_leakproof_split"] = _leakproof_split_oracle()
 
 
+CURVE_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T54 — the threshold tuning curve behind every near-dup knob:
+    how many pairs (and affected docs) each candidate Jaccard cutoff
+    would remove, from ONE pass over the pair table — the measurement
+    a pipeline runs BEFORE picking JACCARD_THRESHOLD, instead of
+    guessing. Pairs are computed once at the lowest threshold, then
+    every cutoff is a conditional aggregate over the same frame (no
+    re-scan per threshold). Mean Jaccard of surviving pairs is
+    reported decimal-exact. At corpus scale the pair generator swaps
+    to per-threshold banded LSH (T2's bands retuned per cutoff — the
+    8×4 config's recall note above); the exact generator here is the
+    same one the T4 oracle family verifies against."""
+    pairs = exact_jaccard_pairs(
+        _doc_shingles(spark, sf_dir), min(CURVE_THRESHOLDS)
+    ).persist()
+    out = None
+    for t in CURVE_THRESHOLDS:
+        surv = pairs.filter(F.col("jaccard") >= t)
+        docs = surv.select(F.col("a").alias("d")).unionByName(
+            surv.select(F.col("b").alias("d"))
+        )
+        piece = (
+            surv.agg(
+                F.count("*").alias("n_pairs"),
+                F.round(
+                    F.avg(F.col("jaccard").cast("decimal(18,6)")).cast("double"), 6
+                ).alias("mean_jaccard"),
+            )
+            .join(docs.agg(F.countDistinct("d").alias("n_docs_affected")))
+            .select(
+                F.lit(t).alias("threshold"),
+                "n_pairs",
+                F.coalesce("mean_jaccard", F.lit(0.0)).alias("mean_jaccard"),
+                "n_docs_affected",
+            )
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("threshold")
+
+
+def _threshold_curve_oracle() -> str:
+    pieces = []
+    for t in CURVE_THRESHOLDS:
+        pieces.append(f"""
+  SELECT {t} AS threshold, COUNT(*) AS n_pairs,
+         COALESCE(ROUND(CAST(AVG(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE), 6), 0.0) AS mean_jaccard,
+         (SELECT COUNT(DISTINCT d) FROM (
+            SELECT a AS d FROM pairs WHERE jaccard >= {t}
+            UNION ALL SELECT b FROM pairs WHERE jaccard >= {t})) AS n_docs_affected
+  FROM pairs WHERE jaccard >= {t}""")
+    union = "\n  UNION ALL\n".join(pieces)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {min(CURVE_THRESHOLDS)}
+)
+SELECT * FROM (
+{union}
+)
+ORDER BY threshold
+"""
+
+
+ORACLES["dedup_threshold_curve"] = _threshold_curve_oracle()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_source_overlap": dedup_source_overlap,
@@ -1186,4 +1265,5 @@ QUERIES = {
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_containment": dedup_containment,
     "dedup_leakproof_split": dedup_leakproof_split,
+    "dedup_threshold_curve": dedup_threshold_curve,
 }

@@ -108,6 +108,8 @@ _PRIORITY = (
     "etl_observed_load",
     "string_function_matrix",
     "dedup_threshold_curve",
+    "events_funnel_conversion",
+    "text_quality_dedup_interaction",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -722,6 +722,83 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A66 — funnel conversion report: A25's ordered funnel upgraded
+    to the numbers a growth dashboard actually shows — per-step user
+    counts, step-to-step conversion rates, and median time-to-convert
+    between adjacent steps. Same single conditional-min pass over the
+    fact table; the report aggregation runs over the user-count-sized
+    frame (second agg is tiny). Medians are exact interpolated
+    percentiles over integer microsecond deltas (both engines
+    interpolate linearly — results end in .0/.5, pinned by rounding
+    to 1 decimal)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.unix_micros("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t1"),
+        first_ts("click").alias("t2"),
+        first_ts("purchase").alias("t3"),
+    )
+    staged = per_user.select(
+        F.col("t1").isNotNull().alias("s1"),
+        (F.col("t1").isNotNull() & F.col("t2").isNotNull() & (F.col("t1") < F.col("t2"))).alias("s2"),
+        (
+            F.col("t1").isNotNull()
+            & F.col("t2").isNotNull()
+            & F.col("t3").isNotNull()
+            & (F.col("t1") < F.col("t2"))
+            & (F.col("t2") < F.col("t3"))
+        ).alias("s3"),
+        (F.col("t2") - F.col("t1")).alias("d12"),
+        (F.col("t3") - F.col("t2")).alias("d23"),
+    )
+    return staged.agg(
+        F.sum(F.col("s1").cast("bigint")).alias("n_signup"),
+        F.sum(F.col("s2").cast("bigint")).alias("n_clicked"),
+        F.sum(F.col("s3").cast("bigint")).alias("n_purchased"),
+        F.round(
+            F.sum(F.col("s2").cast("bigint")) / F.sum(F.col("s1").cast("bigint")), 4
+        ).alias("conv_click"),
+        F.round(
+            F.sum(F.col("s3").cast("bigint")) / F.sum(F.col("s2").cast("bigint")), 4
+        ).alias("conv_purchase"),
+        F.round(F.expr("percentile(CASE WHEN s2 THEN d12 END, 0.5)"), 1).alias("med_us_to_click"),
+        F.round(F.expr("percentile(CASE WHEN s3 THEN d23 END, 0.5)"), 1).alias("med_us_to_purchase"),
+    )
+
+
+ORACLES["events_funnel_conversion"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t1,
+         MIN(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT t1 IS NOT NULL AS s1,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2) AS s2,
+         (t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+          AND t1 < t2 AND t2 < t3) AS s3,
+         t2 - t1 AS d12, t3 - t2 AS d23
+  FROM per_user
+)
+SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+       ROUND(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN s1 THEN 1 ELSE 0 END), 4) AS conv_click,
+       ROUND(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) * 1.0
+             / SUM(CASE WHEN s2 THEN 1 ELSE 0 END), 4) AS conv_purchase,
+       ROUND(quantile_cont(CASE WHEN s2 THEN d12 END, 0.5), 1) AS med_us_to_click,
+       ROUND(quantile_cont(CASE WHEN s3 THEN d23 END, 0.5), 1) AS med_us_to_purchase
+FROM staged
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_time_weighted_avg": events_time_weighted_avg,
@@ -738,5 +815,6 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "events_rolling_distinct": events_rolling_distinct,
     "events_range_frame_window": events_range_frame_window,
+    "events_funnel_conversion": events_funnel_conversion,
     "events_variant_extract": events_variant_extract,
 }

@@ -1175,6 +1175,83 @@ ORDER BY lang, predicted_lang
 """
 
 
+def text_quality_dedup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T55 — does low-quality content duplicate more? The curation
+    question behind "dedup before or after quality filtering":
+    exact-duplicate rate per quality tercile, composing T31's
+    corpus-dependent cuts with T1's content-hash criterion in one
+    report. Per band: docs, docs-in-dup-groups, dup rate. The dup
+    flag is a group-size join on the md5 key (keyed shuffle); the
+    tercile machinery is T31's (exact percentile cuts broadcast back;
+    swap KLL at billions of docs). If the tail band's dup rate is
+    materially higher, dedup-first is the cheaper order — the report
+    turns that folklore into a measurement."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = _unigram_scores(docs)
+    cuts = scores.agg(
+        F.percentile("avg_logprob", F.lit(1.0 / 3.0)).alias("cut_lo"),
+        F.percentile("avg_logprob", F.lit(2.0 / 3.0)).alias("cut_hi"),
+    )
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    group_sz = hashes.groupBy("h").agg(F.count("*").alias("k"))
+    flagged = (
+        scores.join(hashes, "doc_id")
+        .join(group_sz, "h")
+        .select("avg_logprob", (F.col("k") > 1).cast("int").alias("dup"))
+    )
+    band = (
+        F.when(F.col("avg_logprob") > F.col("cut_hi"), "head")
+        .when(F.col("avg_logprob") > F.col("cut_lo"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(cuts))
+        .withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dup").cast("bigint").alias("n_duplicated"),
+            F.round(F.sum("dup") / F.count("*"), 4).alias("dup_rate"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLES["text_quality_dedup_interaction"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok),
+scores AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / n_total) AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*), 4) AS avg_logprob
+  FROM tok JOIN cnt USING (tok) CROSS JOIN n
+  GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(avg_logprob, {1.0 / 3.0}) AS cut_lo,
+         quantile_cont(avg_logprob, {2.0 / 3.0}) AS cut_hi
+  FROM scores
+),
+group_sz AS (SELECT md5(text) AS h, COUNT(*) AS k FROM documents GROUP BY 1),
+flagged AS (
+  SELECT s.avg_logprob, CASE WHEN g.k > 1 THEN 1 ELSE 0 END AS dup
+  FROM documents d
+  JOIN scores s USING (doc_id)
+  JOIN group_sz g ON md5(d.text) = g.h
+)
+SELECT CASE WHEN avg_logprob > cut_hi THEN 'head'
+            WHEN avg_logprob > cut_lo THEN 'middle'
+            ELSE 'tail' END AS band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_duplicated,
+       ROUND(SUM(dup) * 1.0 / COUNT(*), 4) AS dup_rate
+FROM flagged CROSS JOIN cuts
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_chunk_documents": text_chunk_documents,
@@ -1197,4 +1274,5 @@ QUERIES = {
     "text_hashed_tf": text_hashed_tf,
     "text_corpus_datasheet": text_corpus_datasheet,
     "text_lang_confusion": text_lang_confusion,
+    "text_quality_dedup_interaction": text_quality_dedup_interaction,
 }

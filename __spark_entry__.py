@@ -110,6 +110,7 @@ _PRIORITY = (
     "dedup_threshold_curve",
     "events_funnel_conversion",
     "text_quality_dedup_interaction",
+    "stream_funnel",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

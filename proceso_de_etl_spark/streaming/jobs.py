@@ -787,11 +787,72 @@ ORDER BY source
 """
 
 
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16 — streaming funnel: A25's signup → click → purchase
+    ordered funnel maintained continuously over the event stream.
+    The in-stream aggregation keeps one row of state per user (three
+    conditional MIN timestamps — MIN is monotone, so state never
+    grows per user and never needs retraction); the ORDER predicate
+    (t1 < t2 < t3) is applied in ``foreachBatch``, where the epoch's
+    aggregate is a plain batch frame. Complete mode makes the last
+    epoch's write the full answer (state = n_users rows — bounded by
+    the user population, not the stream length; a watermarked
+    variant would age out idle users). Value-oracled against the
+    batch funnel's SQL — the stream and batch forms are the same
+    declarative aggregation."""
+    import os
+    import tempfile
+
+    counts = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.unix_micros("ts"))).alias("t_signup"),
+            F.min(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("t_purchase"),
+        )
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="stream_funnel_"), "out")
+
+    def finish_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.filter(
+                F.col("t_signup").isNotNull()
+                & F.col("t_click").isNotNull()
+                & F.col("t_purchase").isNotNull()
+                & (F.col("t_signup") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase"))
+            )
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = counts.writeStream.outputMode("complete").foreachBatch(finish_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+ORACLES["stream_funnel"] = """
+SELECT user_id,
+       MIN(CASE WHEN event_type = 'signup'   THEN epoch_us(ts) END) AS t_signup,
+       MIN(CASE WHEN event_type = 'click'    THEN epoch_us(ts) END) AS t_click,
+       MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+FROM events
+GROUP BY user_id
+HAVING t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+   AND t_signup < t_click AND t_click < t_purchase
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_left_outer_join": stream_left_outer_join,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_quota_per_source": stream_quota_per_source,
+    "stream_funnel": stream_funnel,
     "stream_topk": stream_topk,
     "stream_late_data_accounting": stream_late_data_accounting,
     "stream_approx_distinct": stream_approx_distinct,

@@ -202,3 +202,33 @@ def test_interval_islands_match_python_sweep(spark, ivals):
                 n += 1
         want.add((k, cur_s, cur_e, n))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_global_rank_frame_is_dense_total_order(spark, rows):
+    """global_rank_frame (range partition + per-partition rank +
+    broadcast offsets — the A41/A60 core) must produce EXACTLY the
+    ranks of the one-task sorted enumeration for any input: a dense
+    1..n permutation in tie-broken sort order, regardless of how the
+    sampled range boundaries fall."""
+    from proceso_de_etl_spark.operators.relational import global_rank_frame
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    key = [F.asc("v"), F.asc("id")]
+    ranked, total = global_rank_frame(df, key, partitions=4)
+    got = {(r.rank, r.id, r.v) for r in ranked.select("rank", "id", "v").collect()}
+    spark.catalog.clearCache()  # the core pins its ranged partitioning
+    want = {
+        (i + 1, id_, v)
+        for i, (id_, v) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert total == len(rows)
+    assert got == want

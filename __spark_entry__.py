@@ -111,6 +111,7 @@ _PRIORITY = (
     "events_funnel_conversion",
     "text_quality_dedup_interaction",
     "stream_funnel",
+    "multimodal_blob_dedup",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -317,9 +317,78 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOB_N_FILES = 30
+BLOB_N_UNIQUE = 10
+
+
+def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T56 — content-addressed binary-blob dedup: the storage-side
+    twin of T1 for raw media — a media drop with duplicated files
+    (30 staged files carrying only 10 distinct contents, the shape a
+    crawler produces when mirrors re-serve the same asset) is read
+    via the ``binaryFile`` source and deduplicated by content digest
+    computed SCAN-SIDE on the binary column (md5 over ``content``,
+    no Python row objects). Report: files seen, unique blobs, bytes
+    ingested vs bytes retained (the dedup savings a blob store
+    realizes), and the deterministic keeper (lexicographic min path
+    id) per decile of the digest space is summarized by the digest
+    count itself. At 100 TB the digest groupBy is the only shuffle
+    and its width is the digest, not the blob — content never moves
+    twice. Oracle recomputes digests/sizes from the documents table
+    with the same staging rule (file i carries doc i % 10's text)."""
+    import os
+    import tempfile
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BLOB_N_UNIQUE)
+        .select("doc_id", "text")
+        .collect()
+    }
+    stage = tempfile.mkdtemp(prefix="blob_dedup_")
+    for i in range(BLOB_N_FILES):
+        with open(os.path.join(stage, f"{i:08d}.bin"), "wb") as f:
+            f.write(docs[i % BLOB_N_UNIQUE].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(stage)
+    per_blob = (
+        files.select(
+            F.md5("content").alias("digest"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min("n_bytes").alias("blob_bytes"))
+    )
+    return per_blob.agg(
+        F.sum("n_copies").cast("bigint").alias("n_files"),
+        F.count("*").alias("n_unique_blobs"),
+        F.sum(F.col("n_copies") * F.col("blob_bytes")).cast("bigint").alias("bytes_ingested"),
+        F.sum("blob_bytes").cast("bigint").alias("bytes_retained"),
+    )
+
+
+ORACLES["multimodal_blob_dedup"] = f"""
+WITH staged AS (
+  SELECT i, (SELECT text FROM documents WHERE doc_id = i % {BLOB_N_UNIQUE}) AS text
+  FROM unnest(generate_series(0, {BLOB_N_FILES - 1})) AS t(i)
+),
+per_blob AS (
+  SELECT md5(text) AS digest, COUNT(*) AS n_copies,
+         MIN(octet_length(encode(text))) AS blob_bytes
+  FROM staged GROUP BY 1
+)
+SELECT CAST(SUM(n_copies) AS BIGINT) AS n_files,
+       COUNT(*) AS n_unique_blobs,
+       CAST(SUM(n_copies * blob_bytes) AS BIGINT) AS bytes_ingested,
+       CAST(SUM(blob_bytes) AS BIGINT) AS bytes_retained
+FROM per_blob
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_blob_dedup": multimodal_blob_dedup,
 }

@@ -860,3 +860,46 @@ def test_decimal_overflow_raises_ansi(spark):
             "SELECT CAST(CAST(99999999.99 AS DECIMAL(10,2))"
             " * CAST(99999999.99 AS DECIMAL(10,2)) AS DECIMAL(10,2))"
         ).collect()
+
+
+def test_report_ops_survive_empty_inputs(spark, tmp_path):
+    """Empty-partition robustness: report/aggregation operators must
+    return an empty (or zero-row-counts) frame on a corpus with zero
+    rows in every table — not crash. At 100 TB empty inputs are
+    routine (fresh partitions, filtered-out sources); an operator
+    that throws on them poisons whole pipeline runs. Iterative ML
+    ops are exempt by contract (they fail loudly on no data)."""
+    import __spark_entry__ as entrymod
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    empty_dir = str(tmp_path / "sf_empty")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, SF_CORRECT, t).limit(0).write.mode("overwrite").parquet(
+            f"{empty_dir}/{t}.parquet"
+        )
+    qs = entrymod.queries()
+    for key in (
+        "q1_pricing_summary",
+        "etl_expectations_report",
+        "etl_backfill_plan",
+        "etl_erasure_propagation",
+        "etl_ri_audit",
+        "agg_histogram",
+        "agg_equidepth_histogram",
+        "graph_triangle_count",
+        "fuzzy_distance_matrix",
+        "events_rolling_distinct",
+        "events_range_frame_window",
+        "events_funnel_conversion",
+        "sample_group_aware_split",
+        "text_hashed_tf",
+        "text_corpus_datasheet",
+        "dedup_threshold_curve",
+    ):
+        rows = qs[key](spark, empty_dir).collect()
+        assert isinstance(rows, list), key
+        spark.catalog.clearCache()

@@ -112,6 +112,7 @@ _PRIORITY = (
     "text_quality_dedup_interaction",
     "stream_funnel",
     "multimodal_blob_dedup",
+    "json_function_matrix",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

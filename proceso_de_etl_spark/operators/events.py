@@ -799,6 +799,67 @@ FROM staged
 """
 
 
+def json_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A67 — JSON parse-surface matrix: construct a nested document
+    (object + nested object + array) scan-side with ``to_json``, then
+    extract through every access path a pipeline uses — path string
+    (`get_json_object`), TYPED parse (`from_json` with schema →
+    struct field access), array indexing, and the missing-key → NULL
+    contract — aggregated to checksums. The serialized bytes are
+    engine-local (never compared); what must agree is what each
+    engine EXTRACTS from the JSON it built from the same rows, so a
+    parser that drops precision, mis-indexes arrays, or returns ''
+    instead of NULL for absent keys moves a value. Numbers round-trip
+    construct→parse exactly (shortest-repr doubles both engines).
+    Complements A47 (VARIANT) and the per-event `events_json_extract`
+    path with the full matrix."""
+    orders = load_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_orderstatus").alias("s"),
+                F.col("o_totalprice").alias("amt"),
+            ).alias("nest"),
+            F.array(F.col("o_orderkey") % 3, F.col("o_orderkey") % 5).alias("arr"),
+        )
+    )
+    schema = "id BIGINT, nest STRUCT<s: STRING, amt: DOUBLE>, arr ARRAY<BIGINT>"
+    staged = orders.select(
+        j.alias("j"),
+        F.from_json(j, schema).alias("parsed"),
+    )
+    return staged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("j", "$.id").cast("bigint")).alias("id_sum"),
+        F.countDistinct(F.get_json_object("j", "$.nest.s")).alias("n_status"),
+        F.sum(F.get_json_object("j", "$.arr[1]").cast("bigint")).alias("arr1_sum"),
+        F.sum(F.get_json_object("j", "$.nope").isNull().cast("bigint")).alias("n_missing_null"),
+        F.sum(F.col("parsed.nest.amt").cast("decimal(18,2)")).cast("double").alias("amt_sum"),
+        F.sum(F.element_at("parsed.arr", 1)).cast("bigint").alias("typed_arr0_sum"),
+    )
+
+
+ORACLES["json_function_matrix"] = """
+WITH staged AS (
+  SELECT to_json(struct_pack(
+           id := o_orderkey,
+           nest := struct_pack(s := o_orderstatus, amt := o_totalprice),
+           arr := [o_orderkey % 3, o_orderkey % 5]
+         )) AS j
+  FROM orders
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(j ->> '$.id' AS BIGINT)) AS BIGINT) AS id_sum,
+       COUNT(DISTINCT j ->> '$.nest.s') AS n_status,
+       CAST(SUM(CAST(j ->> '$.arr[1]' AS BIGINT)) AS BIGINT) AS arr1_sum,
+       CAST(SUM(CASE WHEN j ->> '$.nope' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_null,
+       CAST(SUM(CAST(CAST(j ->> '$.nest.amt' AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS amt_sum,
+       CAST(SUM(CAST(j ->> '$.arr[0]' AS BIGINT)) AS BIGINT) AS typed_arr0_sum
+FROM staged
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_time_weighted_avg": events_time_weighted_avg,
@@ -816,5 +877,6 @@ QUERIES = {
     "events_rolling_distinct": events_rolling_distinct,
     "events_range_frame_window": events_range_frame_window,
     "events_funnel_conversion": events_funnel_conversion,
+    "json_function_matrix": json_function_matrix,
     "events_variant_extract": events_variant_extract,
 }

@@ -113,6 +113,7 @@ _PRIORITY = (
     "stream_funnel",
     "multimodal_blob_dedup",
     "json_function_matrix",
+    "etl_multisource_harmonize",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

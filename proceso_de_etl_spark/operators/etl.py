@@ -1756,6 +1756,95 @@ WHERE year(o_orderdate) = 1997
 """
 
 
+def etl_multisource_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E34 — heterogeneous multi-source harmonization: the
+    reference's core shape — THREE differently-schema'd opinion
+    feeds (social comments / surveys / web reviews, main.py:78-86)
+    conformed to one canonical record and unioned into a single fact
+    stream (main.py:117-170 does this with per-source pandas blocks).
+    Here: events (per-event score on a 0-100 scale), orders (1-5
+    survey scale), and lineitem⋈orders (quantity-derived 0-50 scale,
+    the source that needs a join to resolve its client key). Conform
+    = rename + cast + null-reject + min-max rescale to a SHARED
+    [0, 1] score + origin tag; the union is by-name over the
+    canonical schema, and the report aggregates per source so a
+    wrong rescale or dropped feed moves a value.
+
+    Scale shape: each source conforms scan-side (zero shuffles until
+    the final per-source rollup, one keyed agg); the lineitem feed's
+    client resolution is the only join. Adding a fourth source is a
+    new conform block, not a schema migration — the property that
+    makes the canonical-record pattern the right multi-source
+    design at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    comments = ev.filter(F.col("value").isNotNull()).select(
+        F.lit("comments").alias("fuente"),
+        F.col("event_id").alias("natural_id"),
+        F.col("user_id").alias("cliente_id"),
+        F.to_date("ts").alias("fecha"),
+        F.round(F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0)) / 100.0, 6).alias("puntaje"),
+    )
+    surveys = orders.select(
+        F.lit("surveys").alias("fuente"),
+        F.col("o_orderkey").alias("natural_id"),
+        F.col("o_custkey").alias("cliente_id"),
+        F.to_date("o_orderdate").alias("fecha"),
+        F.round(((F.col("o_orderkey") % 5) + 1) / F.lit(5.0), 6).alias("puntaje"),
+    )
+    reviews = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.lit("reviews").alias("fuente"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("natural_id"),
+            F.col("o_custkey").alias("cliente_id"),
+            F.to_date("l_shipdate").alias("fecha"),
+            F.round(F.least(F.col("l_quantity"), F.lit(50.0)) / 50.0, 6).alias("puntaje"),
+        )
+    )
+    conformed = comments.unionByName(surveys).unionByName(reviews)
+    return (
+        conformed.groupBy("fuente")
+        .agg(
+            F.count("*").alias("n_opiniones"),
+            F.countDistinct("cliente_id").alias("n_clientes"),
+            F.round(F.avg(F.col("puntaje").cast("decimal(18,6)")).cast("double"), 6).alias("avg_puntaje"),
+            F.min("fecha").cast("string").alias("desde"),
+            F.max("fecha").cast("string").alias("hasta"),
+        )
+        .orderBy("fuente")
+    )
+
+
+ORACLES["etl_multisource_harmonize"] = """
+WITH conformed AS (
+  SELECT 'comments' AS fuente, event_id AS natural_id, user_id AS cliente_id,
+         CAST(ts AS DATE) AS fecha,
+         ROUND(LEAST(GREATEST(value, 0.0), 100.0) / 100.0, 6) AS puntaje
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT 'surveys', o_orderkey, o_custkey, CAST(o_orderdate AS DATE),
+         ROUND(((o_orderkey % 5) + 1) / 5.0, 6)
+  FROM orders
+  UNION ALL
+  SELECT 'reviews', l_orderkey * 10 + l_linenumber, o_custkey,
+         CAST(l_shipdate AS DATE),
+         ROUND(LEAST(l_quantity, 50.0) / 50.0, 6)
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT fuente, COUNT(*) AS n_opiniones,
+       COUNT(DISTINCT cliente_id) AS n_clientes,
+       ROUND(CAST(AVG(CAST(puntaje AS DECIMAL(18,6))) AS DOUBLE), 6) AS avg_puntaje,
+       CAST(MIN(fecha) AS VARCHAR) AS desde,
+       CAST(MAX(fecha) AS VARCHAR) AS hasta
+FROM conformed
+GROUP BY fuente
+ORDER BY fuente
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -1788,4 +1877,5 @@ QUERIES = {
     "etl_erasure_propagation": etl_erasure_propagation,
     "etl_ri_audit": etl_ri_audit,
     "etl_observed_load": etl_observed_load,
+    "etl_multisource_harmonize": etl_multisource_harmonize,
 }

@@ -114,6 +114,7 @@ _PRIORITY = (
     "multimodal_blob_dedup",
     "json_function_matrix",
     "etl_multisource_harmonize",
+    "dedup_span_excise",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

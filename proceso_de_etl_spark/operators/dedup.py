@@ -1248,6 +1248,128 @@ ORDER BY threshold
 ORACLES["dedup_threshold_curve"] = _threshold_curve_oracle()
 
 
+def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T57 — duplicated-span EXCISION: the removal half of the Lee
+    et al. 2022 exact-substring criterion (T32 detects; this one
+    actually cuts). A token is removed when ANY SPAN_N-token span
+    covering it appears verbatim in ≥2 documents; the cleaned text is
+    the ordered join of surviving tokens, fingerprinted so the oracle
+    verifies the RECONSTRUCTED text byte-for-byte, not just counts.
+
+    Distributed shape: positions come from one posexplode of the
+    span array (the token array materialized through a projection
+    boundary first — SURVEY §7); span document-frequency is one
+    distinct+groupBy keyed on the hash, joined back on the PERSISTED
+    position frame (no re-scan of the tokenize subtree); coverage
+    expansion is a bounded SPAN_N× fan-out; token survival is a
+    left-anti join keyed (doc, position); reassembly is a per-doc
+    sorted collect — bounded by document length, the same per-doc
+    bound every text op here lives under. No global structure
+    anywhere; boilerplate spans bound their own fan-out by DF (cap
+    ubiquitous spans first at web scale, as decontamination does)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    staged = toks_staged.select(
+        "doc_id", "toks", shingles(F.col("toks"), SPAN_N).alias("spans")
+    )
+    span_pos = (
+        staged.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.md5("s").alias("h"))
+        .persist()
+    )
+    dfh = (
+        span_pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    covered = (
+        span_pos.join(dfh.filter(F.col("df") >= 2), "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_N - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_pos = toks_staged.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tpos"), "tok")
+    kept = tok_pos.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    totals = toks_staged.select("doc_id", F.size("toks").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("removed_frac"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["dedup_span_excise"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS t, {_SPAN_SQL} AS sp FROM documents
+),
+span_pos AS (
+  SELECT doc_id, i AS pos, md5(sp[i]) AS h
+  FROM base, unnest(generate_series(1, len(sp))) AS u(i)
+),
+dfh AS (
+  SELECT h, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, h FROM span_pos) GROUP BY h
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + k - 1 AS tpos
+  FROM span_pos JOIN dfh USING (h), unnest(generate_series(1, {SPAN_N})) AS g(k)
+  WHERE df >= 2
+),
+tok_pos AS (
+  SELECT doc_id, i AS tpos, t[i] AS tok
+  FROM base, unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT tok_pos.doc_id, tok_pos.tpos, tok_pos.tok
+  FROM tok_pos LEFT JOIN covered
+    ON tok_pos.doc_id = covered.doc_id AND tok_pos.tpos = covered.tpos
+  WHERE covered.tpos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY tpos)) AS cleaned_md5
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(t) AS n_tokens FROM base)
+SELECT totals.doc_id, n_tokens,
+       COALESCE(n_kept, 0) AS n_kept,
+       ROUND((n_tokens - COALESCE(n_kept, 0)) * 1.0 / GREATEST(n_tokens, 1), 4) AS removed_frac,
+       COALESCE(cleaned_md5, md5('')) AS cleaned_md5
+FROM totals LEFT JOIN rebuilt ON totals.doc_id = rebuilt.doc_id
+ORDER BY totals.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_source_overlap": dedup_source_overlap,
@@ -1266,4 +1388,5 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_leakproof_split": dedup_leakproof_split,
     "dedup_threshold_curve": dedup_threshold_curve,
+    "dedup_span_excise": dedup_span_excise,
 }

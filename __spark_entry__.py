@@ -115,6 +115,7 @@ _PRIORITY = (
     "json_function_matrix",
     "etl_multisource_harmonize",
     "dedup_span_excise",
+    "asof_direction_matrix",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -860,6 +860,103 @@ FROM staged
 """
 
 
+def asof_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A68 — as-of join direction matrix: BACKWARD (last prior click,
+    A26's contract), FORWARD (first subsequent click — the lead-time
+    question), and NEAREST (pandas merge_asof's third direction, ties
+    to backward), for every purchase, summarized per direction with
+    match counts, exact-decimal mean gaps, and nearest-wins counts.
+    Both sweeps are the SAME union-tag + last(ignorenulls) carry that
+    makes A26 one keyed sort instead of a per-row lookup — forward is
+    just the time-reversed ordering (ts DESC, clicks-first at ties, so
+    an equal-timestamp click matches in both directions and NEAREST's
+    tie rule is exercised). Two windows over one partition sort
+    family; no joins at all."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("k"),
+        "event_id",
+    )
+    click_ts = F.when(F.col("k") == 0, F.col("t"))
+    w_b = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_f = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.asc("k"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = base.withColumn(
+        "b_ts", F.last(click_ts, ignorenulls=True).over(w_b)
+    ).withColumn("f_ts", F.last(click_ts, ignorenulls=True).over(w_f))
+    p = marked.filter(F.col("k") == 1).select(
+        (F.col("t") - F.col("b_ts")).alias("gap_b"),
+        (F.col("f_ts") - F.col("t")).alias("gap_f"),
+    )
+    nearest_b = F.col("gap_b").isNotNull() & (
+        F.col("gap_f").isNull() | (F.col("gap_b") <= F.col("gap_f"))
+    )
+    nearest_f = F.col("gap_f").isNotNull() & (
+        F.col("gap_b").isNull() | (F.col("gap_f") < F.col("gap_b"))
+    )
+    davg2 = lambda c: F.round(
+        (F.sum(F.col(c).cast("decimal(18,2)")) / F.count(F.col(c))).cast("double"), 2
+    )
+    back = p.agg(
+        F.lit("backward").alias("direction"),
+        F.count("gap_b").alias("n_matched"),
+        davg2("gap_b").alias("avg_gap_us"),
+        F.sum(nearest_b.cast("bigint")).alias("n_nearest_wins"),
+    ).select("direction", "n_matched", "avg_gap_us", "n_nearest_wins")
+    fwd = p.agg(
+        F.lit("forward").alias("direction"),
+        F.count("gap_f").alias("n_matched"),
+        davg2("gap_f").alias("avg_gap_us"),
+        F.sum(nearest_f.cast("bigint")).alias("n_nearest_wins"),
+    ).select("direction", "n_matched", "avg_gap_us", "n_nearest_wins")
+    return back.unionByName(fwd).orderBy("direction")
+
+
+ORACLES["asof_direction_matrix"] = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+marked AS (
+  SELECT *,
+         last_value(CASE WHEN k = 0 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t ASC, k ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ts,
+         last_value(CASE WHEN k = 0 THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t DESC, k ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_ts
+  FROM base
+),
+p AS (
+  SELECT t - b_ts AS gap_b, f_ts - t AS gap_f FROM marked WHERE k = 1
+)
+SELECT direction, n_matched, avg_gap_us, n_nearest_wins FROM (
+  SELECT 'backward' AS direction, COUNT(gap_b) AS n_matched,
+         ROUND(CAST(SUM(CAST(gap_b AS DECIMAL(18,2))) / COUNT(gap_b) AS DOUBLE), 2) AS avg_gap_us,
+         CAST(SUM(CASE WHEN gap_b IS NOT NULL AND (gap_f IS NULL OR gap_b <= gap_f)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nearest_wins
+  FROM p
+  UNION ALL
+  SELECT 'forward', COUNT(gap_f),
+         ROUND(CAST(SUM(CAST(gap_f AS DECIMAL(18,2))) / COUNT(gap_f) AS DOUBLE), 2),
+         CAST(SUM(CASE WHEN gap_f IS NOT NULL AND (gap_b IS NULL OR gap_f < gap_b)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM p
+)
+ORDER BY direction
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_time_weighted_avg": events_time_weighted_avg,
@@ -878,5 +975,6 @@ QUERIES = {
     "events_range_frame_window": events_range_frame_window,
     "events_funnel_conversion": events_funnel_conversion,
     "json_function_matrix": json_function_matrix,
+    "asof_direction_matrix": asof_direction_matrix,
     "events_variant_extract": events_variant_extract,
 }

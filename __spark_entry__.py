@@ -116,6 +116,8 @@ _PRIORITY = (
     "etl_multisource_harmonize",
     "dedup_span_excise",
     "asof_direction_matrix",
+    "timeseries_feature_frame",
+    "etl_entity_resolution",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -1845,6 +1845,118 @@ ORDER BY fuente
 """
 
 
+ER_VARIANT_MOD = 50  # every 50th customer gets a dirty duplicate
+ER_VARIANT_OFFSET = 10_000_000
+
+
+def etl_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35 — entity resolution end-to-end: a dirty roster (customers
+    plus planted typo'd re-registrations — mutated name AND phone,
+    new surrogate id) is resolved back to canonical entities via the
+    classic three-stage pipeline: (1) BLOCKING on a name prefix
+    (sorted-neighborhood family, A58 — candidate pairs only within a
+    block, never all-pairs), (2) fuzzy MATCH rule combining a strong
+    attribute (phone levenshtein ≤ 1) with a fuzzy one (name
+    levenshtein ≤ 2) — the conjunction kills the serial-name trap
+    where distinct customers' names differ by one digit, because
+    their phones differ by many — and (3) connected components over
+    match edges (T4b's machinery) labeling every record with its
+    entity = least member id. The summary pins record/entity/merge
+    counts and an id checksum, so one wrong merge moves a value.
+    Scale: block sizes bound the pair join (choose the blocking key
+    so blocks stay O(100) — here a 16-char prefix); CC is the
+    bounded fixpoint loop. Upgrades the reference's exact-equality
+    duplicate email rule (main.py:128-129) to fuzzy identity."""
+    from proceso_de_etl_spark.operators.dedup import connected_components
+
+    cust = load_table(spark, sf_dir, "customer")
+    orig = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    variants = cust.filter(F.col("c_custkey") % ER_VARIANT_MOD == 0).select(
+        (F.col("c_custkey") + ER_VARIANT_OFFSET).alias("rid"),
+        F.concat(
+            F.substring("c_name", 1, F.length("c_name") - 1), F.lit("x")
+        ).alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    roster = orig.unionByName(variants).withColumn(
+        "blk", F.substring("name", 1, 16)
+    ).persist()
+    a, b = roster.alias("a"), roster.alias("b")
+    edges = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.rid") < F.col("b.rid")))
+        .filter(
+            (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+            & (F.col("a.bal") == F.col("b.bal"))
+        )
+        .select(F.col("a.rid").alias("a"), F.col("b.rid").alias("b"))
+    )
+    clusters = connected_components(edges).select(
+        F.col("doc_id").alias("rid"), F.col("cluster").alias("entity")
+    )
+    labeled = roster.join(clusters, "rid", "left").select(
+        "rid", F.coalesce("entity", F.col("rid")).alias("entity")
+    )
+    per_entity = labeled.groupBy("entity").agg(F.count("*").alias("sz"))
+    return (
+        labeled.agg(F.count("*").alias("n_records"))
+        .join(per_entity.agg(
+            F.count("*").alias("n_entities"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("bigint").alias("n_merged_entities"),
+            F.max("sz").alias("max_entity_size"),
+            F.sum("entity").cast("bigint").alias("entity_id_checksum"),
+        ))
+        .select(
+            "n_records", "n_entities", "n_merged_entities",
+            "max_entity_size", "entity_id_checksum",
+        )
+    )
+
+
+ORACLES["etl_entity_resolution"] = f"""
+WITH roster AS (
+  SELECT c_custkey AS rid, c_name AS name, c_acctbal AS bal FROM customer
+  UNION ALL
+  SELECT c_custkey + {ER_VARIANT_OFFSET},
+         concat(substr(c_name, 1, len(c_name) - 1), 'x'),
+         c_acctbal
+  FROM customer WHERE c_custkey % {ER_VARIANT_MOD} = 0
+),
+blocked AS (SELECT rid, name, bal, substr(name, 1, 16) AS blk FROM roster),
+edges0 AS (
+  SELECT a.rid AS a, b.rid AS b
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.rid < b.rid
+  WHERE levenshtein(a.name, b.name) <= 2 AND a.bal = b.bal
+),
+edges AS (SELECT a AS src, b AS dst FROM edges0 UNION ALL SELECT b, a FROM edges0),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+),
+clusters AS (
+  SELECT src AS rid, least(src, MIN(dst)) AS entity FROM reach GROUP BY src
+),
+labeled AS (
+  SELECT roster.rid, COALESCE(entity, roster.rid) AS entity
+  FROM roster LEFT JOIN clusters ON roster.rid = clusters.rid
+),
+per_entity AS (SELECT entity, COUNT(*) AS sz FROM labeled GROUP BY entity)
+SELECT (SELECT COUNT(*) FROM labeled) AS n_records,
+       COUNT(*) AS n_entities,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged_entities,
+       MAX(sz) AS max_entity_size,
+       CAST(SUM(entity) AS BIGINT) AS entity_id_checksum
+FROM per_entity
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -1878,4 +1990,5 @@ QUERIES = {
     "etl_ri_audit": etl_ri_audit,
     "etl_observed_load": etl_observed_load,
     "etl_multisource_harmonize": etl_multisource_harmonize,
+    "etl_entity_resolution": etl_entity_resolution,
 }

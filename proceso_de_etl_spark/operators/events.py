@@ -957,6 +957,55 @@ ORDER BY direction
 """
 
 
+def timeseries_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T58 — forecasting feature engineering: the per-(user, hour)
+    activity series widened into a supervised-learning frame — k lag
+    features, a trailing 3-bucket mean, and the delta-vs-lag1 target
+    sculpted the way a demand-forecast pipeline feeds gradient
+    boosting. All keyed windows (partitioned by user — the series
+    axis), built on the hourly aggregate so the window input is
+    bucket-sized, not event-sized: the fact-scale work is one
+    group-agg, the feature windows run over ~series-length rows per
+    key. Lags are exact decimal sums; NULLs where history is short
+    (the model's mask column, not imputed here)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.unix_micros(F.date_trunc("hour", "ts")).alias("h_us")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v")
+    )
+    w = W.partitionBy("user_id").orderBy("h_us")
+    w3 = w.rowsBetween(-2, 0)
+    return hourly.select(
+        "user_id",
+        "h_us",
+        F.round("v", 6).alias("v"),
+        F.round(F.lag("v", 1).over(w), 6).alias("lag1"),
+        F.round(F.lag("v", 2).over(w), 6).alias("lag2"),
+        F.round(F.lag("v", 3).over(w), 6).alias("lag3"),
+        F.round(F.avg("v").over(w3), 6).alias("rolling3_mean"),
+        F.round(F.col("v") - F.lag("v", 1).over(w), 6).alias("target_delta"),
+    )
+
+
+ORACLES["timeseries_feature_frame"] = """
+WITH hourly AS (
+  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS h_us,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, h_us, ROUND(v, 6) AS v,
+       ROUND(lag(v, 1) OVER w, 6) AS lag1,
+       ROUND(lag(v, 2) OVER w, 6) AS lag2,
+       ROUND(lag(v, 3) OVER w, 6) AS lag3,
+       ROUND(AVG(v) OVER (PARTITION BY user_id ORDER BY h_us
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling3_mean,
+       ROUND(v - lag(v, 1) OVER w, 6) AS target_delta
+FROM hourly
+WINDOW w AS (PARTITION BY user_id ORDER BY h_us)
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_time_weighted_avg": events_time_weighted_avg,
@@ -976,5 +1025,6 @@ QUERIES = {
     "events_funnel_conversion": events_funnel_conversion,
     "json_function_matrix": json_function_matrix,
     "asof_direction_matrix": asof_direction_matrix,
+    "timeseries_feature_frame": timeseries_feature_frame,
     "events_variant_extract": events_variant_extract,
 }

@@ -118,6 +118,7 @@ _PRIORITY = (
     "asof_direction_matrix",
     "timeseries_feature_frame",
     "etl_entity_resolution",
+    "etl_surrogate_hwm",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -1957,6 +1957,74 @@ FROM per_entity
 """
 
 
+SK_INITIAL_MOD = 3  # types with p_partkey % 3 == 0 are "already loaded"
+
+
+def etl_surrogate_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — incremental surrogate-key allocation: new dimension
+    members arriving after the initial load get ids ABOVE the
+    existing high-water mark, deterministically ordered, without
+    renumbering a single existing row — the invariant that keeps
+    every fact row's FK stable across loads (E4 assigns ids to a
+    fresh dimension; this is the day-2 problem). Existing dim =
+    types seen in an initial slice; the new batch's distinct values
+    anti-join away known members, rank deterministically (dense rank
+    over the NEW values only — enum-sized input, same bounded-window
+    argument as E4), and offset by the 1-row broadcast high-water
+    mark. Output proves three contracts at once: old ids unchanged,
+    new ids contiguous from hwm+1, no value maps to two ids."""
+    part = load_table(spark, sf_dir, "part")
+    initial = (
+        part.filter(F.col("p_partkey") % SK_INITIAL_MOD == 0)
+        .select("p_type")
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    existing = initial.withColumn(
+        "id", F.dense_rank().over(W.orderBy("p_type")).cast("bigint")
+    )
+    hwm = existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("hwm"))
+    new_vals = (
+        part.select("p_type").distinct().join(existing.select("p_type"), "p_type", "left_anti")
+    )
+    new_rows = (
+        new_vals.withColumn(
+            "rk", F.dense_rank().over(W.orderBy("p_type")).cast("bigint")
+        )
+        .join(F.broadcast(hwm))
+        .select("p_type", (F.col("rk") + F.col("hwm")).alias("id"))
+    )
+    dim = existing.select("p_type", "id", F.lit(False).alias("is_new")).unionByName(
+        new_rows.select("p_type", "id", F.lit(True).alias("is_new"))
+    )
+    return dim.orderBy("id")
+
+
+ORACLES["etl_surrogate_hwm"] = f"""
+WITH initial AS (
+  SELECT DISTINCT p_type FROM part WHERE p_partkey % {SK_INITIAL_MOD} = 0
+),
+existing AS (
+  SELECT p_type, CAST(dense_rank() OVER (ORDER BY p_type) AS BIGINT) AS id FROM initial
+),
+hwm AS (SELECT COALESCE(MAX(id), 0) AS hwm FROM existing),
+new_vals AS (
+  SELECT DISTINCT p_type FROM part
+  WHERE p_type NOT IN (SELECT p_type FROM existing)
+),
+new_rows AS (
+  SELECT p_type,
+         CAST(dense_rank() OVER (ORDER BY p_type) AS BIGINT) + (SELECT hwm FROM hwm) AS id
+  FROM new_vals
+)
+SELECT p_type, id, FALSE AS is_new FROM existing
+UNION ALL
+SELECT p_type, id, TRUE FROM new_rows
+ORDER BY id
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -1991,4 +2059,5 @@ QUERIES = {
     "etl_observed_load": etl_observed_load,
     "etl_multisource_harmonize": etl_multisource_harmonize,
     "etl_entity_resolution": etl_entity_resolution,
+    "etl_surrogate_hwm": etl_surrogate_hwm,
 }

@@ -119,6 +119,8 @@ _PRIORITY = (
     "timeseries_feature_frame",
     "etl_entity_resolution",
     "etl_surrogate_hwm",
+    "sample_mixture_epochs",
+    "etl_masked_export",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

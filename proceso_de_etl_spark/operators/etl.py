@@ -2025,6 +2025,59 @@ ORDER BY id
 """
 
 
+MASK_BAL_BAND = 1000.0  # generalization granularity for balances
+
+
+def etl_masked_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 — privacy-preserving export with a k-anonymity audit: the
+    outbound twin of E30's erasure — before customer data leaves the
+    warehouse, direct identifiers are PSEUDONYMIZED (md5 surrogate),
+    quasi-identifiers are GENERALIZED (balances banded to 1000s,
+    names reduced to an initial), and the export is summarized per
+    quasi-identifier group with the dataset's k-anonymity (the
+    smallest group size — the re-identification risk number a
+    privacy review asks for first). All masking is scan-side
+    expression work; the audit is one keyed aggregation + a 1-row
+    broadcast of the global minimum. Pseudonym distinctness is
+    asserted in-frame (n_pids per group == n) so a hash collision or
+    a lazy constant-mask bug moves a value."""
+    cust = load_table(spark, sf_dir, "customer")
+    masked = cust.select(
+        F.md5(F.col("c_custkey").cast("string")).alias("pid"),
+        F.substring("c_name", 1, 1).alias("initial"),
+        (F.floor(F.col("c_acctbal") / MASK_BAL_BAND) * MASK_BAL_BAND).alias("bal_band"),
+        "c_mktsegment",
+    )
+    groups = masked.groupBy("bal_band", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("pid").alias("n_pids"),
+    )
+    k_anon = groups.agg(F.min("n").alias("k_anonymity"))
+    return (
+        groups.join(F.broadcast(k_anon))
+        .select("bal_band", "c_mktsegment", "n", "n_pids", "k_anonymity")
+        .orderBy("bal_band", "c_mktsegment")
+    )
+
+
+ORACLES["etl_masked_export"] = f"""
+WITH masked AS (
+  SELECT md5(CAST(c_custkey AS VARCHAR)) AS pid,
+         FLOOR(c_acctbal / {MASK_BAL_BAND}) * {MASK_BAL_BAND} AS bal_band,
+         c_mktsegment
+  FROM customer
+),
+groups AS (
+  SELECT bal_band, c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT pid) AS n_pids
+  FROM masked GROUP BY 1, 2
+)
+SELECT bal_band, c_mktsegment, n, n_pids,
+       (SELECT MIN(n) FROM groups) AS k_anonymity
+FROM groups
+ORDER BY bal_band, c_mktsegment
+"""
+
+
 QUERIES = {
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
@@ -2060,4 +2113,5 @@ QUERIES = {
     "etl_multisource_harmonize": etl_multisource_harmonize,
     "etl_entity_resolution": etl_entity_resolution,
     "etl_surrogate_hwm": etl_surrogate_hwm,
+    "etl_masked_export": etl_masked_export,
 }

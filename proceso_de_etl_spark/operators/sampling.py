@@ -390,6 +390,89 @@ ORDER BY split
 """
 
 
+MIX_TOKEN_BUDGET = 200_000  # target training tokens
+MIX_MAX_EPOCHS = 4.0  # repetition cap per source
+
+
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T59 — mixture repetition budgeting (the "how many epochs of
+    each source" plan from LLM data-mixing practice): given measured
+    per-source token counts, a total token budget, and a UNIFORM
+    target mixture, compute each source's required repetition factor
+    (epochs), cap it (over-repeating a small source degrades models
+    faster than under-weighting it), and report the EFFECTIVE tokens
+    and realized mixture share after the cap — so the gap between
+    target and realized mixture is explicit data, not a surprise at
+    training time. One scan for the token census (the fact-scale
+    work); the plan arithmetic runs on the n_sources-row aggregate.
+    Consumes the same census T51's datasheet publishes; T22's
+    mixture REBALANCING down-samples to hit a mixture exactly —
+    this op plans UP-sampling under a repetition cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    from proceso_de_etl_spark.functions.text import tokens
+
+    census = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    n_sources = census.agg(F.count("*").alias("k"))
+    planned = (
+        census.join(F.broadcast(n_sources))
+        .withColumn("target_tokens", F.lit(float(MIX_TOKEN_BUDGET)) / F.col("k"))
+        .withColumn(
+            "epochs_needed",
+            F.round(F.col("target_tokens") / F.col("n_tokens"), 4),
+        )
+        .withColumn(
+            "epochs", F.round(F.least(F.col("epochs_needed"), F.lit(MIX_MAX_EPOCHS)), 4)
+        )
+        .withColumn(
+            "effective_tokens",
+            F.round(F.col("epochs") * F.col("n_tokens"), 2),
+        )
+    )
+    total_eff = planned.agg(F.sum("effective_tokens").alias("tot"))
+    return (
+        planned.join(F.broadcast(total_eff))
+        .select(
+            "source",
+            "n_tokens",
+            "epochs_needed",
+            "epochs",
+            "effective_tokens",
+            F.round(F.col("effective_tokens") / F.col("tot"), 6).alias("realized_share"),
+            (F.col("epochs_needed") > F.lit(MIX_MAX_EPOCHS)).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+from proceso_de_etl_spark.functions.text import tokens_sql as _tokens_sql
+
+ORACLES["sample_mixture_epochs"] = f"""
+WITH census AS (
+  SELECT source, CAST(SUM(len({_tokens_sql("text")})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+k AS (SELECT COUNT(*) AS k FROM census),
+planned AS (
+  SELECT source, n_tokens,
+         {float(MIX_TOKEN_BUDGET)} / k AS target_tokens,
+         ROUND({float(MIX_TOKEN_BUDGET)} / k / n_tokens, 4) AS epochs_needed,
+         ROUND(LEAST(ROUND({float(MIX_TOKEN_BUDGET)} / k / n_tokens, 4), {MIX_MAX_EPOCHS}), 4) AS epochs
+  FROM census CROSS JOIN k
+),
+eff AS (
+  SELECT *, ROUND(epochs * n_tokens, 2) AS effective_tokens FROM planned
+),
+tot AS (SELECT SUM(effective_tokens) AS tot FROM eff)
+SELECT source, n_tokens, epochs_needed, epochs, effective_tokens,
+       ROUND(effective_tokens / tot, 6) AS realized_share,
+       epochs_needed > {MIX_MAX_EPOCHS} AS capped
+FROM eff CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_pack_sequences": sample_pack_sequences,
@@ -398,4 +481,5 @@ QUERIES = {
     "sample_weighted_aes": sample_weighted_aes,
     "sample_mixture_rebalance": sample_mixture_rebalance,
     "sample_group_aware_split": sample_group_aware_split,
+    "sample_mixture_epochs": sample_mixture_epochs,
 }

@@ -121,6 +121,7 @@ _PRIORITY = (
     "etl_surrogate_hwm",
     "sample_mixture_epochs",
     "etl_masked_export",
+    "source_federated_formats",
     # --- round-6 additions (need a first driver row) ---
     "interval_islands",
     "text_gopher_quality",

@@ -176,6 +176,63 @@ WHERE doc_id < {BINFILE_N_DOCS}
 """
 
 
+def source_federated_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 — federated multi-format union: ONE logical table whose
+    partitions live in three different formats (parquet, CSV, JSON —
+    the real shape of a lake that grew over years), read with
+    explicit per-format schemas and unioned by name into a single
+    frame. The oracle aggregates the ORIGINAL table directly, so the
+    comparison proves the federation is LOSSLESS end-to-end —
+    including the type round-trips that actually bite (dates through
+    CSV text, doubles through JSON). Slices are keyed o_orderkey % 3
+    so every format carries a third of the data; explicit schemas
+    everywhere (inference is a full extra pass nobody wants at
+    100 TB). Scale note: in production each format is a real
+    directory and this union is how a migration reads the table
+    DURING a format conversion — no downtime cutover."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    stage = tempfile.mkdtemp(prefix="federated_")
+    p_dir, c_dir, j_dir = (os.path.join(stage, d) for d in ("p", "c", "j"))
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.mode("overwrite").parquet(p_dir)
+    orders.filter(F.col("o_orderkey") % 3 == 1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(c_dir)
+    orders.filter(F.col("o_orderkey") % 3 == 2).write.mode("overwrite").json(j_dir)
+    schema = orders.schema
+    federated = (
+        spark.read.parquet(p_dir)
+        .unionByName(read_csv(spark, c_dir, schema))
+        .unionByName(read_json(spark, j_dir, schema))
+    )
+    return federated.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.min("o_orderdate").cast("string").alias("first_date"),
+        F.max("o_orderdate").cast("string").alias("last_date"),
+        F.sum(F.col("o_orderkey") % 3).cast("bigint").alias("slice_checksum"),
+    )
+
+
+ORACLES["source_federated_formats"] = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(MIN(o_orderdate) AS VARCHAR) AS first_date,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS last_date,
+       CAST(SUM(o_orderkey % 3) AS BIGINT) AS slice_checksum
+FROM orders
+"""
+
+
 QUERIES = {
     "source_binary_files": source_binary_files,
+    "source_federated_formats": source_federated_formats,
 }

@@ -16,6 +16,7 @@ from proceso_de_etl_spark.operators import (
     dedup,
     etl,
     events,
+    insights,
     ml,
     multimodal,
     pipeline,
@@ -40,6 +41,7 @@ from proceso_de_etl_spark.streaming import jobs as streaming_jobs
 # come right after etl; the round-1-green analytic suites close the
 # list.
 _MODULES = (
+    insights,
     etl,
     dedup,
     similarity,
@@ -80,6 +82,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. keys whose newest driver row is r1, then r3,
 #   5. the tail: r4-refreshed keys, re-verified locally by pytest.
 _PRIORITY = (
+    # --- round-8 additions (newest — need a first driver row) ---
+    "market_basket_rules",
+    "events_markov_transitions",
+    "customer_rfm_segments",
+    "pareto_abc_classes",
+    "sales_growth_report",
+    "ab_welch_ttest",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

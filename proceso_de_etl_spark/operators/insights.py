@@ -1,0 +1,517 @@
+"""Business-analytics report operators (SURVEY.md §2.2 A69-A74):
+market-basket association rules, event-transition (Markov) matrices,
+RFM customer segmentation, Pareto/ABC classification on a distributed
+prefix sum, period-over-period growth, and a Welch t-test matrix.
+
+These close the "analyst asks a question" surface above the raw
+relational core: the reference's star schema exists to feed exactly
+this kind of report (reference README §2.3 names the consumption
+layer; main.py:150-216 builds the star these run on). Every operator
+here is a pure DataFrame composition — no Python UDFs, no global
+windows (the repo-wide plan sweep enforces the latter), and every
+ratio is derived from exact integer/DECIMAL aggregates so the DuckDB
+oracle matches bit-for-bit after the 6dp edge rounding.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from proceso_de_etl_spark.functions.columns import dsum, money
+from proceso_de_etl_spark.sources.catalog import load_table
+
+ORACLES: dict[str, str] = {}
+
+# Association rules below this absolute pair-order count are noise at
+# any SF; an absolute (not relative) floor keeps the operator
+# meaningful at sf0.001 smoke scale too.
+BASKET_MIN_PAIR_ORDERS = 2
+
+
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A69 — association rules over order baskets: for every ordered
+    part pair (antecedent → consequent) co-present in ≥2 orders,
+    support / confidence / lift from exact order counts.
+
+    Distributed shape: the basket self-join is keyed on l_orderkey,
+    so both sides shuffle once on the SAME key and co-partition; the
+    pair blow-up is bounded by max-basket-size² per order (TPC-H
+    baskets are ≤7 lines; sf0.1 here measures 17), NOT by corpus
+    size — this is the classic a-priori candidate-pair shape that
+    survives 100 TB because the quadratic term is per-basket. The
+    per-item order counts join back on partkey (part-cardinality,
+    grows with SF → no broadcast hint; AQE may still choose one).
+    All ratios divide exact BIGINT counts in double and round 6dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item_n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("item_orders")
+    )
+    a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("ante"))
+    b = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= BASKET_MIN_PAIR_ORDERS)
+    )
+    return (
+        pairs.join(item_n.withColumnRenamed("item", "ante"), "ante")
+        .withColumnRenamed("item_orders", "ante_orders")
+        .join(
+            item_n.selectExpr("item AS cons", "item_orders AS cons_orders"),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "pair_orders",
+            F.round(F.col("pair_orders") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("pair_orders") / F.col("ante_orders"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("pair_orders") / F.col("ante_orders"))
+                / (F.col("cons_orders") / F.col("n_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLES["market_basket_rules"] = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM baskets),
+item_n AS (SELECT l_partkey AS item, COUNT(*) AS item_orders FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS pair_orders
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_PAIR_ORDERS}
+)
+SELECT p.ante, p.cons, p.pair_orders,
+       ROUND(p.pair_orders / t.n_orders, 6) AS support,
+       ROUND(p.pair_orders / CAST(ia.item_orders AS DOUBLE), 6) AS confidence,
+       ROUND((p.pair_orders / CAST(ia.item_orders AS DOUBLE))
+             / (ic.item_orders / t.n_orders), 6) AS lift
+FROM pairs p
+JOIN item_n ia ON ia.item = p.ante
+JOIN item_n ic ON ic.item = p.cons
+CROSS JOIN tot t
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A70 — first-order Markov transition matrix over the event
+    stream: per-user lag over (ts, event_id) total order yields
+    (prev_type → event_type) edges; counts roll up to the #types²
+    matrix with row-normalized probabilities. The lag window is
+    partitioned by user_id (one user's history per task — bounded);
+    the normalizing window partitions the AGGREGATED matrix by
+    prev_type (≤ #types rows per partition). Probability = exact
+    count / exact row total, in double, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return edges.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+ORACLES["events_markov_transitions"] = """
+WITH edges AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM edges WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM cnt
+"""
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A71 — RFM segmentation: per customer recency (days since last
+    order, vs the corpus max date), frequency (#orders), monetary
+    (exact-decimal spend), each scored 1-4 against corpus quartile
+    cuts. The cuts are three 1-row scalars (exact `percentile`
+    interpolation, rounded 6dp on BOTH engines so a last-ulp
+    interpolation difference cannot flip a boundary) broadcast back —
+    no ntile, no global window; the per-customer frame shuffles once
+    on o_custkey. Score = 1 + #cuts strictly exceeded (recency
+    inverted: fresher = higher)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = rfm.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("max_date", "last_order").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    cuts = rfm.agg(
+        *[
+            F.round(
+                F.expr(f"percentile({c}, {q})"), 6
+            ).alias(f"{c[0]}q{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, prefix: str):
+        v = F.col(col)
+        return (
+            F.lit(1)
+            + (v > F.col(f"{prefix}q1")).cast("int")
+            + (v > F.col(f"{prefix}q2")).cast("int")
+            + (v > F.col(f"{prefix}q3")).cast("int")
+        )
+
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(5) - score("recency_days", "r")).alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+        (
+            (F.lit(5) - score("recency_days", "r")) * 100
+            + score("frequency", "f") * 10
+            + score("monetary", "m")
+        ).alias("rfm"),
+    )
+
+
+ORACLES["customer_rfm_segments"] = """
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT ROUND(quantile_cont(recency_days, 0.25), 6) AS rq1,
+         ROUND(quantile_cont(recency_days, 0.5), 6) AS rq2,
+         ROUND(quantile_cont(recency_days, 0.75), 6) AS rq3,
+         ROUND(quantile_cont(frequency, 0.25), 6) AS fq1,
+         ROUND(quantile_cont(frequency, 0.5), 6) AS fq2,
+         ROUND(quantile_cont(frequency, 0.75), 6) AS fq3,
+         ROUND(quantile_cont(monetary, 0.25), 6) AS mq1,
+         ROUND(quantile_cont(monetary, 0.5), 6) AS mq2,
+         ROUND(quantile_cont(monetary, 0.75), 6) AS mq3
+  FROM rfm
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       5 - (1 + CAST(recency_days > rq1 AS INT) + CAST(recency_days > rq2 AS INT)
+              + CAST(recency_days > rq3 AS INT)) AS r_score,
+       1 + CAST(frequency > fq1 AS INT) + CAST(frequency > fq2 AS INT)
+         + CAST(frequency > fq3 AS INT) AS f_score,
+       1 + CAST(monetary > mq1 AS INT) + CAST(monetary > mq2 AS INT)
+         + CAST(monetary > mq3 AS INT) AS m_score,
+       (5 - (1 + CAST(recency_days > rq1 AS INT) + CAST(recency_days > rq2 AS INT)
+              + CAST(recency_days > rq3 AS INT))) * 100
+       + (1 + CAST(frequency > fq1 AS INT) + CAST(frequency > fq2 AS INT)
+            + CAST(frequency > fq3 AS INT)) * 10
+       + (1 + CAST(monetary > mq1 AS INT) + CAST(monetary > mq2 AS INT)
+            + CAST(monetary > mq3 AS INT)) AS rfm
+FROM rfm CROSS JOIN cuts
+"""
+
+
+PARETO_PARTITIONS = 32
+
+
+def pareto_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A72 — Pareto/ABC analysis: parts ranked by revenue with exact
+    global cumulative revenue share, classed A (≤80% cumulative), B
+    (≤95%), C. The global prefix sum runs DISTRIBUTED — the same
+    range-partition + broadcast-offset discipline as A41's
+    global_rank_frame, extended from row offsets to DECIMAL value
+    offsets: repartitionByRange on (revenue DESC, partkey), persist
+    to pin the sampled range bounds, ONE bounded collect of
+    per-partition (row count, DECIMAL revenue sum), then each
+    partition ranks and prefix-sums only its own rows plus its
+    broadcast offsets. No global window (the plan sweep enforces
+    that); the only data-sized window partitions by _pid. Cumulative
+    sums stay DECIMAL (order-independent) until the final
+    share-in-double edge, so the class boundaries are engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+            "rev"
+        )
+    )
+    total = li.agg(
+        F.sum(money(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+        .cast("double")
+        .alias("total_rev")
+    )
+    ranged = (
+        rev.repartitionByRange(
+            PARETO_PARTITIONS, F.desc("rev"), F.asc("l_partkey")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    parts = sorted(
+        (r["_pid"], r["n"], r["s"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.count("*").alias("n"), F.sum("rev").alias("s"))
+        .collect()
+    )
+    offsets, row_acc, val_acc = [], 0, Decimal(0)
+    for pid, n, s in parts:
+        offsets.append((pid, row_acc, val_acc))
+        row_acc += n
+        val_acc += s
+    offs = spark.createDataFrame(
+        offsets, "_pid int, _roff long, _voff decimal(38,4)"
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    share = F.round(
+        (F.sum("rev").over(w) + F.col("_voff")).cast("double")
+        / F.col("total_rev"),
+        6,
+    )
+    ranked = (
+        ranged.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.partitionBy("_pid").orderBy(F.desc("rev"), F.asc("l_partkey")))
+            + F.col("_roff"),
+        )
+        .withColumn("cum_share", share)
+        .select(
+            "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "rank",
+            "cum_share",
+            F.when(F.col("cum_share") <= 0.80, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return ranked
+
+
+ORACLES["pareto_abc_classes"] = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS BIGINT) AS rank,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM rev
+)
+SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue, rank,
+       ROUND(CAST(cum_rev AS DOUBLE) / total_rev, 6) AS cum_share,
+       CASE WHEN ROUND(CAST(cum_rev AS DOUBLE) / total_rev, 6) <= 0.80 THEN 'A'
+            WHEN ROUND(CAST(cum_rev AS DOUBLE) / total_rev, 6) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked CROSS JOIN tot
+"""
+
+
+def sales_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A73 — period-over-period growth: monthly revenue with
+    month-over-month and year-over-year deltas. Spark side uses NO
+    window at all — the month frame (one row per (year, month), a
+    calendar-bounded cardinality) LEFT-joins itself on a linearized
+    month index shifted by 1 and by 12; at any SF the join inputs
+    are #months rows, so this is three tiny co-keyed joins after one
+    fact-scan aggregation. Growth ratios divide exact decimal sums
+    in double, 6dp; first month / first year emit NULL growth."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    ).withColumn("ym", F.col("y") * 12 + F.col("m") - 1)
+    prev = monthly.select(
+        (F.col("ym") + 1).alias("ym"), F.col("revenue").alias("prev_month_rev")
+    )
+    yago = monthly.select(
+        (F.col("ym") + 12).alias("ym"), F.col("revenue").alias("prev_year_rev")
+    )
+    return (
+        monthly.join(prev, "ym", "left")
+        .join(yago, "ym", "left")
+        .select(
+            "y",
+            "m",
+            "n_orders",
+            "revenue",
+            F.round(
+                (F.col("revenue") - F.col("prev_month_rev"))
+                / F.col("prev_month_rev"),
+                6,
+            ).alias("mom_growth"),
+            F.round(
+                (F.col("revenue") - F.col("prev_year_rev"))
+                / F.col("prev_year_rev"),
+                6,
+            ).alias("yoy_growth"),
+        )
+    )
+
+
+ORACLES["sales_growth_report"] = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) * 12
+           + CAST(EXTRACT(month FROM o_orderdate) AS INT) - 1 AS ym
+  FROM orders GROUP BY 1, 2
+)
+SELECT a.y, a.m, a.n_orders, a.revenue,
+       ROUND((a.revenue - pm.revenue) / pm.revenue, 6) AS mom_growth,
+       ROUND((a.revenue - py.revenue) / py.revenue, 6) AS yoy_growth
+FROM monthly a
+LEFT JOIN monthly pm ON pm.ym = a.ym - 1
+LEFT JOIN monthly py ON py.ym = a.ym - 12
+"""
+
+
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A74 — Welch two-sample t-test matrix: for every ordered pair
+    of event types, the t statistic and Welch–Satterthwaite degrees
+    of freedom comparing the `value` distributions — the
+    experimentation-platform primitive computed entirely from
+    per-group exact moments (n, Σv, Σv² in DECIMAL — the A37
+    discipline), so one scan + one #types²-row broadcast self-join
+    produces the whole matrix. Every derived value is a chain of
+    IEEE-exact double ops on engine-identical inputs; 6dp rounding
+    at the edge."""
+    ev = load_table(spark, sf_dir, "events")
+    mom = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("value", 6).alias("s1"),
+        dsum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    a = mom.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = mom.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    ma = F.col("s1a") / F.col("na")
+    mb = F.col("s1b") / F.col("nb")
+    va = F.greatest(
+        (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("na"))
+        / (F.col("na") - 1),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("nb"))
+        / (F.col("nb") - 1),
+        F.lit(0.0),
+    )
+    sea = va / F.col("na")
+    seb = vb / F.col("nb")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    df = (sea + seb) * (sea + seb) / (
+        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+ORACLES["ab_welch_ttest"] = """
+WITH mom AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+),
+se AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb, a.s1 AS s1a, b.s1 AS s1b,
+         GREATEST((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1), 0) / a.n AS sea,
+         GREATEST((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1), 0) / b.n AS seb
+  FROM mom a JOIN mom b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(s1a / na, 6) AS mean_a,
+       ROUND(s1b / nb, 6) AS mean_b,
+       ROUND((s1a / na - s1b / nb) / SQRT(sea + seb), 6) AS t_stat,
+       ROUND((sea + seb) * (sea + seb)
+             / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS welch_df
+FROM se
+"""
+
+
+QUERIES = {
+    "market_basket_rules": market_basket_rules,
+    "events_markov_transitions": events_markov_transitions,
+    "customer_rfm_segments": customer_rfm_segments,
+    "pareto_abc_classes": pareto_abc_classes,
+    "sales_growth_report": sales_growth_report,
+    "ab_welch_ttest": ab_welch_ttest,
+}

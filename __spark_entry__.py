@@ -89,6 +89,8 @@ _PRIORITY = (
     "pareto_abc_classes",
     "sales_growth_report",
     "ab_welch_ttest",
+    "sample_importance_dsir",
+    "etl_merge_clause_matrix",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from proceso_de_etl_spark.functions.columns import clean_id, dsum
+from proceso_de_etl_spark.functions.columns import clean_id, dsum, money
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -2078,7 +2078,100 @@ ORDER BY bal_band, c_mktsegment
 """
 
 
+def etl_merge_clause_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — the full MERGE INTO clause ladder (Delta/Iceberg MERGE
+    semantics) expressed as ONE co-keyed full-outer join, exercising
+    every clause class in a single statement:
+
+        WHEN MATCHED AND src.new_bal < 0   THEN DELETE
+        WHEN MATCHED                       THEN UPDATE SET bal
+        WHEN NOT MATCHED [BY TARGET]
+                     AND src.new_bal >= 0  THEN INSERT
+        WHEN NOT MATCHED BY SOURCE         THEN keep row unchanged
+
+    This differs from E18's CDC apply (op-column driven: the SOURCE
+    says I/U/D) — here the ACTION is decided by the merge conditions,
+    the way lakehouse MERGE is actually written. The change batch is
+    synthesized deterministically from the customer table (key%7==0
+    rows get bal−5000 — some go negative and exercise DELETE;
+    key%11==0 rows re-key to +1_000_000 and exercise conditional
+    INSERT). Both sides shuffle once on the merge key and
+    co-partition; no driver loop, no collect. The surviving table
+    carries an `action` audit column so the oracle verifies every
+    clause's row routing, not just the final values."""
+    cust = load_table(spark, sf_dir, "customer")
+    target = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        money("c_acctbal").alias("bal"),
+    )
+    src_upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("key"),
+        (money("c_acctbal") - F.lit(5000).cast("decimal(18,2)")).alias("new_bal"),
+    )
+    src_ins = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("key"),
+        money("c_acctbal").alias("new_bal"),
+    )
+    src = src_upd.unionByName(src_ins)
+    j = target.join(src, "key", "full_outer")
+    matched = F.col("bal").isNotNull() & F.col("new_bal").isNotNull()
+    merged = (
+        j.withColumn(
+            "action",
+            F.when(matched & (F.col("new_bal") < 0), "delete")
+            .when(matched, "update")
+            .when(F.col("bal").isNull() & (F.col("new_bal") >= 0), "insert")
+            .when(F.col("bal").isNull(), "skip")
+            .otherwise("keep"),
+        )
+        .filter(~F.col("action").isin("delete", "skip"))
+        .select(
+            "key",
+            F.coalesce("name", F.lit("(new)")).alias("name"),
+            F.when(F.col("action") == "keep", F.col("bal"))
+            .otherwise(F.col("new_bal"))
+            .cast("double")
+            .alias("bal"),
+            "action",
+        )
+    )
+    return merged
+
+
+ORACLES["etl_merge_clause_matrix"] = """
+WITH target AS (
+  SELECT c_custkey AS key, c_name AS name,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+),
+src AS (
+  SELECT c_custkey AS key,
+         CAST(c_acctbal AS DECIMAL(18,2)) - CAST(5000 AS DECIMAL(18,2)) AS new_bal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS new_bal
+  FROM customer WHERE c_custkey % 11 = 0
+),
+j AS (
+  SELECT COALESCE(t.key, s.key) AS key, t.name, t.bal, s.new_bal,
+         CASE WHEN t.bal IS NOT NULL AND s.new_bal IS NOT NULL AND s.new_bal < 0 THEN 'delete'
+              WHEN t.bal IS NOT NULL AND s.new_bal IS NOT NULL THEN 'update'
+              WHEN t.bal IS NULL AND s.new_bal >= 0 THEN 'insert'
+              WHEN t.bal IS NULL THEN 'skip'
+              ELSE 'keep' END AS action
+  FROM target t FULL OUTER JOIN src s ON t.key = s.key
+)
+SELECT key, COALESCE(name, '(new)') AS name,
+       CAST(CASE WHEN action = 'keep' THEN bal ELSE new_bal END AS DOUBLE) AS bal,
+       action
+FROM j
+WHERE action NOT IN ('delete', 'skip')
+"""
+
+
 QUERIES = {
+    "etl_merge_clause_matrix": etl_merge_clause_matrix,
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,
     "etl_write_audit_publish": etl_write_audit_publish,

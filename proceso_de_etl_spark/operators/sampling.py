@@ -473,7 +473,111 @@ ORDER BY source
 """
 
 
+DSIR_DIM = 64
+DSIR_TARGET_LANG = "en"
+
+
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T61 — DSIR-style importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how target-like its hashed-n-gram
+    profile is, where the target distribution is estimated from the
+    in-corpus English slice and the raw distribution from the whole
+    corpus. log w(doc) = Σ_tokens [ln p_target(bucket) −
+    ln p_raw(bucket)] with add-one smoothing over the D hashed
+    buckets.
+
+    Distributed shape: ONE token explode feeds both distribution
+    estimates (D-row aggregates — D=64 is a constant, so the
+    bucket→log-ratio table broadcasts) and the scoring join; no
+    vocabulary is ever collected. The hash is the md5-prefix bucket
+    (text_analysis.text_hashed_tf note: bit-identical across
+    engines, swap xxhash64 for production). Per-token ln routes
+    through a DECIMAL(18,12) accumulator so per-doc sums are
+    order-independent; 4dp edge rounding absorbs ln's last-ulp
+    engine difference (the T23 discipline). `keep` marks docs whose
+    profile is more target- than raw-like — the resampling
+    acceptance core."""
+    from proceso_de_etl_spark.functions.columns import dsum
+    from proceso_de_etl_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % DSIR_DIM
+        ).cast("int").alias("bucket"),
+    )
+    raw = tok.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    totals = tok.agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("n_tgt"),
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_tgt") + 1) / (F.col("n_tgt") + DSIR_DIM))
+                - F.log((F.col("c_raw") + 1) / (F.col("n_raw") + DSIR_DIM))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = tok.join(F.broadcast(ratio), "bucket").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(dsum(F.col("log_ratio"), 12), 4).alias("log_weight"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        (F.col("log_weight") > 0).alias("keep"),
+    )
+
+
+from proceso_de_etl_spark.functions.text import tokens_sql as _toks_sql_dsir  # noqa: E402
+
+ORACLES["sample_importance_dsir"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(CAST(concat('0x', substr(md5(t.tok), 1, 8)) AS UBIGINT) % {DSIR_DIM} AS INT) AS bucket
+  FROM documents, unnest({_toks_sql_dsir("text")}) AS t(tok)
+),
+raw AS (SELECT bucket, COUNT(*) AS c_raw FROM tok GROUP BY 1),
+tgt AS (SELECT bucket, COUNT(*) AS c_tgt FROM tok WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+totals AS (
+  SELECT COUNT(*) AS n_raw,
+         COUNT(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 END) AS n_tgt
+  FROM tok
+),
+ratio AS (
+  SELECT raw.bucket,
+         ln((COALESCE(c_tgt, 0) + 1) / CAST(n_tgt + {DSIR_DIM} AS DOUBLE))
+         - ln((c_raw + 1) / CAST(n_raw + {DSIR_DIM} AS DOUBLE)) AS log_ratio
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(CAST(SUM(CAST(log_ratio AS DECIMAL(18,12))) AS DOUBLE), 4) AS log_weight
+  FROM tok JOIN ratio ON tok.bucket = ratio.bucket
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS keep FROM scored
+"""
+
+
 QUERIES = {
+    "sample_importance_dsir": sample_importance_dsir,
     "sample_stratified": sample_stratified,
     "sample_pack_sequences": sample_pack_sequences,
     "sample_cap_per_source": sample_cap_per_source,

@@ -91,6 +91,7 @@ _PRIORITY = (
     "ab_welch_ttest",
     "sample_importance_dsir",
     "etl_merge_clause_matrix",
+    "stream_markov_transitions",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -847,7 +847,83 @@ HAVING t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
 """
 
 
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17 — streaming Markov transition matrix: the A70 batch
+    report (operators/insights.py) maintained over the live event
+    stream. lag() windows are illegal on unbounded streams, so the
+    per-user "previous event" is keyed state
+    (stateful.markov_transition_edges); the emitted edge stream is
+    then counted per (prev, next) with row-normalized probabilities.
+
+    Source = events replayed as two time-ordered micro-batches split
+    at the corpus midpoint timestamp, so every user active in both
+    halves has a boundary transition that EXISTS ONLY IF the state
+    carries across triggers — emitting per-batch lags would drop it,
+    double-processing would duplicate it. The full matrix is
+    value-oracled against the batch lag() form: stream and batch
+    must agree edge-for-edge."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from proceso_de_etl_spark.streaming.stateful import markov_transition_edges
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    mid_us = (mm["lo"] + mm["hi"]) // 2
+    stage = tempfile.mkdtemp(prefix="stream_markov_src_")
+    for i, pred in enumerate(
+        (F.unix_micros("ts") <= mid_us, F.unix_micros("ts") > mid_us)
+    ):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_markov_b{i}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_events.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    edges = run_to_memory(markov_transition_edges(raw), "append")
+    cnt = edges.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wp = W.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+ORACLES["stream_markov_transitions"] = """
+WITH edges AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM edges WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM cnt
+"""
+
+
 QUERIES = {
+    "stream_markov_transitions": stream_markov_transitions,
     "stream_tumbling_window": stream_tumbling_window,
     "stream_left_outer_join": stream_left_outer_join,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,

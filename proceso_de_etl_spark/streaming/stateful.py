@@ -128,3 +128,62 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+MARKOV_OUTPUT_SCHEMA = "prev_type string, next_type string"
+MARKOV_STATE_SCHEMA = "last_us bigint, last_eid bigint, last_type string"
+
+
+def markov_transition_edges(events: DataFrame) -> DataFrame:
+    """ST17 — per-user event-transition extraction with carried
+    state: emits one (prev_type → next_type) edge per consecutive
+    event pair in a user's (ts, event_id)-ordered history, where
+    "consecutive" spans micro-batch boundaries — the state is the
+    user's LAST event (3 scalars), so a transition whose two ends
+    arrive in different triggers is still emitted exactly once.
+    This is the streaming twin of the A70 batch Markov matrix
+    (operators/insights.py): the batch lag() window cannot run on an
+    unbounded stream (rank/lag windows are illegal there), so the
+    lag is re-expressed as keyed state. State per user is O(1) —
+    at 100 TB the state store scales with |users|, not |events|.
+
+    Update fn is a nested closure (shipped by value); each batch
+    sorts only ITS OWN rows for the user — bounded by the trigger,
+    not the stream."""
+
+    def emit_transitions(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        types = rows["event_type"].tolist()
+        carry = state.get[2] if state.exists else None
+        prev = [carry] + types[:-1]
+        last = rows.iloc[-1]
+        state.update(
+            (int(last["ts_us"]), int(last["event_id"]), str(last["event_type"]))
+        )
+        out = pd.DataFrame({"prev_type": prev, "next_type": types})
+        yield out[out["prev_type"].notna()]
+
+    from pyspark.sql import functions as F
+
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            emit_transitions,
+            outputStructType=MARKOV_OUTPUT_SCHEMA,
+            stateStructType=MARKOV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

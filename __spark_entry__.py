@@ -92,6 +92,10 @@ _PRIORITY = (
     "sample_importance_dsir",
     "etl_merge_clause_matrix",
     "stream_markov_transitions",
+    "events_top_paths",
+    "events_seasonal_baseline",
+    "etl_benford_audit",
+    "text_bigram_lm_score",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

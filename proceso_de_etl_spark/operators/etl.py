@@ -2170,7 +2170,65 @@ WHERE action NOT IN ('delete', 'skip')
 """
 
 
+def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39 — Benford first-digit audit on order totals: observed vs
+    expected leading-digit distribution with per-digit chi-square
+    components — the classic fabricated-data screen a load-audit
+    layer runs next to E28's expectations. The digit comes from the
+    DECIMAL(18,2) string form (both engines render plain decimal
+    digits — no double→string scientific-notation divergence); the
+    Benford probability log10(1+1/d) is computed per digit in double
+    (9 values; a last-ulp ln difference is absorbed by the 6dp edge
+    rounding). One scan, one 9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.regexp_extract(
+        money("o_totalprice").cast("string"), "([1-9])", 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("observed"))
+    )
+    tot = orders.filter(F.col("o_totalprice") > 0).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    exp_p = F.log10(1 + 1 / F.col("digit").cast("double"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            F.round(exp_p, 6).alias("expected_p"),
+            F.round(F.col("observed") / F.col("n"), 6).alias("observed_p"),
+            F.round(
+                (F.col("observed") - exp_p * F.col("n"))
+                * (F.col("observed") - exp_p * F.col("n"))
+                / (exp_p * F.col("n")),
+                6,
+            ).alias("chi2_component"),
+        )
+    )
+
+
+ORACLES["etl_benford_audit"] = """
+WITH obs AS (
+  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '([1-9])', 1) AS INT) AS digit,
+         COUNT(*) AS observed
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders WHERE o_totalprice > 0)
+SELECT digit, observed,
+       ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS expected_p,
+       ROUND(observed / n, 6) AS observed_p,
+       ROUND((observed - log10(1 + 1 / CAST(digit AS DOUBLE)) * n)
+             * (observed - log10(1 + 1 / CAST(digit AS DOUBLE)) * n)
+             / (log10(1 + 1 / CAST(digit AS DOUBLE)) * n), 6) AS chi2_component
+FROM obs CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "etl_benford_audit": etl_benford_audit,
     "etl_merge_clause_matrix": etl_merge_clause_matrix,
     "etl_extract_conform": etl_extract_conform,
     "etl_dynamic_partition_overwrite": etl_dynamic_partition_overwrite,

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from proceso_de_etl_spark.functions.columns import dsum, money
+from proceso_de_etl_spark.operators.windows import ranked_topk
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -1006,7 +1007,142 @@ WINDOW w AS (PARTITION BY user_id ORDER BY h_us)
 """
 
 
+TOP_PATHS_K = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A75 — clickstream path analysis: the top-20 session-opening
+    event sequences (first three event types per session, '>'
+    -joined), with counts and share of all sessions — the "what do
+    users do first" product-analytics report. Each session's ordered
+    prefix is assembled INSIDE its group via array_sort of
+    (ts, event_id, type) structs collected per session — bounded by
+    session length, never a global window; array_sort on the struct
+    gives the (ts, event_id) total order without a sort shuffle. The
+    path table then aggregates and the top-20 ride ranked_topk
+    (TakeOrderedAndProject — no single-partition window). Share =
+    exact count / exact session total, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.slice(F.col("seq.et"), 1, 3)
+            ).alias("path")
+        )
+    )
+    totals = sessions.agg(F.count("*").cast("double").alias("n_sessions"))
+    paths = (
+        sessions.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("share", F.round(F.col("n") / F.col("n_sessions"), 6))
+        .drop("n_sessions")
+    )
+    return ranked_topk(paths, [F.desc("n"), F.asc("path")], TOP_PATHS_K).select(
+        "rank", "path", "n", "share"
+    )
+
+
+ORACLES["events_top_paths"] = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(epoch_us(ts)) OVER w AS prev_us, epoch_us(ts) AS ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_MIN}*60*1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string((list(event_type ORDER BY ts_us ASC, event_id ASC))[1:3], '>') AS path
+  FROM sess GROUP BY user_id, session_id
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_sessions FROM paths),
+cnt AS (
+  SELECT path, COUNT(*) AS n, ROUND(COUNT(*) / MAX(t.n_sessions), 6) AS share
+  FROM paths CROSS JOIN tot t GROUP BY path
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT) AS rank,
+       path, n, share
+FROM cnt
+ORDER BY n DESC, path ASC
+LIMIT {TOP_PATHS_K}
+"""
+
+
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A76 — seasonal baseline profile: per (event_type ×
+    hour-of-day) cell, event count and exact mean value, plus the
+    seasonal index (cell mean / that type's overall mean) — the
+    baseline table a monitoring system compares live traffic
+    against (the same-hour-yesterday discipline). Two aggregations
+    over one scan joined on event_type (the per-type frame is
+    #types rows → broadcast); all means are exact-decimal
+    (columns.py dsum), index rounded 6dp. Hours are UTC (session
+    timezone is pinned UTC; the oracle reads the same naive
+    timestamps)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("value", 6).alias("sum_v"),
+    )
+    overall = ev.groupBy("event_type").agg(
+        (dsum("value", 6) / F.count("*")).alias("overall_avg")
+    )
+    return cells.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(F.col("sum_v") / F.col("n"), 6).alias("avg_value"),
+        F.round((F.col("sum_v") / F.col("n")) / F.col("overall_avg"), 6).alias(
+            "seasonal_idx"
+        ),
+    )
+
+
+ORACLES["events_seasonal_baseline"] = """
+WITH cells AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+  FROM events GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS overall_avg
+  FROM events GROUP BY 1
+)
+SELECT c.event_type, c.hour_of_day, c.n,
+       ROUND(c.sum_v / c.n, 6) AS avg_value,
+       ROUND((c.sum_v / c.n) / o.overall_avg, 6) AS seasonal_idx
+FROM cells c JOIN overall o ON c.event_type = o.event_type
+"""
+
+
 QUERIES = {
+    "events_top_paths": events_top_paths,
+    "events_seasonal_baseline": events_seasonal_baseline,
     "events_sessionize": events_sessionize,
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_gap_fill": events_gap_fill,

@@ -1252,7 +1252,71 @@ ORDER BY 1
 """
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T62 — bigram-LM document scoring: per-doc mean conditional
+    log-probability under an add-one-smoothed corpus bigram model,
+    p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V). The conditional-model step up
+    from T23's unigram scorer: repetitive docs score HIGH under
+    unigrams but a bigram model also rewards locally-coherent
+    transitions — the pair is the standard quality-signal ladder
+    (CCNet uses a 5-gram KenLM; same shape, same smoothing family).
+
+    Distributed shape: ONE shingle pass (functions/text.py shingles —
+    the bind-once lambda form) feeds both the model counts and the
+    scoring join; bigram counts join on the pair key, unigram counts
+    on the first token, V is a 1-row broadcast. Per-pair ln routes
+    through DECIMAL(18,12) (order-independent sums), 4dp edge
+    rounding absorbs ln ulps — the T23 discipline throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.explode(shingles(F.col("toks"), 2)).alias("pair")
+    )
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    c12 = grams.groupBy("pair").agg(F.count("*").alias("c12"))
+    c1 = toks.groupBy(F.col("tok").alias("w1")).agg(F.count("*").alias("c1"))
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        grams.join(c12, "pair")
+        .withColumn("w1", F.split("pair", " ")[0])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp", F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(dsum(F.col("logp"), 12) / F.count("*"), 4).alias("avg_logprob"),
+    )
+
+
+_BIGRAMS_SQL = shingles_sql("toks", 2)
+
+ORACLES["text_bigram_lm_score"] = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_BIGRAMS_SQL}) AS pair
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+),
+tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+c12 AS (SELECT pair, COUNT(*) AS c12 FROM grams GROUP BY 1),
+c1 AS (SELECT tok AS w1, COUNT(*) AS c1 FROM tok GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tok),
+scored AS (
+  SELECT g.doc_id,
+         ln((c12.c12 + 1) / CAST(c1.c1 + vocab.v AS DOUBLE)) AS logp
+  FROM grams g
+  JOIN c12 ON c12.pair = g.pair
+  JOIN c1 ON c1.w1 = string_split(g.pair, ' ')[1]
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(logp AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bigram_lm_score": text_bigram_lm_score,
     "text_lang_id": text_lang_id,
     "text_chunk_documents": text_chunk_documents,
     "text_chunk_dedup_stats": text_chunk_dedup_stats,

@@ -96,6 +96,8 @@ _PRIORITY = (
     "events_seasonal_baseline",
     "etl_benford_audit",
     "text_bigram_lm_score",
+    "multimodal_phash_dedup",
+    "source_corrupt_records",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -385,7 +385,146 @@ FROM per_blob
 """
 
 
+PHASH_SIDE = 8  # perceptual hash grid → 64-bit hash
+PHASH_CANVAS = 64  # stub decode: fixed 64×64 canvas
+PHASH_MAX_HAMMING = 3
+PHASH_BANDS = 4  # pigeonhole: dist ≤ 3 ⇒ ≥1 of 4 16-bit bands equal
+
+
+def make_phash(side: int, canvas: int):
+    """Per-Arrow-batch difference-hash (dHash) computer (closure,
+    shipped by value): payload bytes TILED across a fixed
+    canvas×canvas uint8 grid (np.resize cycles the content — the
+    codec-free decode stand-in; zero-padding instead would let the
+    pad dominate the hash and collapse every small asset to one
+    bucket), block-mean-pooled to side×(side+1), then bit =
+    pooled[r,c] > pooled[r,c+1] — the row-gradient form, which is
+    markedly more discriminative than a global-mean threshold on
+    low-contrast content. One 64-bit perceptual hash per asset. A
+    real deployment swaps the tiling for PIL decode + DCT (pHash
+    proper); the Spark-side contract — binary in, int64 hash out —
+    is identical."""
+
+    def phash(batches):
+        import numpy as np
+        import pandas as pd
+
+        cols = side + 1
+        block_r, block_c = canvas // side, canvas // cols
+        use_c = block_c * cols
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if data.size == 0:
+                    data = np.zeros(1, dtype=np.uint8)
+                img = np.resize(data, (canvas, canvas))
+                pooled = (
+                    img[:, :use_c]
+                    .reshape(side, block_r, cols, block_c)
+                    .mean(axis=(1, 3))
+                )
+                bits = (pooled[:, :-1] > pooled[:, 1:]).astype(np.uint64).ravel()
+                h = np.uint64(0)
+                for b in bits:
+                    h = (h << np.uint64(1)) | b
+                out.append({"doc_id": int(doc_id), "phash": int(h.astype(np.int64))})
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return phash
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T63 — perceptual-hash near-duplicate detection for media
+    assets: the visual twin of T3's SimHash. Each binary payload gets
+    a 64-bit average-hash (mapInPandas, Arrow batches, numpy
+    pooling — no Python pixel loops), and near-duplicate pairs
+    (hamming ≤ 3) are found WITHOUT an all-pairs scan: the hash
+    splits into 4 16-bit bands, the pigeonhole principle guarantees
+    any pair within distance 3 agrees on ≥1 band, so candidates come
+    from 4 band-equality self-joins (shuffle keyed on 16-bit band
+    values) and only candidates pay the exact bit_count(xor) check —
+    the T2/T3 banding discipline applied to image content. Output:
+    near-dup pairs with their hamming distance. (Rows-only: the
+    pooled-bits hash has no SQL twin; the unit test pins golden
+    hashes on literal grids and a planted near-dup pair.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    hashed = media.select("doc_id", "payload").mapInPandas(
+        make_phash(PHASH_SIDE, PHASH_CANVAS), schema="doc_id bigint, phash bigint"
+    )
+    # Cluster-level accounting, NOT materialized doc pairs: grouping
+    # first collapses every exact-hash cluster to ONE row (n_docs +
+    # keeper), so the band self-join runs over DISTINCT hashes —
+    # at corpus scale that's |unique images|, and a mirror-heavy
+    # crawl's quadratic within-cluster pair set is never emitted
+    # (the same reason T1 reports groups, not pairs).
+    clusters = (
+        hashed.groupBy("phash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .persist()
+    )
+    bands = clusters.select(
+        "phash",
+        "n_docs",
+        "keeper_doc",
+        *[
+            F.shiftrightunsigned(F.col("phash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"b{i}")
+            for i in range(PHASH_BANDS)
+        ],
+    )
+    cand = None
+    for i in range(PHASH_BANDS):
+        left = bands.select(
+            F.col("phash").alias("ph_a"),
+            F.col("n_docs").alias("n_a"),
+            F.col("keeper_doc").alias("keeper_a"),
+            F.col(f"b{i}").alias("bk"),
+        )
+        right = bands.select(
+            F.col("phash").alias("ph_b"),
+            F.col("n_docs").alias("n_b"),
+            F.col("keeper_doc").alias("keeper_b"),
+            F.col(f"b{i}").alias("bk"),
+        )
+        pairs_i = left.join(right, "bk").filter(F.col("ph_a") <= F.col("ph_b"))
+        cand = pairs_i if cand is None else cand.unionByName(pairs_i)
+    result = (
+        cand.select(
+            "keeper_a",
+            "keeper_b",
+            "n_a",
+            "n_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+            .cast("int")
+            .alias("hamming"),
+            # duplicate assets this (near-)match would retire: within
+            # one cluster all-but-keeper; across clusters the smaller
+            # side folds into the larger.
+            F.when(F.col("ph_a") == F.col("ph_b"), F.col("n_a") - 1)
+            .otherwise(F.least("n_a", "n_b"))
+            .alias("n_foldable"),
+        )
+        .filter(
+            (F.col("hamming") <= PHASH_MAX_HAMMING)
+            & ((F.col("keeper_a") != F.col("keeper_b")) | (F.col("n_a") > 1))
+        )
+        .distinct()
+    )
+    # NOTE: `clusters` stays persisted for the life of the returned
+    # plan (the 4 band joins reference it); callers that loop this
+    # operator should spark.catalog.clearCache() between reps — the
+    # same contract bench.py applies to the LSH chain.
+    return result.orderBy("keeper_a", "keeper_b")
+
+
 QUERIES = {
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_audio_energy": multimodal_audio_energy,

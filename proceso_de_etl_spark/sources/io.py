@@ -232,7 +232,83 @@ FROM orders
 """
 
 
+CORRUPT_EVERY = 13
+
+
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — malformed-record routing on a semi-structured source:
+    a JSON-lines feed where every 13th record is truncated mid-object
+    (the shape a flaky upstream actually produces) is read in
+    PERMISSIVE mode with ``columnNameOfCorruptRecord``, so bad lines
+    land in a quarantine column instead of killing the job (FAILFAST)
+    or silently vanishing (DROPMALFORMED). The report reconciles the
+    split exactly: good-row count + exact-decimal balance sum +
+    corrupt count, value-oracled against the original table with the
+    same corruption rule — proving good rows round-trip losslessly
+    THROUGH the JSON text and bad rows are all accounted for.
+
+    The feed is staged distributed (to_json per row, corrupted rows
+    rewritten by a scan-side expression — no driver loop, no
+    collect); explicit schema on read (inference is an extra full
+    pass). At 100 TB the quarantine column feeds E23's dead-letter
+    routing; nothing here changes shape."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    line = F.to_json(
+        F.struct(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    broken = F.concat(F.lit('{"key": '), F.col("c_custkey").cast("string"), F.lit(', "bal": '))
+    feed = cust.select(
+        F.when(F.col("c_custkey") % CORRUPT_EVERY == 0, broken)
+        .otherwise(line)
+        .alias("value")
+    )
+    stage = os.path.join(tempfile.mkdtemp(prefix="corrupt_json_"), "feed")
+    feed.write.mode("overwrite").text(stage)
+    parsed = (
+        spark.read.schema("key bigint, name string, bal double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(stage)
+    )
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_quarantined"),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("bal")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("good_bal_sum"),
+        F.countDistinct(F.when(F.col("_corrupt").isNull(), F.col("key"))).alias(
+            "n_good_keys"
+        ),
+    )
+
+
+ORACLES["source_corrupt_records"] = f"""
+SELECT COUNT(*) AS n_lines,
+       COUNT(CASE WHEN c_custkey % {CORRUPT_EVERY} <> 0 THEN 1 END) AS n_good,
+       COUNT(CASE WHEN c_custkey % {CORRUPT_EVERY} = 0 THEN 1 END) AS n_quarantined,
+       CAST(SUM(CASE WHEN c_custkey % {CORRUPT_EVERY} <> 0
+                     THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS good_bal_sum,
+       COUNT(DISTINCT CASE WHEN c_custkey % {CORRUPT_EVERY} <> 0 THEN c_custkey END) AS n_good_keys
+FROM customer
+"""
+
+
 QUERIES = {
+    "source_corrupt_records": source_corrupt_records,
     "source_binary_files": source_binary_files,
     "source_federated_formats": source_federated_formats,
 }

@@ -903,3 +903,55 @@ def test_report_ops_survive_empty_inputs(spark, tmp_path):
         rows = qs[key](spark, empty_dir).collect()
         assert isinstance(rows, list), key
         spark.catalog.clearCache()
+
+
+def test_multimodal_phash_golden_and_neardup(spark):
+    """dHash: numpy-reference golden on a literal payload; identical
+    payloads collide exactly; a few flipped bytes stay within the
+    near-dup hamming budget while unrelated content lands far away."""
+    import numpy as np
+
+    from proceso_de_etl_spark.operators.multimodal import (
+        PHASH_CANVAS,
+        PHASH_SIDE,
+        make_phash,
+    )
+
+    def ref_phash(payload: bytes) -> int:
+        side, canvas = PHASH_SIDE, PHASH_CANVAS
+        cols = side + 1
+        br, bc = canvas // side, canvas // cols
+        data = np.frombuffer(payload, dtype=np.uint8)
+        img = np.resize(data, (canvas, canvas))
+        pooled = img[:, : bc * cols].reshape(side, br, cols, bc).mean(axis=(1, 3))
+        bits = (pooled[:, :-1] > pooled[:, 1:]).astype(np.uint64).ravel()
+        h = np.uint64(0)
+        for b in bits:
+            h = (h << np.uint64(1)) | b
+        return int(h.astype(np.int64))
+
+    base = bytes(range(256)) * 20  # 5120 bytes of structured content
+    tweaked = bytearray(base)
+    for i in range(0, 12):  # a small local edit (re-encode noise)
+        tweaked[i] = 255 - tweaked[i]
+    rng = np.random.default_rng(7)
+    other = rng.integers(0, 256, size=len(base), dtype=np.uint8).tobytes()
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),
+        (3, bytes(tweaked)),
+        (4, other),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.phash
+        for r in df.mapInPandas(
+            make_phash(PHASH_SIDE, PHASH_CANVAS), schema="doc_id bigint, phash bigint"
+        ).collect()
+    }
+    assert got[1] == ref_phash(base)  # numpy-reference golden
+    assert got[1] == got[2]  # exact duplicate → identical hash
+    ham_near = bin(got[1] ^ got[3]).count("1")
+    ham_far = bin(got[1] ^ got[4]).count("1")
+    assert ham_near <= 3, f"local edit drifted {ham_near} bits"
+    assert ham_far > 10, f"unrelated content too close: {ham_far}"

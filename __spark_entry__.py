@@ -98,6 +98,8 @@ _PRIORITY = (
     "text_bigram_lm_score",
     "multimodal_phash_dedup",
     "source_corrupt_records",
+    "graph_kcore",
+    "events_conversion_lag",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -1140,7 +1140,73 @@ FROM cells c JOIN overall o ON c.event_type = o.event_type
 """
 
 
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A78 — funnel time-to-convert distribution: for every user, the
+    lag from first signup to first subsequent purchase; distribution
+    stats per ISO weekday of the signup (n converted, exact-decimal
+    mean hours, exact quartiles, p90). The question A25/A66 funnels
+    beg next: not "did they convert" but "how fast". Two keyed
+    aggregations on user_id and one broadcast-free join on the same
+    key; the weekday grouping is calendar-bounded (7 rows). Exact
+    `percentile` interpolation rounded 6dp both engines (the A71
+    cut discipline); hours = µs / 3.6e9 — one division of identical
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t_signup")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("t_p"))
+        .join(signup, "user_id")
+        .filter(F.col("t_p") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("t_p").alias("t_purchase"))
+        .select(
+            "user_id",
+            (F.weekday(F.timestamp_micros("t_signup")) + 1).alias("signup_isodow"),
+            ((F.col("t_purchase") - F.col("t_signup")) / 3.6e9).alias("lag_hours"),
+        )
+    )
+    return conv.groupBy("signup_isodow").agg(
+        F.count("*").alias("n_converted"),
+        F.round(dsum("lag_hours", 6) / F.count("*"), 6).alias("mean_hours"),
+        F.round(F.expr("percentile(lag_hours, 0.25)"), 6).alias("p25_hours"),
+        F.round(F.expr("percentile(lag_hours, 0.5)"), 6).alias("p50_hours"),
+        F.round(F.expr("percentile(lag_hours, 0.75)"), 6).alias("p75_hours"),
+        F.round(F.expr("percentile(lag_hours, 0.9)"), 6).alias("p90_hours"),
+    )
+
+
+ORACLES["events_conversion_lag"] = """
+WITH signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, s.t_signup, MIN(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t_signup
+  GROUP BY e.user_id, s.t_signup
+),
+lags AS (
+  SELECT user_id,
+         CAST(isodow(make_timestamp(t_signup)) AS INT) AS signup_isodow,
+         (t_purchase - t_signup) / 3.6e9 AS lag_hours
+  FROM conv
+)
+SELECT signup_isodow, COUNT(*) AS n_converted,
+       ROUND(CAST(SUM(CAST(lag_hours AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_hours,
+       ROUND(quantile_cont(lag_hours, 0.25), 6) AS p25_hours,
+       ROUND(quantile_cont(lag_hours, 0.5), 6) AS p50_hours,
+       ROUND(quantile_cont(lag_hours, 0.75), 6) AS p75_hours,
+       ROUND(quantile_cont(lag_hours, 0.9), 6) AS p90_hours
+FROM lags GROUP BY signup_isodow
+"""
+
+
 QUERIES = {
+    "events_conversion_lag": events_conversion_lag,
     "events_top_paths": events_top_paths,
     "events_seasonal_baseline": events_seasonal_baseline,
     "events_sessionize": events_sessionize,

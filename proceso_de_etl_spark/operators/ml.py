@@ -514,7 +514,91 @@ FROM tri
 """
 
 
+KCORE_K = 64
+KCORE_MAX_ITER = 200
+
+
+def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
+    """Iterative k-core peeling on an undirected (u < v) edge frame:
+    repeatedly delete nodes of degree < k (and their edges) until a
+    fixpoint — the surviving subgraph is the k-core. Each round is
+    one degree aggregation + two anti-joins, then ``localCheckpoint``
+    truncates the lineage (the iterative-plan discipline from T4b's
+    connected components — persist alone leaves exponential analysis
+    cost). The only driver value per round is the count of peeled
+    nodes (a scalar action); peeling converges in at most
+    |V| rounds, in practice a handful. At scale every step is
+    key-partitioned — degrees shuffle on node, anti-joins on the
+    edge endpoint being filtered."""
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(KCORE_MAX_ITER):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        low = deg.filter(F.col("deg") < k).select("node")
+        if low.isEmpty():
+            return cur
+        cur = (
+            cur.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k-core peeling did not converge in {KCORE_MAX_ITER} rounds")
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A77 — k-core decomposition (membership at k=KCORE_K) of the
+    co-purchase part graph: the standard cohesive-subgraph/robustness
+    report (a node is in the k-core iff it keeps ≥ k neighbors after
+    everyone weaker is recursively removed). Same edge construction
+    as A59's triangle count; see ``kcore_edges`` for the peeling
+    loop's scale shape. One summary row: surviving node/edge counts,
+    degree extremes inside the core (min must be ≥ k — asserted by
+    the unit golden test, not just claimed), and an id checksum so
+    the driver's rows-only gate still pins membership drift.
+    (Rows-only: recursive delete-and-reaggregate is not expressible
+    in DuckDB's recursive CTEs; the unit test golden-pins the
+    peeling against a hand-computed graph.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    core = kcore_edges(und, KCORE_K)
+    deg = (
+        core.select(F.col("u").alias("node"))
+        .unionByName(core.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return core.agg(F.count("*").alias("n_core_edges")).crossJoin(
+        deg.agg(
+            F.count("*").cast("bigint").alias("n_core_nodes"),
+            F.coalesce(F.min("deg"), F.lit(0)).cast("bigint").alias("min_core_deg"),
+            F.coalesce(F.max("deg"), F.lit(0)).cast("bigint").alias("max_core_deg"),
+            F.coalesce(F.sum("node"), F.lit(0)).cast("bigint").alias("node_checksum"),
+        )
+    ).select(
+        F.lit(KCORE_K).alias("k"),
+        "n_core_nodes",
+        "n_core_edges",
+        "min_core_deg",
+        "max_core_deg",
+        "node_checksum",
+    )
+
+
 QUERIES = {
+    "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_pagerank_bipartite": ml_pagerank_bipartite,
     "ml_logreg_quality": ml_logreg_quality,

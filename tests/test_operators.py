@@ -955,3 +955,30 @@ def test_multimodal_phash_golden_and_neardup(spark):
     ham_far = bin(got[1] ^ got[4]).count("1")
     assert ham_near <= 3, f"local edit drifted {ham_near} bits"
     assert ham_far > 10, f"unrelated content too close: {ham_far}"
+
+
+def test_kcore_peeling_golden(spark):
+    """k-core peeling vs hand-computed reference: the bowtie-with-
+    tails graph — two triangles sharing node 3, plus a pendant path
+    6-7-8. 2-core = both triangles (pendants peel recursively);
+    3-core = empty (no K4)."""
+    from proceso_de_etl_spark.operators.ml import kcore_edges
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5), (6, 7), (7, 8), (3, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    def ref_kcore(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            low = {n for n, d in deg.items() if d < k}
+            if not low:
+                return es
+            es = {(u, v) for u, v in es if u not in low and v not in low}
+
+    for k in (2, 3):
+        got = {(r.u, r.v) for r in kcore_edges(df, k).collect()}
+        assert got == ref_kcore(edges, k), f"k={k}"

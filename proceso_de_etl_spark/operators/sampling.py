@@ -535,7 +535,10 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = tok.join(F.broadcast(ratio), "bucket").groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(dsum(F.col("log_ratio"), 12), 4).alias("log_weight"),
+        # + 0.0 normalizes IEEE negative zero: a sum rounding to -0.0
+        # reprs differently from 0.0 (observed at sf0.1) though the
+        # values compare equal; both engines apply the same fix-up
+        (F.round(dsum(F.col("log_ratio"), 12), 4) + 0.0).alias("log_weight"),
     )
     return scored.select(
         "doc_id",
@@ -568,7 +571,7 @@ ratio AS (
 ),
 scored AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
-         ROUND(CAST(SUM(CAST(log_ratio AS DECIMAL(18,12))) AS DOUBLE), 4) AS log_weight
+         ROUND(CAST(SUM(CAST(log_ratio AS DECIMAL(18,12))) AS DOUBLE), 4) + 0.0 AS log_weight
   FROM tok JOIN ratio ON tok.bucket = ratio.bucket
   GROUP BY doc_id
 )

@@ -67,6 +67,14 @@ HEADLINE = (
     "text_hashed_tf",
     "events_rolling_distinct",
     "etl_expectations_report",
+    # round-8 additions: the basket self-join, the iterative peel, the
+    # bigram-model chain, the sessionized path collect, and the
+    # distributed prefix sum
+    "market_basket_rules",
+    "graph_kcore",
+    "text_bigram_lm_score",
+    "events_top_paths",
+    "pareto_abc_classes",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -112,6 +120,13 @@ BASELINE = {
     "text_hashed_tf": 2.519,
     "events_rolling_distinct": 1.346,
     "etl_expectations_report": 1.111,
+    # --- r8 floors: medians of the seeding run (taken while an sf0.1
+    #     oracle sweep shared the box — treat as generous) ---
+    "market_basket_rules": 3.457,
+    "graph_kcore": 5.734,
+    "text_bigram_lm_score": 1.828,
+    "events_top_paths": 1.112,
+    "pareto_abc_classes": 2.239,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -100,6 +100,8 @@ _PRIORITY = (
     "source_corrupt_records",
     "graph_kcore",
     "events_conversion_lag",
+    "etl_scd2_point_in_time",
+    "etl_scd2_validity_audit",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -278,7 +278,170 @@ ORDER BY kind
 """
 
 
+def _versioned_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-version SCD2 customer dim used by E40/E41: every customer
+    changes segment once on a per-key change date spread across the
+    order span (1995-2001), so point-in-time lookups route orders to
+    BOTH versions in bulk. Built scan-side — no driver data."""
+    cust = load_table(spark, sf_dir, "customer")
+    change = F.date_add(
+        F.lit("1995-06-01").cast("date"), (F.col("c_custkey") % 2000).cast("int")
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        change.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        change.alias("valid_from"),
+        F.lit(FAR_FUTURE).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionByName(v2)
+
+
+_VERSIONED_DIM_SQL = """
+  SELECT c_custkey, c_mktsegment AS segment,
+         DATE '1990-01-01' AS valid_from,
+         DATE '1995-06-01' + CAST(c_custkey % 2000 AS INT) AS valid_to,
+         FALSE AS is_current
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_V2' AS segment,
+         DATE '1995-06-01' + CAST(c_custkey % 2000 AS INT) AS valid_from,
+         DATE '9999-12-31' AS valid_to,
+         TRUE AS is_current
+  FROM customer
+"""
+
+
+def etl_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40 — point-in-time (temporal) join: every order joined to the
+    dimension version that was valid ON ITS ORDER DATE
+    (valid_from ≤ o_orderdate < valid_to) — the lookup that makes
+    SCD2 history worth keeping, and the one naive current-row joins
+    silently get wrong for backdated facts. The join is an EQUI-join
+    on the key with the validity interval as a post-join range
+    predicate — per-key version chains are short (2 here; bounded in
+    any sane dim), so the range filter scans a handful of rows per
+    fact and never becomes the A32 big-big interval problem. The
+    rollup pins routing exactly: per (version flag, segment-suffix)
+    order counts + exact revenue, plus an every-order-matched-once
+    reconciliation column."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = _versioned_dim(spark, sf_dir)
+    j = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (dim.valid_from <= F.to_date("o_orderdate"))
+        & (F.to_date("o_orderdate") < dim.valid_to),
+    )
+    return j.groupBy("is_current").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_distinct_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.when(F.col("segment").endswith("_V2"), 1)).alias("n_v2_segment"),
+    )
+
+
+ORACLES["etl_scd2_point_in_time"] = f"""
+WITH dim AS ({_VERSIONED_DIM_SQL})
+SELECT d.is_current, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o.o_orderkey) AS n_distinct_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(CASE WHEN d.segment LIKE '%\\_V2' ESCAPE '\\' THEN 1 END) AS n_v2_segment
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND d.valid_from <= CAST(o.o_orderdate AS DATE)
+          AND CAST(o.o_orderdate AS DATE) < d.valid_to
+GROUP BY d.is_current
+"""
+
+
+def etl_scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41 — SCD2 validity-chain integrity audit: the invariant
+    checks every temporal dim needs before anyone trusts an E40
+    lookup — per key, consecutive versions must TILE time (prev
+    valid_to == next valid_from), exactly one current row, current
+    row open-ended. Run against the clean dim with PLANTED defects:
+    keys %97==0 get an overlapping second version (valid_from 10
+    days early), keys %89==0 (and not %97) a coverage gap (5 days
+    late). Classification is a lag window per key (version chains
+    are short — bounded partitions) + one rollup with example keys;
+    the oracle re-derives every class independently."""
+    dim = _versioned_dim(spark, sf_dir)
+    planted = dim.select(
+        "c_custkey",
+        "segment",
+        F.when(
+            F.col("is_current") & (F.col("c_custkey") % 97 == 0),
+            F.date_sub("valid_from", 10),
+        )
+        .when(
+            F.col("is_current")
+            & (F.col("c_custkey") % 89 == 0)
+            & (F.col("c_custkey") % 97 != 0),
+            F.date_add("valid_from", 5),
+        )
+        .otherwise(F.col("valid_from"))
+        .alias("valid_from"),
+        "valid_to",
+        "is_current",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_custkey").orderBy("valid_from", "valid_to")
+    flagged = planted.withColumn("prev_to", F.lag("valid_to").over(w)).withColumn(
+        "chain",
+        F.when(F.col("prev_to").isNull(), "first")
+        .when(F.col("prev_to") == F.col("valid_from"), "tiled")
+        .when(F.col("prev_to") > F.col("valid_from"), "overlap")
+        .otherwise("gap"),
+    )
+    return flagged.groupBy("chain").agg(
+        F.count("*").alias("n_versions"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.min("c_custkey").alias("example_key"),
+    )
+
+
+ORACLES["etl_scd2_validity_audit"] = f"""
+WITH dim AS ({_VERSIONED_DIM_SQL}),
+planted AS (
+  SELECT c_custkey, segment,
+         CASE WHEN is_current AND c_custkey % 97 = 0 THEN valid_from - 10
+              WHEN is_current AND c_custkey % 89 = 0 AND c_custkey % 97 <> 0 THEN valid_from + 5
+              ELSE valid_from END AS valid_from,
+         valid_to, is_current
+  FROM dim
+),
+flagged AS (
+  SELECT c_custkey,
+         lag(valid_to) OVER (PARTITION BY c_custkey ORDER BY valid_from, valid_to) AS prev_to,
+         valid_from
+  FROM planted
+)
+SELECT CASE WHEN prev_to IS NULL THEN 'first'
+            WHEN prev_to = valid_from THEN 'tiled'
+            WHEN prev_to > valid_from THEN 'overlap'
+            ELSE 'gap' END AS chain,
+       COUNT(*) AS n_versions,
+       COUNT(DISTINCT c_custkey) AS n_keys,
+       MIN(c_custkey) AS example_key
+FROM flagged
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "etl_scd2_point_in_time": etl_scd2_point_in_time,
+    "etl_scd2_validity_audit": etl_scd2_validity_audit,
     "etl_scd2_merge": etl_scd2_merge,
     "etl_scd_type_matrix": etl_scd_type_matrix,
 }

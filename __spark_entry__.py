@@ -102,6 +102,9 @@ _PRIORITY = (
     "events_conversion_lag",
     "etl_scd2_point_in_time",
     "etl_scd2_validity_audit",
+    "agg_robust_outliers",
+    "agg_group_ols",
+    "text_novelty_decay",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

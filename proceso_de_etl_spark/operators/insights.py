@@ -507,7 +507,122 @@ FROM se
 """
 
 
+def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A79 — MAD-based robust outlier screen: per event type, median
+    and median-absolute-deviation of `value`, and the count of
+    events whose modified z-score 0.6745·(x−med)/MAD exceeds 3.5
+    (Iglewicz-Hoaglin) — the outlier rule that, unlike A37's
+    moment-based z-score, a single wild value cannot corrupt. Two
+    grouped exact-percentile passes (median, then MAD over the
+    deviations) + one final rollup, all keyed on event_type; medians
+    are rounded 6dp on both engines before re-use (the A71 cut
+    discipline) so the derived deviations are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"))
+                    > 3.5,
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+ORACLES["agg_robust_outliers"] = """
+WITH med AS (
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, COUNT(*) AS n,
+       MIN(d.med) AS median_value,
+       MIN(a.mad) AS mad,
+       COUNT(CASE WHEN ABS(0.6745 * (d.value - d.med) / a.mad) > 3.5 THEN 1 END) AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+"""
+
+
+def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A80 — per-group closed-form OLS: retail price regressed on
+    part size within each brand — slope, intercept, and R², all
+    derived from the six exact-DECIMAL moments (n, Σx, Σx², Σy, Σy²,
+    Σxy — the A37 discipline), so one partial-agg shuffle produces
+    every brand's fit and the arithmetic is engine-identical before
+    the 6dp edge. The grouped-trendline primitive dashboards compute
+    constantly (T46 is the iterative ML trainer; this is the exact
+    one-pass answer when the model is a line)."""
+    part = load_table(spark, sf_dir, "part")
+    x, y = F.col("p_size").cast("double"), F.col("p_retailprice")
+    base = part.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x, 2).alias("sx"),
+        dsum(x * x, 2).alias("sxx"),
+        dsum(y, 2).alias("sy"),
+        dsum(y * y, 4).alias("syy"),
+        dsum(x * y, 4).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    return base.select(
+        "p_brand",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
+ORACLES["agg_group_ols"] = """
+WITH mom AS (
+  SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(p_size AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(p_size AS DOUBLE) * p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM part GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM mom
+"""
+
+
 QUERIES = {
+    "agg_robust_outliers": agg_robust_outliers,
+    "agg_group_ols": agg_group_ols,
     "market_basket_rules": market_basket_rules,
     "events_markov_transitions": events_markov_transitions,
     "customer_rfm_segments": customer_rfm_segments,

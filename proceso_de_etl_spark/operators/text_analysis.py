@@ -1315,7 +1315,89 @@ FROM scored GROUP BY doc_id
 """
 
 
+NOVELTY_DECILES = 10
+
+
+def text_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T64 — corpus novelty-decay curve: in ingestion order (doc_id),
+    what fraction of each document's distinct 3-gram shingles has
+    never appeared in any earlier document? Plotted per doc-id
+    decile, this is the diminishing-returns curve of continued
+    crawling — when marginal novelty flattens, more of the same
+    source stops buying model quality (the redundancy-growth
+    measurement behind data-mixing decisions, cf. the repetition
+    budgets of T59).
+
+    One shingle pass: per-(shingle, doc) distinct frame feeds BOTH
+    the global first-occurrence aggregate (min doc_id per shingle —
+    shuffle keyed on the shingle) and the per-doc rollup; "novel" =
+    the doc IS the shingle's first occurrence. Decile = ordinal
+    bucket over the dense doc-id range (broadcast 1-row max), exact
+    integer arithmetic; rates divide exact counts, 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("sh"))
+        .distinct()
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    maxd = docs.agg(F.max("doc_id").alias("max_doc"))
+    return (
+        per_doc.crossJoin(F.broadcast(maxd))
+        .groupBy(
+            F.least(
+                F.lit(NOVELTY_DECILES - 1).cast("bigint"),
+                F.expr(f"(doc_id * {NOVELTY_DECILES}) div (max_doc + 1)"),
+            ).alias("decile")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+            F.round(F.sum("n_novel") / F.sum("n_shingles"), 6).alias("novelty_rate"),
+        )
+    )
+
+
+_SH3_SQL = shingles_sql("toks", 3)
+
+ORACLES["text_novelty_decay"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh
+  FROM (SELECT doc_id, unnest({_SH3_SQL}) AS sh
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+),
+firsts AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS n_novel
+  FROM sh s JOIN firsts f ON s.sh = f.sh
+  GROUP BY s.doc_id
+),
+maxd AS (SELECT MAX(doc_id) AS max_doc FROM documents)
+SELECT LEAST({NOVELTY_DECILES - 1},
+             (p.doc_id * {NOVELTY_DECILES}) // (m.max_doc + 1)) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       ROUND(SUM(n_novel) / CAST(SUM(n_shingles) AS DOUBLE), 6) AS novelty_rate
+FROM per_doc p CROSS JOIN maxd m
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "text_novelty_decay": text_novelty_decay,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_lang_id": text_lang_id,
     "text_chunk_documents": text_chunk_documents,

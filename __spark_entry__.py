@@ -105,6 +105,7 @@ _PRIORITY = (
     "agg_robust_outliers",
     "agg_group_ols",
     "text_novelty_decay",
+    "text_chunk_udtf",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -1396,7 +1396,62 @@ GROUP BY 1
 """
 
 
+UDTF_CHUNK_CHARS = 100
+
+
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T65 — document chunking via a Spark 4 Python UDTF invoked as a
+    correlated LATERAL table function — the API surface users coming
+    from Snowflake/BigQuery table functions expect, exercised end to
+    end (class definition → registration → `FROM t, LATERAL f(...)`).
+    Emits (idx, n_chars, md5) per fixed-width chunk, value-oracled
+    against DuckDB substring arithmetic — proving the Python rows
+    match engine substring semantics byte-for-byte.
+
+    Perf envelope, stated honestly: a UDTF is row-at-a-time Python
+    (one pickled row round-trip per input row) — this op is the API
+    demonstration; T40's `text_chunk_documents` is the production
+    chunker (JVM-side sequence/substring, whole-stage codegen). Use
+    a UDTF when the table logic genuinely needs Python (an external
+    tokenizer, a sentencizer model), not for string slicing."""
+    from pyspark.sql.functions import udtf
+
+    size = UDTF_CHUNK_CHARS
+
+    @udtf(returnType="idx int, n_chars int, chunk_md5 string")
+    class ChunkSplitter:
+        def eval(self, text: str):
+            import hashlib
+
+            if text is None:
+                return
+            for i in range(0, len(text), size):
+                chunk = text[i : i + size]
+                yield i // size, len(chunk), hashlib.md5(
+                    chunk.encode("utf-8")
+                ).hexdigest()
+
+    spark.udtf.register("chunk_splitter", ChunkSplitter)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.idx, c.n_chars, c.chunk_md5
+        FROM docs_udtf_src d, LATERAL chunk_splitter(d.text) c
+        """
+    )
+
+
+ORACLES["text_chunk_udtf"] = f"""
+SELECT doc_id, i AS idx,
+       CAST(length(substr(text, i * {UDTF_CHUNK_CHARS} + 1, {UDTF_CHUNK_CHARS})) AS INT) AS n_chars,
+       md5(substr(text, i * {UDTF_CHUNK_CHARS} + 1, {UDTF_CHUNK_CHARS})) AS chunk_md5
+FROM documents,
+     unnest(range(0, CAST(ceil(length(text) / {UDTF_CHUNK_CHARS}.0) AS INT))) AS t(i)
+"""
+
+
 QUERIES = {
+    "text_chunk_udtf": text_chunk_udtf,
     "text_novelty_decay": text_novelty_decay,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_lang_id": text_lang_id,

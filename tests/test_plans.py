@@ -218,8 +218,16 @@ def test_no_python_udf_in_jvm_paths(all_plans):
         "multimodal_frame_sample",
         "multimodal_audio_energy",
         "multimodal_image_resize",
+        "multimodal_phash_dedup",
     }
+    # T65 is the DELIBERATE Python-UDTF API demo (its docstring states
+    # the perf envelope); it must plan exactly a UDTF eval node, and
+    # nothing else may plan ANY BatchEvalPython* stage.
+    udtf_ok = {"text_chunk_udtf"}
     for name, plan in all_plans["plans"].items():
+        if name in udtf_ok:
+            assert "BatchEvalPythonUDTF" in plan, f"{name} lost its UDTF stage"
+            continue
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
         if name not in arrow_ok:
             assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (

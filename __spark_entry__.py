@@ -106,6 +106,9 @@ _PRIORITY = (
     "agg_group_ols",
     "text_novelty_decay",
     "text_chunk_udtf",
+    "etl_lake_manifest",
+    "sample_softdedup_weights",
+    "events_sequence_match",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

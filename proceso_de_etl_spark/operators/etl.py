@@ -2227,7 +2227,63 @@ FROM obs CROSS JOIN tot
 """
 
 
+_MANIFEST_TABLES = (
+    ("region", "r_regionkey", None),
+    ("nation", "n_nationkey", None),
+    ("customer", "c_custkey", "c_acctbal"),
+    ("supplier", "s_suppkey", "s_acctbal"),
+    ("part", "p_partkey", "p_retailprice"),
+    ("orders", "o_orderkey", "o_totalprice"),
+    ("lineitem", "l_orderkey", "l_extendedprice"),
+)
+
+
+def etl_lake_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42 — lake-wide conformance manifest: one report row per
+    table — row count, key range, exact-decimal measure checksum —
+    the snapshot a migration/DR runbook diffs before and after any
+    bulk move (E24 diffs two snapshots of ONE table; this is the
+    whole-lake inventory both sides compute first). Each table
+    contributes a 1-row aggregate; the union is table-count-bounded.
+    At 100 TB each per-table aggregate is its own full scan — the
+    honest cost of a checksum manifest — but they parallelize
+    independently and each is partial-agg shaped."""
+    parts = []
+    for tbl, key, measure in _MANIFEST_TABLES:
+        df = load_table(spark, sf_dir, tbl)
+        checksum = (
+            dsum(measure).alias("measure_checksum")
+            if measure
+            else F.lit(None).cast("double").alias("measure_checksum")
+        )
+        parts.append(
+            df.agg(
+                F.lit(tbl).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.min(key).cast("bigint").alias("min_key"),
+                F.max(key).cast("bigint").alias("max_key"),
+                F.countDistinct(key).alias("n_keys"),
+                checksum,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLES["etl_lake_manifest"] = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}' AS table_name, COUNT(*) AS n_rows,
+       CAST(MIN({key}) AS BIGINT) AS min_key, CAST(MAX({key}) AS BIGINT) AS max_key,
+       COUNT(DISTINCT {key}) AS n_keys,
+       {f"CAST(SUM(CAST({measure} AS DECIMAL(18,2))) AS DOUBLE)" if measure else "CAST(NULL AS DOUBLE)"} AS measure_checksum
+FROM {tbl}"""
+    for tbl, key, measure in _MANIFEST_TABLES
+)
+
+
 QUERIES = {
+    "etl_lake_manifest": etl_lake_manifest,
     "etl_benford_audit": etl_benford_audit,
     "etl_merge_clause_matrix": etl_merge_clause_matrix,
     "etl_extract_conform": etl_extract_conform,

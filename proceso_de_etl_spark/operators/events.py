@@ -1205,7 +1205,83 @@ FROM lags GROUP BY signup_isodow
 """
 
 
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A81 — sequence-pattern session classification (the
+    MATCH_RECOGNIZE use case, composed from primitives Spark has:
+    per-session ordered path string + regex ladder). Sessions are
+    classified by the FIRST matching rule: `converting` (a signup
+    later followed by a purchase), `error_terminated` (session ends
+    on an error), `browsing` (nothing but view/click), else `other`;
+    report = session count + mean length per class. The path string
+    is assembled in-group (array_sort of collected structs — bounded
+    by session length, the A75 shape); regex evaluation is one
+    scan-side projection over the session-sized frame. Both engines
+    run the identical patterns (Java regex ∩ RE2 common subset)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        sessionize(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.concat_ws(">", F.col("seq.et")).alias("path"),
+            F.size("seq").alias("n_events"),
+        )
+    )
+    cls = (
+        F.when(F.col("path").rlike("signup.*purchase"), "converting")
+        .when(F.col("path").rlike("(^|>)error$"), "error_terminated")
+        .when(F.col("path").rlike("^((view|click)(>|$))+$"), "browsing")
+        .otherwise("other")
+    )
+    return sessions.groupBy(cls.alias("session_class")).agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.sum("n_events") / F.count("*"), 6).alias("mean_events"),
+    )
+
+
+ORACLES["events_sequence_match"] = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(epoch_us(ts)) OVER w AS prev_us, epoch_us(ts) AS ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_MIN}*60*1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+),
+paths AS (
+  SELECT array_to_string(list(event_type ORDER BY ts_us ASC, event_id ASC), '>') AS path,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT CASE WHEN regexp_matches(path, 'signup.*purchase') THEN 'converting'
+            WHEN regexp_matches(path, '(^|>)error$') THEN 'error_terminated'
+            WHEN regexp_matches(path, '^((view|click)(>|$))+$') THEN 'browsing'
+            ELSE 'other' END AS session_class,
+       COUNT(*) AS n_sessions,
+       ROUND(SUM(n_events) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events
+FROM paths
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "events_sequence_match": events_sequence_match,
     "events_conversion_lag": events_conversion_lag,
     "events_top_paths": events_top_paths,
     "events_seasonal_baseline": events_seasonal_baseline,

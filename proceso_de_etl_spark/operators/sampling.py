@@ -579,7 +579,37 @@ SELECT doc_id, n_tokens, log_weight, log_weight > 0 AS keep FROM scored
 """
 
 
+def sample_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T66 — soft dedup: instead of DELETING exact duplicates (T1),
+    keep every copy but down-weight it to 1/|duplicate group| so the
+    group contributes exactly one document's worth of training mass
+    (the SoftDeDup idea — removal loses within-group variation e.g.
+    in metadata; reweighting preserves it while fixing the
+    over-representation). One content-hash groupBy + one same-key
+    join; Σ weights = #unique contents by construction (the
+    effective corpus size a loss-masking trainer sees). Weights
+    divide exact integer counts, 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    groups = hashed.groupBy("h").agg(F.count("*").alias("n_copies"))
+    weighted = hashed.join(groups, "h").select(
+        "doc_id",
+        "n_copies",
+        F.round(1.0 / F.col("n_copies"), 6).alias("weight"),
+    )
+    return weighted.orderBy("doc_id")
+
+
+ORACLES["sample_softdedup_weights"] = """
+WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+groups AS (SELECT h, COUNT(*) AS n_copies FROM hashed GROUP BY 1)
+SELECT doc_id, n_copies, ROUND(CAST(1.0 AS DOUBLE) / n_copies, 6) AS weight
+FROM hashed JOIN groups USING (h)
+"""
+
+
 QUERIES = {
+    "sample_softdedup_weights": sample_softdedup_weights,
     "sample_importance_dsir": sample_importance_dsir,
     "sample_stratified": sample_stratified,
     "sample_pack_sequences": sample_pack_sequences,

@@ -109,6 +109,7 @@ _PRIORITY = (
     "etl_lake_manifest",
     "sample_softdedup_weights",
     "events_sequence_match",
+    "stream_novelty_rate",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

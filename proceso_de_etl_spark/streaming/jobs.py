@@ -922,7 +922,125 @@ FROM cnt
 """
 
 
+def stream_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST18 — streaming marginal-novelty monitor: per micro-batch,
+    the fraction of the batch's distinct 3-gram shingles never seen
+    in ANY earlier batch — T64's diminishing-returns curve computed
+    LIVE, the signal a crawl scheduler watches to throttle a source
+    that has gone redundant. The seen-shingle store is DATA-SIZED, so
+    unlike ST15's driver-held counters it lives distributed: an
+    append-only parquet set the epoch anti-joins against (at scale:
+    a compacted bloom/state table; the join shape is identical).
+    foreachBatch = anti-join (novel detection) + append of the
+    epoch's novel shingles + one metrics row.
+
+    Source = documents replayed as two ordered micro-batches (even
+    doc_ids then odd — the ST15 staging discipline), so batch 2's
+    rate MUST discount batch 1's vocabulary: recomputing per-batch
+    novelty naively (no store) would report rate 1.0 twice. Both
+    batch rows are value-oracled: DuckDB recomputes each batch's
+    novel count from the same parity rule."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.functions.text import shingles, tokens
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="stream_novelty_src_")
+    for i, parity in enumerate((0, 1)):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_novelty_b{i}_")
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_docs.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    raw = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    root = tempfile.mkdtemp(prefix="stream_novelty_")
+    seen_dir = os.path.join(root, "seen")
+    metrics_dir = os.path.join(root, "metrics")
+
+    def score_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sh = (
+            batch_df.select("doc_id", tokens(F.col("text")).alias("toks"))
+            .select(F.explode(shingles(F.col("toks"), 3)).alias("sh"))
+            .distinct()
+        )
+        if os.path.exists(seen_dir):
+            seen = sess.read.parquet(seen_dir)
+            novel = sh.join(seen, "sh", "left_anti")
+        else:
+            novel = sh
+        novel = novel.persist()
+        stats = sh.agg(F.count("*").alias("n_shingles")).crossJoin(
+            novel.agg(F.count("*").alias("n_novel"))
+        )
+        row = stats.collect()[0]  # bounded: one metrics row per epoch
+        novel.write.mode("append").parquet(seen_dir)
+        sess.createDataFrame(
+            [(int(epoch_id), row["n_shingles"], row["n_novel"])],
+            "batch_id int, n_shingles long, n_novel long",
+        ).write.mode("append").parquet(metrics_dir)
+        novel.unpersist()
+
+    q = raw.writeStream.outputMode("append").foreachBatch(score_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(metrics_dir)
+        .select(
+            "batch_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty_rate"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+from proceso_de_etl_spark.functions.text import (  # noqa: E402
+    shingles_sql as _sh_sql_st18,
+    tokens_sql as _toks_sql_st18,
+)
+
+_ST18_SH = _sh_sql_st18("toks", 3)
+_ST18_TOKS = _toks_sql_st18("text")
+
+ORACLES["stream_novelty_rate"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id % 2 AS parity, sh
+  FROM (SELECT doc_id, unnest({_ST18_SH}) AS sh
+        FROM (SELECT doc_id, {_ST18_TOKS} AS toks FROM documents))
+),
+b0 AS (SELECT DISTINCT sh FROM sh WHERE parity = 0),
+b1 AS (SELECT DISTINCT sh FROM sh WHERE parity = 1),
+rows_ AS (
+  SELECT 0 AS batch_id, (SELECT COUNT(*) FROM b0) AS n_shingles,
+         (SELECT COUNT(*) FROM b0) AS n_novel
+  UNION ALL
+  SELECT 1, (SELECT COUNT(*) FROM b1),
+         (SELECT COUNT(*) FROM b1 WHERE sh NOT IN (SELECT sh FROM b0))
+)
+SELECT batch_id, n_shingles, n_novel,
+       ROUND(n_novel / CAST(n_shingles AS DOUBLE), 6) AS novelty_rate
+FROM rows_
+"""
+
+
 QUERIES = {
+    "stream_novelty_rate": stream_novelty_rate,
     "stream_markov_transitions": stream_markov_transitions,
     "stream_tumbling_window": stream_tumbling_window,
     "stream_left_outer_join": stream_left_outer_join,

@@ -232,3 +232,60 @@ def test_global_rank_frame_is_dense_total_order(spark, rows):
     }
     assert total == len(rows)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 100000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET
+def test_distributed_prefix_sum_matches_enumeration(spark, rows):
+    """The A72 Pareto core — range partition on (value DESC, id) +
+    per-partition decimal running sum + broadcast value offsets —
+    must reproduce the one-task sorted cumulative sum exactly for
+    any input, regardless of where the sampled range bounds fall.
+    Exercised through pareto-style plumbing on a literal frame with
+    values as DECIMAL(18,4) money."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(rows, "id long, cents long").select(
+        "id", (F.col("cents").cast("decimal(18,4)") / 100).alias("rev")
+    )
+    ranged = (
+        df.repartitionByRange(4, F.desc("rev"), F.asc("id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    parts = sorted(
+        (r["_pid"], r["s"])
+        for r in ranged.groupBy("_pid").agg(F.sum("rev").alias("s")).collect()
+    )
+    offsets, acc = [], Decimal(0)
+    for pid, s in parts:
+        offsets.append((pid, acc))
+        acc += s
+    offs = spark.createDataFrame(offsets, "_pid int, _voff decimal(38,4)")
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(F.desc("rev"), F.asc("id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    got = {
+        (r.id, str(r.cum))
+        for r in ranged.join(F.broadcast(offs), "_pid")
+        .withColumn("cum", (F.sum("rev").over(w) + F.col("_voff")).cast("decimal(38,4)"))
+        .select("id", "cum")
+        .collect()
+    }
+    spark.catalog.clearCache()
+    want, run = set(), Decimal(0)
+    for id_, cents in sorted(rows, key=lambda t: (-t[1], t[0])):
+        run += (Decimal(cents) / 100).quantize(Decimal("0.0001"))
+        want.add((id_, f"{run:.4f}"))
+    assert got == want

@@ -110,6 +110,7 @@ _PRIORITY = (
     "sample_softdedup_weights",
     "events_sequence_match",
     "stream_novelty_rate",
+    "multimodal_scene_cuts",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -523,7 +523,66 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("keeper_a", "keeper_b")
 
 
+SCENE_FRAME_BYTES = 256
+SCENE_CUT_THRESHOLD = 12.0  # mean-intensity jump that counts as a cut
+
+
+def make_scene_detector(frame_bytes: int, threshold: float):
+    """Per-Arrow-batch scene-cut detector (closure, shipped by
+    value): payload split into fixed 'frames', per-frame mean
+    intensity (numpy, one reshape — no Python pixel loops), a cut
+    wherever consecutive means jump by more than ``threshold`` —
+    the shot-boundary heuristic every video curation pipeline runs
+    before sampling one keyframe per shot. A real deployment swaps
+    the byte frames for decoded luma planes; the contract (binary
+    in, per-asset cut summary out) is identical."""
+
+    def detect(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = (data.size + frame_bytes - 1) // frame_bytes
+                padded = np.zeros(n_frames * frame_bytes, dtype=np.uint8)
+                padded[: data.size] = data
+                means = padded.reshape(n_frames, frame_bytes).mean(axis=1)
+                jumps = np.abs(np.diff(means))
+                cuts = np.flatnonzero(jumps > threshold) + 1
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": int(n_frames),
+                        "n_cuts": int(cuts.size),
+                        "cut_checksum": int(cuts.sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_frames", "n_cuts", "cut_checksum"]
+            )
+
+    return detect
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T67 — scene-change detection plumbing: per asset, frame-mean
+    intensity series → cut count + cut-index checksum (the summary a
+    keyframe sampler consumes). Arrow-batched mapInPandas, numpy
+    vectorized, partitioning untouched. (Rows-only: the framing of
+    multibyte text payloads has no SQL twin; the unit test pins
+    goldens on literal payloads with planted intensity jumps.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        make_scene_detector(SCENE_FRAME_BYTES, SCENE_CUT_THRESHOLD),
+        schema="doc_id bigint, n_frames bigint, n_cuts bigint, cut_checksum bigint",
+    )
+
+
 QUERIES = {
+    "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,

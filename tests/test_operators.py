@@ -982,3 +982,32 @@ def test_kcore_peeling_golden(spark):
     for k in (2, 3):
         got = {(r.u, r.v) for r in kcore_edges(df, k).collect()}
         assert got == ref_kcore(edges, k), f"k={k}"
+
+
+def test_multimodal_scene_cuts_golden(spark):
+    """Scene detector: planted intensity jumps → exact cut indices
+    (numpy-reference golden), flat content → zero cuts."""
+    import numpy as np
+
+    from proceso_de_etl_spark.operators.multimodal import make_scene_detector
+
+    fb = 4
+    # frames: [10,10,10,10] [10,10,10,10] [200,200,200,200] [200,...] [10,...]
+    jumpy = bytes([10] * 8 + [200] * 8 + [10] * 4)
+    flat = bytes([7] * 20)
+    short = bytes([1, 2])  # single padded frame → no diffs
+    df = spark.createDataFrame(
+        [(1, bytearray(jumpy)), (2, bytearray(flat)), (3, bytearray(short))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: (r.n_frames, r.n_cuts, r.cut_checksum)
+        for r in df.mapInPandas(
+            make_scene_detector(fb, 12.0),
+            schema="doc_id bigint, n_frames bigint, n_cuts bigint, cut_checksum bigint",
+        ).collect()
+    }
+    # jumpy: 5 frames, cuts at frame 2 (10→200) and frame 4 (200→10)
+    assert got[1] == (5, 2, 2 + 4)
+    assert got[2] == (5, 0, 0)
+    assert got[3] == (1, 0, 0)

@@ -219,6 +219,7 @@ def test_no_python_udf_in_jvm_paths(all_plans):
         "multimodal_audio_energy",
         "multimodal_image_resize",
         "multimodal_phash_dedup",
+        "multimodal_scene_cuts",
     }
     # T65 is the DELIBERATE Python-UDTF API demo (its docstring states
     # the perf envelope); it must plan exactly a UDTF eval node, and

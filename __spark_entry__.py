@@ -111,6 +111,8 @@ _PRIORITY = (
     "events_sequence_match",
     "stream_novelty_rate",
     "multimodal_scene_cuts",
+    "source_format_roundtrip",
+    "item_similarity_cf",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

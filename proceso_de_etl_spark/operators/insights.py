@@ -625,7 +625,90 @@ FROM mom
 """
 
 
+CF_TOPK = 5
+CF_MIN_CO = 2
+
+
+def item_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A82 — item-item collaborative filtering: the top-5 most
+    similar parts per part by co-purchase cosine, sim(a,b) =
+    co(a,b)/√(n_a·n_b) — the "customers also bought" primitive, one
+    structural step past A69's lift (cosine symmetrizes and
+    normalizes away item popularity). Candidate pairs come from the
+    SAME basket-bounded self-join as A69 (never all-pairs —
+    co-occurrence is the candidate filter, which is exactly why
+    item-item CF scales where user-user doesn't, Linden et al.
+    2003); per-item top-5 is a keyed window over the candidate set.
+    Cosine = exact integer counts through √ (IEEE-exact on identical
+    inputs), 6dp edge; ties broken by neighbor id for a
+    deterministic top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    item_n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("n")
+    )
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("item"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("nbr"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item") != F.col("nbr"))
+        .groupBy("item", "nbr")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= CF_MIN_CO)
+    )
+    sim = (
+        co.join(item_n, "item")
+        .join(
+            item_n.selectExpr("item AS nbr", "n AS n_nbr"),
+            "nbr",
+        )
+        .select(
+            "item",
+            "nbr",
+            "co",
+            F.round(
+                F.col("co") / F.sqrt(F.col("n") * F.col("n_nbr")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(
+        F.desc("cosine"), F.desc("co"), F.asc("nbr")
+    )
+    return (
+        sim.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= CF_TOPK)
+        .select("item", "rk", "nbr", "co", "cosine")
+    )
+
+
+ORACLES["item_similarity_cf"] = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item_n AS (SELECT l_partkey AS item, COUNT(*) AS n FROM baskets GROUP BY 1),
+co AS (
+  SELECT a.l_partkey AS item, b.l_partkey AS nbr, COUNT(*) AS co
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {CF_MIN_CO}
+),
+sim AS (
+  SELECT c.item, c.nbr, c.co,
+         ROUND(c.co / SQRT(CAST(ia.n AS DOUBLE) * ib.n), 6) AS cosine
+  FROM co c
+  JOIN item_n ia ON ia.item = c.item
+  JOIN item_n ib ON ib.item = c.nbr
+)
+SELECT item, rk, nbr, co, cosine
+FROM (SELECT item, nbr, co, cosine,
+             CAST(row_number() OVER (PARTITION BY item
+                  ORDER BY cosine DESC, co DESC, nbr ASC) AS BIGINT) AS rk
+      FROM sim)
+WHERE rk <= {CF_TOPK}
+"""
+
+
 QUERIES = {
+    "item_similarity_cf": item_similarity_cf,
     "agg_robust_outliers": agg_robust_outliers,
     "agg_group_ols": agg_group_ols,
     "market_basket_rules": market_basket_rules,

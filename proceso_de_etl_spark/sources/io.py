@@ -307,7 +307,74 @@ FROM customer
 """
 
 
+_ROUNDTRIP_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — sink/source round-trip parity audit: the SAME frame
+    written through every format the engine ships (parquet, ORC,
+    CSV, JSON) and read back with explicit schemas must reproduce
+    byte-identical content — counts, distinct keys, exact-decimal
+    revenue, date range — in all four. One report row per format;
+    the oracle computes the expected checksums once from the
+    original table and expects them for EVERY format row, so any
+    format that drops precision (doubles through CSV text, dates
+    through JSON) fails loudly on its own row. This is the audit a
+    lake runs before trusting a format migration (S12 federates the
+    formats; this proves each leg lossless in isolation)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    stage = tempfile.mkdtemp(prefix="roundtrip_")
+    frames = []
+    for fmt in _ROUNDTRIP_FORMATS:
+        path = os.path.join(stage, fmt)
+        w = orders.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(path)
+        r = spark.read
+        if fmt in ("csv", "json"):
+            r = r.schema(orders.schema)
+            if fmt == "csv":
+                r = r.option("header", "true")
+        back = r.format(fmt).load(path)
+        frames.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count("*").alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+                F.min("o_orderdate").cast("string").alias("first_date"),
+                F.max("o_orderdate").cast("string").alias("last_date"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+ORACLES["source_format_roundtrip"] = "\nUNION ALL\n".join(
+    f"""SELECT '{fmt}' AS fmt, COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_keys,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(MIN(o_orderdate) AS VARCHAR) AS first_date,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+FROM orders"""
+    for fmt in _ROUNDTRIP_FORMATS
+)
+
+
 QUERIES = {
+    "source_format_roundtrip": source_format_roundtrip,
     "source_corrupt_records": source_corrupt_records,
     "source_binary_files": source_binary_files,
     "source_federated_formats": source_federated_formats,

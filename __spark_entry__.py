@@ -113,6 +113,7 @@ _PRIORITY = (
     "multimodal_scene_cuts",
     "source_format_roundtrip",
     "item_similarity_cf",
+    "text_bpe_roundtrip",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

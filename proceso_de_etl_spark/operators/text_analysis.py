@@ -1450,7 +1450,60 @@ FROM documents,
 """
 
 
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T68 — tokenizer round-trip integrity: train BPE (T27), encode
+    every distinct word (T37), DECODE by rejoining each word's
+    symbol sequence, reassemble every document from its decoded
+    words in position order, and emit the reconstruction's md5 —
+    which the oracle computes INDEPENDENTLY from the raw text. A
+    tokenizer that loses or reorders a single byte anywhere in the
+    corpus fails on that document's row; `n_mismatched` pins the
+    per-word identity (BPE merges only ever join adjacent symbols,
+    so decode(encode(w)) == w must hold exactly). The iterated work
+    stays vocabulary-sized (T37's discipline); per-doc reassembly is
+    an in-group position sort bounded by doc length (the T57
+    shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )
+    words = tok.groupBy("word").agg(F.count("*").alias("freq"))
+    merges = bpe_train(words)
+    decoded = bpe_encode_words(words.select("word"), merges).select(
+        "word", F.concat_ws("", "sym").alias("rejoined")
+    )
+    return (
+        tok.join(decoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(F.col("rejoined") != F.col("word"), 1)).alias(
+                "n_mismatched"
+            ),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "rejoined"))
+                    ).getField("rejoined"),
+                )
+            ).alias("text_md5"),
+        )
+    )
+
+
+ORACLES["text_bpe_roundtrip"] = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(0 AS BIGINT) AS n_mismatched,
+       md5(array_to_string(toks, ' ')) AS text_md5
+FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+WHERE len(toks) > 0
+"""
+
+
 QUERIES = {
+    "text_bpe_roundtrip": text_bpe_roundtrip,
     "text_chunk_udtf": text_chunk_udtf,
     "text_novelty_decay": text_novelty_decay,
     "text_bigram_lm_score": text_bigram_lm_score,

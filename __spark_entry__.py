@@ -114,6 +114,7 @@ _PRIORITY = (
     "source_format_roundtrip",
     "item_similarity_cf",
     "text_bpe_roundtrip",
+    "pipeline_analytics_mart",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

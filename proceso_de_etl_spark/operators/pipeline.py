@@ -140,7 +140,85 @@ ORDER BY 1
 
 ORACLES["pipeline_training_data"] = _training_data_oracle()
 
+def pipeline_analytics_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end analytics-mart chain (the consumption layer the
+    reference's star schema exists to feed — README §2.3): three
+    independently-verified insight operators (A71 RFM, A72
+    Pareto/ABC, A73 growth) rolled up into ONE long-format mart
+    table (mart, key, n, value) — the dashboard-feed shape a BI
+    export job lands nightly. Each mart aggregates its operator's
+    output (already exact-decimal); the oracle composes the SAME
+    three oracle CTEs, so the whole chain is value-checked
+    end-to-end, not just its parts. Three independent subplans, one
+    bounded union."""
+    from proceso_de_etl_spark.operators.insights import (
+        customer_rfm_segments,
+        pareto_abc_classes,
+        sales_growth_report,
+    )
+
+    rfm = (
+        customer_rfm_segments(spark, sf_dir)
+        .groupBy(F.col("rfm").cast("string").alias("key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value"),
+        )
+        .select(F.lit("rfm_segment").alias("mart"), "key", "n", "value")
+    )
+    abc = (
+        pareto_abc_classes(spark, sf_dir)
+        .groupBy(F.col("abc_class").alias("key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("revenue").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("value"),
+        )
+        .select(F.lit("abc_class").alias("mart"), "key", "n", "value")
+    )
+    growth = (
+        sales_growth_report(spark, sf_dir)
+        .groupBy(F.col("y").cast("string").alias("key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("revenue").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value"),
+        )
+        .select(F.lit("yearly_revenue").alias("mart"), "key", "n", "value")
+    )
+    return rfm.unionByName(abc).unionByName(growth)
+
+
+def _analytics_mart_oracle() -> str:
+    from proceso_de_etl_spark.operators.insights import ORACLES as INSIGHT_ORACLES
+
+    return f"""
+WITH {_subquery(INSIGHT_ORACLES["customer_rfm_segments"], "rfm_src")},
+{_subquery(INSIGHT_ORACLES["pareto_abc_classes"], "abc_src")},
+{_subquery(INSIGHT_ORACLES["sales_growth_report"], "growth_src")}
+SELECT 'rfm_segment' AS mart, CAST(rfm AS VARCHAR) AS key, COUNT(*) AS n,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM rfm_src GROUP BY 2
+UNION ALL
+SELECT 'abc_class', abc_class, COUNT(*),
+       CAST(SUM(CAST(revenue AS DECIMAL(18,4))) AS DOUBLE)
+FROM abc_src GROUP BY 2
+UNION ALL
+SELECT 'yearly_revenue', CAST(y AS VARCHAR), COUNT(*),
+       CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+FROM growth_src GROUP BY 2
+"""
+
+
+ORACLES["pipeline_analytics_mart"] = _analytics_mart_oracle()
+
+
 QUERIES = {
+    "pipeline_analytics_mart": pipeline_analytics_mart,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "pipeline_training_data": pipeline_training_data,
 }

@@ -115,6 +115,8 @@ _PRIORITY = (
     "item_similarity_cf",
     "text_bpe_roundtrip",
     "pipeline_analytics_mart",
+    "ab_aa_calibration",
+    "stream_pit_enrichment",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

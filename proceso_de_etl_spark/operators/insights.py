@@ -707,7 +707,92 @@ WHERE rk <= {CF_TOPK}
 """
 
 
+def ab_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A83 — A/A calibration audit: users hash-bucketed into two
+    arms by md5 parity (the deterministic, sticky assignment an
+    experimentation platform actually uses — no RNG, re-runs give
+    identical arms), then the arms are compared on traffic balance
+    and the Welch t statistic of `value` — which for an A/A split
+    must be noise. This is the pre-experiment sanity check that
+    catches a broken bucketing hash before anyone trusts an A/B
+    readout (md5-portable like T47, so the oracle reproduces the
+    assignment bit-for-bit; swap xxhash64 in production). One scan,
+    per-arm exact moments (A74 discipline), one 2-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    ).cast("int")
+    mom = ev.groupBy(arm.alias("arm")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value", 6).alias("s1"),
+        dsum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    a = mom.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("n_users").alias("ua"),
+        F.col("s1").alias("s1a"), F.col("s2").alias("s2a"),
+    )
+    b = mom.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("n_users").alias("ub"),
+        F.col("s1").alias("s1b"), F.col("s2").alias("s2b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ma, mb = F.col("s1a") / F.col("na"), F.col("s1b") / F.col("nb")
+    va = F.greatest(
+        (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("na"))
+        / (F.col("na") - 1),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("nb"))
+        / (F.col("nb") - 1),
+        F.lit(0.0),
+    )
+    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "ua",
+        "ub",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        (
+            F.abs(F.col("na") - F.col("nb")) / (F.col("na") + F.col("nb")) < 0.05
+        ).alias("balanced"),
+    )
+
+
+ORACLES["ab_aa_calibration"] = """
+WITH mom AS (
+  SELECT CAST(CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 AS BIGINT) AS INT) AS arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+),
+ab AS (
+  SELECT a.n AS na, a.n_users AS ua, a.s1 AS s1a, a.s2 AS s2a,
+         b.n AS nb, b.n_users AS ub, b.s1 AS s1b, b.s2 AS s2b
+  FROM (SELECT * FROM mom WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM mom WHERE arm = 1) b
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, ua, ub,
+       ROUND(s1a / na, 6) AS mean_a,
+       ROUND(s1b / nb, 6) AS mean_b,
+       ROUND((s1a / na - s1b / nb)
+             / SQRT(GREATEST((s2a - s1a * s1a / na) / (na - 1), 0) / na
+                  + GREATEST((s2b - s1b * s1b / nb) / (nb - 1), 0) / nb), 6) AS t_stat,
+       ABS(na - nb) / (na + nb) < 0.05 AS balanced
+FROM ab
+"""
+
+
 QUERIES = {
+    "ab_aa_calibration": ab_aa_calibration,
     "item_similarity_cf": item_similarity_cf,
     "agg_robust_outliers": agg_robust_outliers,
     "agg_group_ols": agg_group_ols,

@@ -1039,7 +1039,79 @@ FROM rows_
 """
 
 
+def stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST19 — streaming point-in-time enrichment: each streaming
+    event joined to the dimension VERSION valid at its event time
+    (E40's temporal join, on the stream): users carry a synthetic
+    two-version tier ('basic' until a per-user upgrade instant
+    spread across the time span, 'plus' after), and the stream-static
+    join matches `valid_from ≤ ts < valid_to` alongside the user
+    equi-key — still completely stateless (the static side is
+    available to every micro-batch; the interval predicate is a
+    per-row filter, not join state). The rollup is value-oracled:
+    per tier, events/users/exact value sum must equal the batch
+    temporal join's — proving the stream routes every event to the
+    version that was true WHEN IT HAPPENED, not the current one
+    (enriching with current rows is the classic streaming-lookup
+    bug this operator exists to avoid)."""
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    ev_static = load_table(spark, sf_dir, "events")
+    mm = ev_static.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    step = (hi - lo) // 100
+    users = ev_static.select("user_id").distinct()
+    upgrade = (F.lit(lo) + (F.col("user_id") % 100) * F.lit(step)).cast("bigint")
+    dim = users.select(
+        "user_id", F.lit("basic").alias("tier"),
+        F.lit(0).cast("bigint").alias("valid_from"), upgrade.alias("valid_to"),
+    ).unionByName(
+        users.select(
+            "user_id", F.lit("plus").alias("tier"),
+            upgrade.alias("valid_from"),
+            F.lit(2**62).cast("bigint").alias("valid_to"),
+        )
+    )
+    ev = stream_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    joined = ev.join(
+        dim,
+        (ev.user_id == dim.user_id)
+        & (dim.valid_from <= F.col("ts_us"))
+        & (F.col("ts_us") < dim.valid_to),
+    ).select(ev.user_id.alias("uid"), "tier", "value")
+    enriched = run_to_memory(joined, "append")
+    return enriched.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("uid").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+    )
+
+
+ORACLES["stream_pit_enrichment"] = """
+WITH mm AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+dim AS (
+  SELECT user_id, 'basic' AS tier, CAST(0 AS BIGINT) AS valid_from,
+         lo + (user_id % 100) * ((hi - lo) // 100) AS valid_to
+  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN mm
+  UNION ALL
+  SELECT user_id, 'plus', lo + (user_id % 100) * ((hi - lo) // 100),
+         CAST(4611686018427387904 AS BIGINT)
+  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN mm
+)
+SELECT d.tier, COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+          AND d.valid_from <= epoch_us(e.ts)
+          AND epoch_us(e.ts) < d.valid_to
+GROUP BY d.tier
+"""
+
+
 QUERIES = {
+    "stream_pit_enrichment": stream_pit_enrichment,
     "stream_novelty_rate": stream_novelty_rate,
     "stream_markov_transitions": stream_markov_transitions,
     "stream_tumbling_window": stream_tumbling_window,

@@ -1268,9 +1268,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(18,12) (order-independent sums), 4dp edge
     rounding absorbs ln ulps — the T23 discipline throughout."""
     docs = load_table(spark, sf_dir, "documents")
+    # persist: the bigram stream feeds BOTH the model counts and the
+    # scoring join — unpersisted, the tokenize+shingle pass runs
+    # twice (the full-corpus scan is the dominant cost at scale).
+    # Callers that loop this clearCache between reps (bench contract).
     grams = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.explode(shingles(F.col("toks"), 2)).alias("pair")
-    )
+    ).persist()
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     c12 = grams.groupBy("pair").agg(F.count("*").alias("c12"))
     c1 = toks.groupBy(F.col("tok").alias("w1")).agg(F.count("*").alias("c1"))
@@ -1339,6 +1343,7 @@ def text_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("sh"))
         .distinct()
+        .persist()  # feeds the first-occurrence agg AND the rollup join
     )
     first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
@@ -1466,7 +1471,7 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
-    )
+    ).persist()  # feeds the vocabulary build AND the reassembly join
     words = tok.groupBy("word").agg(F.count("*").alias("freq"))
     merges = bpe_train(words)
     decoded = bpe_encode_words(words.select("word"), merges).select(

@@ -899,6 +899,33 @@ def test_report_ops_survive_empty_inputs(spark, tmp_path):
         "text_hashed_tf",
         "text_corpus_datasheet",
         "dedup_threshold_curve",
+        # round-8 report operators
+        "market_basket_rules",
+        "events_markov_transitions",
+        "customer_rfm_segments",
+        "pareto_abc_classes",
+        "sales_growth_report",
+        "ab_welch_ttest",
+        "agg_robust_outliers",
+        "agg_group_ols",
+        "events_top_paths",
+        "events_seasonal_baseline",
+        "events_conversion_lag",
+        "events_sequence_match",
+        "graph_kcore",
+        "etl_benford_audit",
+        "etl_merge_clause_matrix",
+        "etl_lake_manifest",
+        "etl_scd2_point_in_time",
+        "etl_scd2_validity_audit",
+        "sample_importance_dsir",
+        "sample_softdedup_weights",
+        "text_bigram_lm_score",
+        "text_novelty_decay",
+        "multimodal_phash_dedup",
+        "multimodal_scene_cuts",
+        "item_similarity_cf",
+        "ab_aa_calibration",
     ):
         rows = qs[key](spark, empty_dir).collect()
         assert isinstance(rows, list), key

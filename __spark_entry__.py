@@ -117,6 +117,8 @@ _PRIORITY = (
     "pipeline_analytics_mart",
     "ab_aa_calibration",
     "stream_pit_enrichment",
+    "events_dau_wau_stickiness",
+    "etl_freshness_report",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

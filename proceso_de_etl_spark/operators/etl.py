@@ -2282,7 +2282,48 @@ FROM {tbl}"""
 )
 
 
+FRESHNESS_SLA_HOURS = 2
+
+
+def etl_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43 — per-feed freshness/SLA report: for every event feed
+    (event_type stands in for the upstream topic), the latest
+    arrival, its lag behind the freshest feed, and a stale flag
+    against the SLA — the landing-zone monitor paged on before
+    anyone debugs "missing data" downstream. One scan, two
+    feed-count-bounded aggregates joined broadcast; lags are exact
+    integer µs divided once into hours, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    per_feed = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("latest_us"),
+    )
+    global_max = ev.agg(F.max(F.unix_micros("ts")).alias("global_us"))
+    lag_h = (F.col("global_us") - F.col("latest_us")) / 3.6e9
+    return per_feed.crossJoin(F.broadcast(global_max)).select(
+        "event_type",
+        "n_events",
+        "latest_us",
+        F.round(lag_h, 6).alias("lag_hours"),
+        (lag_h > FRESHNESS_SLA_HOURS).alias("stale"),
+    )
+
+
+ORACLES["etl_freshness_report"] = f"""
+WITH per_feed AS (
+  SELECT event_type, COUNT(*) AS n_events, MAX(epoch_us(ts)) AS latest_us
+  FROM events GROUP BY 1
+),
+g AS (SELECT MAX(epoch_us(ts)) AS global_us FROM events)
+SELECT event_type, n_events, latest_us,
+       ROUND((global_us - latest_us) / 3.6e9, 6) AS lag_hours,
+       (global_us - latest_us) / 3.6e9 > {FRESHNESS_SLA_HOURS} AS stale
+FROM per_feed CROSS JOIN g
+"""
+
+
 QUERIES = {
+    "etl_freshness_report": etl_freshness_report,
     "etl_lake_manifest": etl_lake_manifest,
     "etl_benford_audit": etl_benford_audit,
     "etl_merge_clause_matrix": etl_merge_clause_matrix,

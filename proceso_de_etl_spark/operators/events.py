@@ -1280,7 +1280,64 @@ GROUP BY 1
 """
 
 
+STICKINESS_WINDOW = 7
+
+
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A84 — DAU/WAU stickiness: per day, distinct active users that
+    day, distinct users over the trailing 7 days, and their ratio —
+    the engagement metric every product dashboard leads with.
+    Trailing COUNT(DISTINCT) can't ride a window frame (A57's
+    lesson), so each (user, day) activity pair replicates to the 7
+    window-end days it can serve (constant 7× fan-out of the
+    user·day DISTINCT frame, not the event stream) and ONE hash agg
+    distinct-counts per window end; DAU joins on the same day key.
+    Days outside the observed range are dropped (their windows are
+    right-censored); ratio = exact counts in double, 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().persist()
+    dau = activity.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    replicated = activity.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), STICKINESS_WINDOW - 1),
+            )
+        ).alias("window_end"),
+    )
+    wau = replicated.groupBy("window_end").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.window_end)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ORACLES["events_dau_wau_stickiness"] = f"""
+WITH activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM activity GROUP BY 1),
+repl AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS window_end
+  FROM activity, unnest(generate_series(0, {STICKINESS_WINDOW - 1})) AS t(i)
+),
+wau AS (SELECT window_end, COUNT(DISTINCT user_id) AS wau FROM repl GROUP BY 1)
+SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+       ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w ON d.day = w.window_end
+"""
+
+
 QUERIES = {
+    "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "events_sequence_match": events_sequence_match,
     "events_conversion_lag": events_conversion_lag,
     "events_top_paths": events_top_paths,

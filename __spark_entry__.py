@@ -119,6 +119,7 @@ _PRIORITY = (
     "stream_pit_enrichment",
     "events_dau_wau_stickiness",
     "etl_freshness_report",
+    "customer_tier_migration",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -791,7 +791,98 @@ FROM ab
 """
 
 
+MIGRATION_YEARS = (1996, 1997)
+MIGRATION_QUINTILES = (0.2, 0.4, 0.6, 0.8)
+
+
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A85 — customer value-tier migration matrix: each customer's
+    spend quintile in 1996 vs 1997, cross-tabulated — the
+    upgraded/downgraded/churned view a retention team reads
+    quarterly. Quintile assignment deliberately does NOT use a
+    per-year ntile window (a year's customers are one data-sized
+    partition at scale — the exact trap the plan sweep bans);
+    instead per-year quintile cuts are a 2-row exact-percentile
+    aggregate (6dp-rounded on both engines, the A71 discipline)
+    broadcast back, and the matrix is one same-key self-join of the
+    customer-year frame. Customers absent in a year appear in the
+    'none' tier, so churn/acquisition land in the matrix margins
+    instead of silently vanishing."""
+    orders = load_table(spark, sf_dir, "orders")
+    y1, y2 = MIGRATION_YEARS
+    spend = (
+        orders.filter(F.year("o_orderdate").isin(*MIGRATION_YEARS))
+        .groupBy(F.col("o_custkey").alias("cust"), F.year("o_orderdate").alias("y"))
+        .agg(dsum("o_totalprice").alias("spend"))
+        .persist()
+    )
+    cuts = spend.groupBy("y").agg(
+        *[
+            F.round(F.expr(f"percentile(spend, {q})"), 6).alias(f"c{i}")
+            for i, q in enumerate(MIGRATION_QUINTILES, 1)
+        ]
+    )
+    tiered = spend.join(F.broadcast(cuts), "y").select(
+        "cust",
+        "y",
+        (
+            F.lit(1)
+            + sum(
+                (F.col("spend") > F.col(f"c{i}")).cast("int")
+                for i in range(1, len(MIGRATION_QUINTILES) + 1)
+            )
+        ).alias("tier"),
+    )
+    t1 = tiered.filter(F.col("y") == y1).select(
+        "cust", F.col("tier").alias("tier_from")
+    )
+    t2 = tiered.filter(F.col("y") == y2).select(
+        "cust", F.col("tier").alias("tier_to")
+    )
+    return (
+        t1.join(t2, "cust", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("tier_from").cast("string"), F.lit("none")).alias(
+                "tier_from"
+            ),
+            F.coalesce(F.col("tier_to").cast("string"), F.lit("none")).alias(
+                "tier_to"
+            ),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ORACLES["customer_tier_migration"] = f"""
+WITH spend AS (
+  SELECT o_custkey AS cust, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders
+  WHERE CAST(EXTRACT(year FROM o_orderdate) AS INT) IN {MIGRATION_YEARS}
+  GROUP BY 1, 2
+),
+cuts AS (
+  SELECT y,
+         {", ".join(f"ROUND(quantile_cont(spend, {q}), 6) AS c{i}" for i, q in enumerate(MIGRATION_QUINTILES, 1))}
+  FROM spend GROUP BY y
+),
+tiered AS (
+  SELECT s.cust, s.y,
+         1 {" ".join(f"+ CAST(s.spend > c.c{i} AS INT)" for i in range(1, len(MIGRATION_QUINTILES) + 1))} AS tier
+  FROM spend s JOIN cuts c ON s.y = c.y
+),
+t1 AS (SELECT cust, tier AS tier_from FROM tiered WHERE y = {MIGRATION_YEARS[0]}),
+t2 AS (SELECT cust, tier AS tier_to FROM tiered WHERE y = {MIGRATION_YEARS[1]})
+SELECT COALESCE(CAST(tier_from AS VARCHAR), 'none') AS tier_from,
+       COALESCE(CAST(tier_to AS VARCHAR), 'none') AS tier_to,
+       COUNT(*) AS n_customers
+FROM t1 FULL OUTER JOIN t2 USING (cust)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "customer_tier_migration": customer_tier_migration,
     "ab_aa_calibration": ab_aa_calibration,
     "item_similarity_cf": item_similarity_cf,
     "agg_robust_outliers": agg_robust_outliers,

@@ -120,6 +120,8 @@ _PRIORITY = (
     "events_dau_wau_stickiness",
     "etl_freshness_report",
     "customer_tier_migration",
+    "agg_weighted_quantiles",
+    "revenue_gini_index",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -881,7 +881,145 @@ GROUP BY 1, 2
 """
 
 
+WEIGHTED_QUANTILES = ("0.25", "0.50", "0.75")
+
+
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A86 — exact WEIGHTED quantiles: the price below which 25/50/75
+    % of shipped QUANTITY falls (not 25% of rows — every builtin
+    percentile weighs rows equally, which is wrong whenever rows
+    carry different mass). No engine builtin exists; the scale-safe
+    form is the A72 distributed prefix sum over the WEIGHT column:
+    range-partition by (price, tiebreak), per-partition DECIMAL
+    weight sums collected once as offsets, within-partition
+    cumulative weight + offset, then each quantile is "first row
+    whose cumulative weight reaches q·W" — a filter + 1-row min-
+    struct aggregate, no global window, no sort to one task. All
+    weight arithmetic stays DECIMAL; q·W targets are computed
+    exactly from the collected total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        money("l_extendedprice").alias("v"),
+        money("l_quantity").alias("w"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    ranged = (
+        rows.repartitionByRange(
+            PARETO_PARTITIONS, F.asc("v"), F.asc("k1"), F.asc("k2")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    parts = sorted(
+        (r["_pid"], r["s"])
+        for r in ranged.groupBy("_pid").agg(F.sum("w").alias("s")).collect()
+    )
+    offsets, acc = [], Decimal(0)
+    for pid, s in parts:
+        offsets.append((pid, acc))
+        acc += s
+    offs = spark.createDataFrame(offsets, "_pid int, _woff decimal(38,2)")
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(F.asc("v"), F.asc("k1"), F.asc("k2"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = ranged.join(F.broadcast(offs), "_pid").withColumn(
+        "cumw", F.sum("w").over(w) + F.col("_woff")
+    )
+    out = None
+    for q in WEIGHTED_QUANTILES:
+        # exact 4dp target (2dp weights × 2dp fraction) — NO rounding:
+        # a quantized target could disagree with the oracle's exact
+        # W·q compare on a boundary row
+        target = acc * Decimal(q)
+        hit = (
+            cum.filter(F.col("cumw") >= F.lit(str(target)).cast("decimal(38,4)"))
+            .agg(F.min(F.struct("cumw", "v")).alias("m"))
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.col("m.v").cast("double").alias("weighted_value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+ORACLES["agg_weighted_quantiles"] = f"""
+WITH rows_ AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+         CAST(l_quantity AS DECIMAL(18,2)) AS w,
+         l_orderkey AS k1, l_linenumber AS k2
+  FROM lineitem
+),
+cum AS (
+  SELECT v, SUM(w) OVER (ORDER BY v ASC, k1 ASC, k2 ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+  FROM rows_
+),
+tot AS (SELECT SUM(w) AS wtot FROM rows_)
+{" UNION ALL ".join(
+    f'''SELECT CAST({q} AS DOUBLE) AS q,
+       CAST(MIN(v) FILTER (WHERE cumw >= (SELECT wtot * {q} FROM tot)) AS DOUBLE) AS weighted_value
+FROM cum'''
+    for q in WEIGHTED_QUANTILES)}
+"""
+
+
+def revenue_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A87 — Gini concentration index of customer spend: the
+    inequality scalar (0 = uniform, →1 = one whale) a marketplace
+    tracks next to A72's Pareto view. G = (2·Σᵢ rᵢxᵢ − (n+1)·Σx) /
+    (n·Σx) over ascending-sorted spend — needs every row's GLOBAL
+    rank, which is A41's range-partition + broadcast-offset core
+    (global_rank_frame), never a one-task window. Σ rᵢxᵢ accumulates
+    rank·DECIMAL exactly, so both engines derive the identical
+    double before the 6dp edge; ties in spend are rank-order
+    invariant (equal x swaps don't move Σ r·x) but carry the custkey
+    tiebreak anyway for a deterministic frame."""
+    from proceso_de_etl_spark.operators.relational import global_rank_frame
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(money("o_totalprice")).alias("x")
+    )
+    ranked, n = global_rank_frame(spend, [F.asc("x"), F.asc("cust")])
+    agg = ranked.agg(
+        F.sum(F.col("rank") * F.col("x")).alias("srx"),
+        F.sum("x").alias("sx"),
+    )
+    srx, sx = F.col("srx").cast("double"), F.col("sx").cast("double")
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        sx.alias("total_spend"),
+        F.round((2 * srx - (n + 1) * sx) / (n * sx), 6).alias("gini"),
+    )
+
+
+ORACLES["revenue_gini_index"] = """
+WITH spend AS (
+  SELECT o_custkey AS cust, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, cust ASC) AS BIGINT) AS rank
+  FROM spend
+),
+agg AS (
+  SELECT CAST(SUM(rank * x) AS DOUBLE) AS srx, CAST(SUM(x) AS DOUBLE) AS sx,
+         COUNT(*) AS n
+  FROM ranked
+)
+SELECT n AS n_customers, sx AS total_spend,
+       ROUND((2 * srx - (n + 1) * sx) / (n * sx), 6) AS gini
+FROM agg
+"""
+
+
 QUERIES = {
+    "agg_weighted_quantiles": agg_weighted_quantiles,
+    "revenue_gini_index": revenue_gini_index,
     "customer_tier_migration": customer_tier_migration,
     "ab_aa_calibration": ab_aa_calibration,
     "item_similarity_cf": item_similarity_cf,

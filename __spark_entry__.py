@@ -122,6 +122,8 @@ _PRIORITY = (
     "customer_tier_migration",
     "agg_weighted_quantiles",
     "revenue_gini_index",
+    "text_quality_psi",
+    "etl_calendar_gaps",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

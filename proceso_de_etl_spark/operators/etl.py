@@ -2322,7 +2322,68 @@ FROM per_feed CROSS JOIN g
 """
 
 
+GAP_DROPPED_MONTH = "1997-03-01"
+
+
+def etl_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44 — calendar-spine completeness check: a generated month
+    spine (min..max observed month) anti-joined against the months a
+    feed actually delivered — the "which partitions are MISSING"
+    question a backfill planner (E29) asks first, answered without
+    any external calendar table. The feed is the orders stream with
+    one month deterministically dropped (1997-03), so the report
+    must find exactly that hole plus nothing else. The spine is
+    calendar-bounded (#months rows — broadcast side), the observed
+    set is one grouped scan; gap classification is a left anti-join
+    shape expressed as a left join + null flag so present/missing
+    both appear with counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    feed = orders.filter(
+        F.date_trunc("month", F.col("o_orderdate"))
+        != F.lit(GAP_DROPPED_MONTH).cast("timestamp")
+    )
+    observed = feed.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.count("*").alias("n_rows"))
+    bounds = orders.agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("lo"),
+        F.to_date(F.date_trunc("month", F.max("o_orderdate"))).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 month)")).alias("month")
+    )
+    return spine.join(observed, "month", "left").select(
+        F.col("month").cast("string").alias("month"),
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.col("n_rows").isNull().alias("missing"),
+    )
+
+
+ORACLES["etl_calendar_gaps"] = f"""
+WITH observed AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n_rows
+  FROM orders
+  WHERE date_trunc('month', o_orderdate) <> TIMESTAMP '{GAP_DROPPED_MONTH} 00:00:00'
+  GROUP BY 1
+),
+bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM bounds
+)
+SELECT CAST(s.month AS VARCHAR) AS month,
+       COALESCE(o.n_rows, 0) AS n_rows,
+       o.n_rows IS NULL AS missing
+FROM spine s LEFT JOIN observed o ON s.month = o.month
+"""
+
+
 QUERIES = {
+    "etl_calendar_gaps": etl_calendar_gaps,
     "etl_freshness_report": etl_freshness_report,
     "etl_lake_manifest": etl_lake_manifest,
     "etl_benford_audit": etl_benford_audit,

@@ -1507,7 +1507,81 @@ WHERE len(toks) > 0
 """
 
 
+PSI_BUCKETS = 10
+
+
+def text_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T69 — population stability index of the quality-score
+    distribution between a reference slice (even doc_ids — the
+    corpus a filter was tuned on) and the current slice (odd — the
+    fresh crawl): PSI = Σ (p−q)·ln(p/q) over fixed-width score
+    buckets, the standard drift alarm for any score a pipeline
+    gates on (PSI < 0.1 stable, > 0.25 investigate). One pass over
+    the already-verified T9 score plan, one bucket aggregate,
+    one #buckets-row fold; add-half smoothing keeps empty buckets
+    finite; per-bucket ln routes through DECIMAL(18,12) and the
+    4dp edge (the T23 discipline)."""
+    scored = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.least(
+            F.lit(PSI_BUCKETS - 1),
+            F.floor(F.col("quality_score") * PSI_BUCKETS).cast("int"),
+        ).alias("bucket"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+    cells = scored.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    tot = scored.agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("t_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("t_cur"),
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * PSI_BUCKETS)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * PSI_BUCKETS)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 4).alias("psi_component"),
+        )
+    )
+
+
+_QSRC_SQL = ORACLES["text_quality_score"].strip().rstrip(";")
+
+ORACLES["text_quality_psi"] = f"""
+WITH qsrc AS (SELECT * FROM ({_QSRC_SQL})),
+scored AS (
+  SELECT doc_id,
+         LEAST({PSI_BUCKETS - 1}, CAST(FLOOR(quality_score * {PSI_BUCKETS}) AS INT)) AS bucket,
+         doc_id % 2 = 0 AS is_ref
+  FROM qsrc
+),
+cells AS (
+  SELECT bucket,
+         COUNT(CASE WHEN is_ref THEN 1 END) AS n_ref,
+         COUNT(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(CASE WHEN is_ref THEN 1 END) AS t_ref,
+         COUNT(CASE WHEN NOT is_ref THEN 1 END) AS t_cur
+  FROM scored
+)
+SELECT bucket, n_ref, n_cur,
+       ROUND(((n_ref + 0.5) / (t_ref + 0.5 * {PSI_BUCKETS})
+            - (n_cur + 0.5) / (t_cur + 0.5 * {PSI_BUCKETS}))
+             * ln(((n_ref + 0.5) / (t_ref + 0.5 * {PSI_BUCKETS}))
+                / ((n_cur + 0.5) / (t_cur + 0.5 * {PSI_BUCKETS}))), 4) AS psi_component
+FROM cells CROSS JOIN tot
+"""
+
+
 QUERIES = {
+    "text_quality_psi": text_quality_psi,
     "text_bpe_roundtrip": text_bpe_roundtrip,
     "text_chunk_udtf": text_chunk_udtf,
     "text_novelty_decay": text_novelty_decay,

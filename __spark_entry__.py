@@ -124,6 +124,7 @@ _PRIORITY = (
     "revenue_gini_index",
     "text_quality_psi",
     "etl_calendar_gaps",
+    "stream_freshness_monitor",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

@@ -1110,7 +1110,100 @@ GROUP BY d.tier
 """
 
 
+def stream_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST20 — streaming feed-freshness monitor: E43's SLA report
+    maintained continuously — after every micro-batch, a snapshot of
+    each feed's latest arrival and its lag behind the freshest feed
+    SO FAR. The in-stream state is one MAX timestamp per feed
+    (monotone — never retracts, #feeds rows total, the cheapest
+    stateful aggregate there is); foreachBatch lands each epoch's
+    snapshot, so the output is the lag TRAJECTORY, not just the
+    final value — exactly what an on-call dashboard plots. Source =
+    two time-split ordered batches (ST17 staging); both epochs'
+    snapshots are value-oracled against static recomputation of the
+    same halves, proving the monitor's intermediate states are
+    right, not only its end state."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    mid_us = (mm["lo"] + mm["hi"]) // 2
+    stage = tempfile.mkdtemp(prefix="stream_fresh_src_")
+    for i, pred in enumerate(
+        (F.unix_micros("ts") <= mid_us, F.unix_micros("ts") > mid_us)
+    ):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_fresh_b{i}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_events.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    latest = raw.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("latest_us")
+    )
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="stream_fresh_"), "snaps")
+
+    def snapshot_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        g = batch_df.agg(F.max("latest_us").alias("global_us"))
+        (
+            batch_df.crossJoin(F.broadcast(g))
+            .select(
+                F.lit(int(epoch_id)).alias("batch_id"),
+                "event_type",
+                "latest_us",
+                F.round(
+                    (F.col("global_us") - F.col("latest_us")) / 3.6e9, 6
+                ).alias("lag_hours"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = latest.writeStream.outputMode("complete").foreachBatch(snapshot_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).orderBy("batch_id", "event_type")
+
+
+ORACLES["stream_freshness_monitor"] = """
+WITH mm AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+tagged AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) <= (SELECT (lo + hi) // 2 FROM mm) THEN 0 ELSE 1 END AS half
+  FROM events
+),
+snap0 AS (
+  SELECT 0 AS batch_id, event_type, MAX(ts_us) AS latest_us
+  FROM tagged WHERE half = 0 GROUP BY 2
+),
+snap1 AS (
+  SELECT 1 AS batch_id, event_type, MAX(ts_us) AS latest_us
+  FROM tagged GROUP BY 2
+),
+snaps AS (SELECT * FROM snap0 UNION ALL SELECT * FROM snap1)
+SELECT batch_id, event_type, latest_us,
+       ROUND((MAX(latest_us) OVER (PARTITION BY batch_id) - latest_us) / 3.6e9, 6) AS lag_hours
+FROM snaps
+"""
+
+
 QUERIES = {
+    "stream_freshness_monitor": stream_freshness_monitor,
     "stream_pit_enrichment": stream_pit_enrichment,
     "stream_novelty_rate": stream_novelty_rate,
     "stream_markov_transitions": stream_markov_transitions,

@@ -82,7 +82,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. keys whose newest driver row is r1, then r3,
 #   5. the tail: r4-refreshed keys, re-verified locally by pytest.
 _PRIORITY = (
-    # --- round-8 additions (newest — need a first driver row) ---
+    # --- round-8 additions (42 keys, newest first-in — none has ever
+    #     had a driver row; under the 50-row gate cap they leave ~8
+    #     slots for the round-7 keys below, and later rounds keep
+    #     rotating) ---
     "market_basket_rules",
     "events_markov_transitions",
     "customer_rfm_segments",
@@ -125,6 +128,7 @@ _PRIORITY = (
     "text_quality_psi",
     "etl_calendar_gaps",
     "stream_freshness_monitor",
+    "etl_key_discovery",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

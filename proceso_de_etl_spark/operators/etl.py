@@ -2382,7 +2382,55 @@ FROM spine s LEFT JOIN observed o ON s.month = o.month
 """
 
 
+_KEY_CANDIDATES = (
+    ("l_orderkey",),
+    ("l_orderkey", "l_linenumber"),
+    ("l_partkey",),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_partkey", "l_suppkey"),
+)
+
+
+def etl_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E45 — candidate-key discovery: for each proposed column
+    combination, distinct-combination count vs row count and the
+    is-key verdict — the profiling step that finds (or refutes) a
+    primary key before anyone writes a MERGE against it (E38/E18
+    assume a key; this MEASURES one; lineitem's real key is
+    (orderkey, linenumber) and the report must prove the others
+    fail). ONE scan computes every candidate: count distinct per
+    combo as conditional aggregates over the same pass — at 100 TB
+    the naive per-candidate scan loop is #candidates full reads;
+    this is one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.countDistinct(*[F.col(c) for c in combo]).alias(f"d{i}")
+        for i, combo in enumerate(_KEY_CANDIDATES)
+    ]
+    row = li.agg(*aggs)
+    out = None
+    for i, combo in enumerate(_KEY_CANDIDATES):
+        part = row.select(
+            F.lit("+".join(combo)).alias("candidate"),
+            F.col("n_rows"),
+            F.col(f"d{i}").alias("n_distinct"),
+            (F.col(f"d{i}") == F.col("n_rows")).alias("is_key"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLES["etl_key_discovery"] = "\nUNION ALL\n".join(
+    f"""SELECT '{"+".join(combo)}' AS candidate, COUNT(*) AS n_rows,
+       COUNT(DISTINCT ({", ".join(combo)})) AS n_distinct,
+       COUNT(DISTINCT ({", ".join(combo)})) = COUNT(*) AS is_key
+FROM lineitem"""
+    for combo in _KEY_CANDIDATES
+)
+
+
 QUERIES = {
+    "etl_key_discovery": etl_key_discovery,
     "etl_calendar_gaps": etl_calendar_gaps,
     "etl_freshness_report": etl_freshness_report,
     "etl_lake_manifest": etl_lake_manifest,

@@ -129,6 +129,8 @@ _PRIORITY = (
     "etl_calendar_gaps",
     "stream_freshness_monitor",
     "etl_key_discovery",
+    "sample_temperature_mix",
+    "etl_bitemporal_matrix",
     # --- round-7 additions (need a first driver row) ---
     "events_rolling_distinct",
     "events_range_frame_window",

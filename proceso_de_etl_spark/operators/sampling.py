@@ -608,7 +608,72 @@ FROM hashed JOIN groups USING (h)
 """
 
 
+MIX_TEMPERATURE = 0.7
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T70 — temperature-based language re-balancing (the XLM-R /
+    UNIMAX multilingual mixing rule): sampling share qₗ ∝ pₗ^α with
+    α = 0.7 flattens the language distribution — high-resource
+    languages are down-weighted, low-resource ones up-sampled —
+    without the hard equal-share cliff. Reports, per language: raw
+    share p, temperature share q, the token... doc budget that share
+    buys at constant corpus size, and the implied epochs
+    (budget/nₗ — >1 means the language repeats, the quantity T59's
+    repetition budget then caps). One grouped count + a 1-row
+    broadcast fold; pow's last ulp is absorbed by 6dp rounding
+    BEFORE the budget multiply (both engines derive the budget from
+    the identical rounded q), and floor keeps the budget integer
+    rule half-point-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+    )
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p_pow", F.pow(F.col("n_docs") / F.col("n_total"), MIX_TEMPERATURE)
+    )
+    # z accumulates in DECIMAL(18,12): a parallel double sum is
+    # order-dependent and its ulp could flip the 6dp q rounding
+    z = powed.agg(
+        F.sum(F.col("p_pow").cast("decimal(18,12)")).cast("double").alias("z")
+    )
+    q6 = F.round(F.col("p_pow") / F.col("z"), 6)
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("p_raw"),
+            q6.alias("q_temp"),
+            F.floor(q6 * F.col("n_total")).cast("bigint").alias("doc_budget"),
+            F.round(
+                F.floor(q6 * F.col("n_total")) / F.col("n_docs"), 4
+            ).alias("epochs"),
+        )
+    )
+
+
+ORACLES["sample_temperature_mix"] = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total FROM counts),
+powed AS (
+  SELECT lang, n_docs, n_total,
+         POW(n_docs / n_total, {MIX_TEMPERATURE}) AS p_pow
+  FROM counts CROSS JOIN tot
+),
+z AS (SELECT CAST(SUM(CAST(p_pow AS DECIMAL(18,12))) AS DOUBLE) AS z FROM powed)
+SELECT lang, n_docs,
+       ROUND(n_docs / n_total, 6) AS p_raw,
+       ROUND(p_pow / z, 6) AS q_temp,
+       CAST(FLOOR(ROUND(p_pow / z, 6) * n_total) AS BIGINT) AS doc_budget,
+       ROUND(FLOOR(ROUND(p_pow / z, 6) * n_total) / n_docs, 4) AS epochs
+FROM powed CROSS JOIN z
+"""
+
+
 QUERIES = {
+    "sample_temperature_mix": sample_temperature_mix,
     "sample_softdedup_weights": sample_softdedup_weights,
     "sample_importance_dsir": sample_importance_dsir,
     "sample_stratified": sample_stratified,

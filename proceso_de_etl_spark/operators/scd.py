@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from proceso_de_etl_spark.functions.columns import money
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -439,7 +440,101 @@ GROUP BY 1
 """
 
 
+BITEMPORAL_BELIEF_DATES = ("1997-01-01", "1998-01-01")
+BITEMPORAL_VALID_AT = "1996-07-01"
+CORRECTION_LAG_DAYS = 60
+
+
+def etl_bitemporal_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E46 — bitemporal (system-time × valid-time) query matrix:
+    "what did we BELIEVE on date B about the state valid on date V"
+    — the two-axis temporal model behind restatements and audit
+    replays, one step past E40's single-axis SCD2 (valid time only).
+    The bitemporal order table is synthesized scan-side: every order
+    is first RECORDED on its order date; every 5th order gets a
+    CORRECTION (status → 'X') recorded 60 days later — the original
+    version's system-time interval closes where the correction's
+    opens, while VALID time is untouched (the correction restates
+    history, it doesn't change when the order existed). For each
+    belief date the report counts orders by believed status among
+    those valid on V: the early belief date must still see the
+    soon-to-be-corrected originals — bitemporal's whole point.
+    Construction + query are one scan and one bounded union (2
+    belief dates); the system/valid predicates are scan-side
+    filters."""
+    orders = load_table(spark, sf_dir, "orders")
+    odate = F.to_date("o_orderdate")
+    corrected = F.col("o_orderkey") % 5 == 0
+    original = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        money("o_totalprice").alias("price"),
+        odate.alias("valid_from"),
+        odate.alias("recorded_from"),
+        F.when(
+            corrected, F.date_add(odate, CORRECTION_LAG_DAYS)
+        ).otherwise(F.lit("9999-12-31").cast("date")).alias("recorded_to"),
+    )
+    correction = orders.filter(corrected).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        money("o_totalprice").alias("price"),
+        odate.alias("valid_from"),
+        F.date_add(odate, CORRECTION_LAG_DAYS).alias("recorded_from"),
+        F.lit("9999-12-31").cast("date").alias("recorded_to"),
+    )
+    bitemporal = original.unionByName(correction)
+    out = None
+    v = F.lit(BITEMPORAL_VALID_AT).cast("date")
+    for b in BITEMPORAL_BELIEF_DATES:
+        bd = F.lit(b).cast("date")
+        snap = (
+            bitemporal.filter(
+                (F.col("recorded_from") <= bd)
+                & (bd < F.col("recorded_to"))
+                & (F.col("valid_from") <= v)
+            )
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("price").cast("double").alias("revenue"),
+            )
+            .select(F.lit(b).alias("belief_date"), "status", "n_orders", "revenue")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
+ORACLES["etl_bitemporal_matrix"] = f"""
+WITH bitemporal AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(o_orderdate AS DATE) AS recorded_from,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(o_orderdate AS DATE) + {CORRECTION_LAG_DAYS}
+              ELSE DATE '9999-12-31' END AS recorded_to
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'X', CAST(o_totalprice AS DECIMAL(18,2)),
+         CAST(o_orderdate AS DATE),
+         CAST(o_orderdate AS DATE) + {CORRECTION_LAG_DAYS},
+         DATE '9999-12-31'
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+{" UNION ALL ".join(
+    f'''SELECT '{b}' AS belief_date, status, COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS revenue
+FROM bitemporal
+WHERE recorded_from <= DATE '{b}' AND DATE '{b}' < recorded_to
+  AND valid_from <= DATE '{BITEMPORAL_VALID_AT}'
+GROUP BY status'''
+    for b in BITEMPORAL_BELIEF_DATES)}
+"""
+
+
 QUERIES = {
+    "etl_bitemporal_matrix": etl_bitemporal_matrix,
     "etl_scd2_point_in_time": etl_scd2_point_in_time,
     "etl_scd2_validity_audit": etl_scd2_validity_audit,
     "etl_scd2_merge": etl_scd2_merge,

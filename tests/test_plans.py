@@ -415,15 +415,30 @@ def test_results_invariant_to_shuffle_parallelism(spark):
     scoring) re-run with shuffle.partitions=1 must equal the 32-way
     results exactly — double-accumulation designs fail this (sum
     order changes the last ulp)."""
-    keys = ("q1_pricing_summary", "etl_star_flagship", "text_unigram_lm_score")
+    # round-8 extensions: the distributed prefix-sum consumers (A72
+    # weighted quantiles ride sampled range partitions — the exact
+    # place a parallelism dependence would hide), the rank·decimal
+    # Gini fold, and the DSIR log-ratio accumulation
+    keys = (
+        "q1_pricing_summary",
+        "etl_star_flagship",
+        "text_unigram_lm_score",
+        "agg_weighted_quantiles",
+        "revenue_gini_index",
+        "sample_importance_dsir",
+    )
     qs = entrymod.queries()
-    wide = {k: sorted(tuple(r) for r in qs[k](spark, SF_CORRECT).collect()) for k in keys}
+    wide = {}
+    for k in keys:
+        wide[k] = sorted(tuple(r) for r in qs[k](spark, SF_CORRECT).collect())
+        spark.catalog.clearCache()
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "1")
         for k in keys:
             narrow = sorted(tuple(r) for r in qs[k](spark, SF_CORRECT).collect())
             assert narrow == wide[k], f"{k}: result depends on shuffle parallelism"
+            spark.catalog.clearCache()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 

@@ -73,153 +73,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. The driver's last gate
-# run produced the r4 rows, so EVERYTHING added in build rounds 5-7
-# has never had a driver row; rotation order:
-#   1. round-7 additions, 2. round-6 additions, 3. round-5 additions
-#      (all never-gated — more than one 50-row gate will take to
-#      clear; later rounds keep rotating),
+# whatever keys most need a FRESH driver row. After the r5 gate,
+# 73 oracle-paired keys have NEVER had a driver row (cumulative scan of
+# CORRECTNESS_r01..r05); they fill the front of the queue — the r6 gate
+# takes the first 50, the remaining 23 clear in r7. Rotation order:
+#   1. the 73 never-gated oracle-paired keys (50-row cap leaves 23 for
+#      the next round),
+#   2. rows-only keys newly upgraded with independent-hash oracles this
+#      round (need a fresh driver row to convert no_oracle → pass),
+#   3. never-gated keys that legitimately ship no oracle (sketch/ANN/
+#      k-means cross-engine nondeterminism) — rows-only by design, so
+#      they sit below every oracle-paired ungated key,
 #   4. keys whose newest driver row is r1, then r3,
-#   5. the tail: r4-refreshed keys, re-verified locally by pytest.
+#   5. the tail: r4/r5-passed keys, re-verified locally by pytest.
 _PRIORITY = (
-    # --- round-8 additions (42 keys, newest first-in — none has ever
-    #     had a driver row; under the 50-row gate cap they leave ~8
-    #     slots for the round-7 keys below, and later rounds keep
-    #     rotating) ---
-    "market_basket_rules",
-    "events_markov_transitions",
-    "customer_rfm_segments",
-    "pareto_abc_classes",
-    "sales_growth_report",
-    "ab_welch_ttest",
-    "sample_importance_dsir",
-    "etl_merge_clause_matrix",
-    "stream_markov_transitions",
-    "events_top_paths",
-    "events_seasonal_baseline",
-    "etl_benford_audit",
-    "text_bigram_lm_score",
-    "multimodal_phash_dedup",
-    "source_corrupt_records",
-    "graph_kcore",
-    "events_conversion_lag",
-    "etl_scd2_point_in_time",
-    "etl_scd2_validity_audit",
-    "agg_robust_outliers",
-    "agg_group_ols",
-    "text_novelty_decay",
-    "text_chunk_udtf",
-    "etl_lake_manifest",
-    "sample_softdedup_weights",
-    "events_sequence_match",
-    "stream_novelty_rate",
-    "multimodal_scene_cuts",
-    "source_format_roundtrip",
-    "item_similarity_cf",
-    "text_bpe_roundtrip",
-    "pipeline_analytics_mart",
-    "ab_aa_calibration",
-    "stream_pit_enrichment",
-    "events_dau_wau_stickiness",
-    "etl_freshness_report",
-    "customer_tier_migration",
-    "agg_weighted_quantiles",
-    "revenue_gini_index",
-    "text_quality_psi",
-    "etl_calendar_gaps",
-    "stream_freshness_monitor",
-    "etl_key_discovery",
-    "sample_temperature_mix",
-    "etl_bitemporal_matrix",
-    # --- round-7 additions (need a first driver row) ---
-    "events_rolling_distinct",
-    "events_range_frame_window",
-    "fuzzy_distance_matrix",
-    "agg_equidepth_histogram",
-    "etl_expectations_report",
+    # --- never-gated, oracle-paired (73 keys; r6 gate takes first 50) ---
+    "etl_dynamic_partition_overwrite",
+    "etl_write_audit_publish",
+    "etl_aggregate_retract",
+    "etl_reject_routing",
+    "etl_snapshot_diff",
     "etl_backfill_plan",
-    "text_hashed_tf",
-    "ml_logreg_quality",
-    "graph_triangle_count",
-    "sample_group_aware_split",
-    "dedup_leakproof_split",
-    "stream_quota_per_source",
-    "ann_ivf_incremental",
     "etl_erasure_propagation",
-    "text_corpus_datasheet",
-    "pipeline_training_data",
-    "decimal_semantics_matrix",
-    "etl_scd_type_matrix",
-    "null_ordering_matrix",
     "etl_ri_audit",
-    "text_lang_confusion",
-    "q4_order_priority_v2",
-    "q17_small_qty_revenue_v2",
-    "lateral_join_topn",
     "etl_observed_load",
-    "string_function_matrix",
-    "dedup_threshold_curve",
-    "events_funnel_conversion",
-    "text_quality_dedup_interaction",
-    "stream_funnel",
-    "multimodal_blob_dedup",
-    "json_function_matrix",
     "etl_multisource_harmonize",
-    "dedup_span_excise",
-    "asof_direction_matrix",
-    "timeseries_feature_frame",
     "etl_entity_resolution",
     "etl_surrogate_hwm",
-    "sample_mixture_epochs",
     "etl_masked_export",
-    "source_federated_formats",
-    # --- round-6 additions (need a first driver row) ---
-    "interval_islands",
-    "text_gopher_quality",
+    "etl_scd_type_matrix",
     "dedup_source_overlap",
-    "dedup_semantic_semdedup",
-    "text_bpe_encode",
-    "etl_dynamic_partition_overwrite",
-    "stream_left_outer_join",
-    "text_chunk_documents",
-    "sample_pack_sequences",
-    "events_time_weighted_avg",
+    "dedup_duplicate_spans",
+    "dedup_leakproof_split",
+    "dedup_threshold_curve",
+    "dedup_span_excise",
     "ann_sparse_tfidf_topk",
-    "ml_pagerank_bipartite",
-    "etl_write_audit_publish",
-    "skew_key_diagnostics",
-    "etl_aggregate_retract",
-    "agg_filter_clause_matrix",
+    "embedding_int8_quantize",
+    "text_chunk_documents",
+    "text_chunk_dedup_stats",
+    "text_perplexity_buckets",
+    "text_quality_terciles",
+    "text_gopher_quality",
+    "text_hashed_tf",
+    "text_corpus_datasheet",
+    "text_lang_confusion",
+    "text_quality_dedup_interaction",
+    "multimodal_blob_dedup",
+    "sample_pack_sequences",
+    "sample_group_aware_split",
+    "sample_mixture_epochs",
+    "pipeline_training_data",
+    "graph_triangle_count",
+    "stream_left_outer_join",
     "stream_dedup_within_watermark",
+    "stream_quota_per_source",
+    "stream_funnel",
+    "stream_topk",
+    "source_binary_files",
+    "source_federated_formats",
+    "interval_islands",
+    "skew_key_diagnostics",
+    "agg_filter_clause_matrix",
     "lateral_explode_matrix",
     "map_function_matrix",
     "datetime_function_matrix",
     "subquery_semantics_matrix",
-    "text_chunk_dedup_stats",
-    "q12_priority_classes_v2",
-    "q19_disjunctive_filter_v2",
-    # --- round-5 additions: the driver gate has not run since rounds
-    #     5-7 landed (last driver row set is r4), so these have never
-    #     had a driver row either — they outrank keys that at least
-    #     carry an old row ---
+    # ---- 50-row cap lands about here; the 23 below clear in r7 ----
+    "agg_argmax_no_window",
+    "recursive_cte_closure",
     "sort_global_rank",
     "agg_mode_per_group",
-    "ann_ivfpq_topk",
-    "stream_topk",
+    "decimal_semantics_matrix",
+    "null_ordering_matrix",
+    "lateral_join_topn",
+    "string_function_matrix",
     "window_function_matrix",
-    "etl_reject_routing",
-    "etl_snapshot_diff",
-    "embedding_int8_quantize",
-    "text_perplexity_buckets",
-    "text_quality_terciles",
-    "dedup_duplicate_spans",
-    "recursive_cte_closure",
+    "events_time_weighted_avg",
+    "events_anomaly_zscore",
+    "events_funnel_conversion",
+    "json_function_matrix",
+    "asof_direction_matrix",
+    "timeseries_feature_frame",
     "events_variant_extract",
-    "agg_argmax_no_window",
-    "source_binary_files",
-    "stream_late_data_accounting",
+    "q4_order_priority_v2",
+    "q17_small_qty_revenue_v2",
+    "q12_priority_classes_v2",
+    "q19_disjunctive_filter_v2",
+    "q9_product_profit_v2",
+    "q10_returned_items_v2",
+    "q18_large_orders_v2",
+    # --- rows-only keys upgraded with independent-hash oracles in r6:
+    #     need a fresh driver row to convert no_oracle → pass ---
+    "dedup_minhash_lsh",
+    "multimodal_scene_cuts",
+    "multimodal_phash_dedup",
+    "graph_kcore",
+    # --- never-gated, no oracle by design (cross-engine nondeterminism
+    #     or non-SQL iterative algorithms): rows-only driver signal ---
+    "dedup_semantic_semdedup",
+    "ann_ivfpq_topk",
+    "ann_ivf_incremental",
+    "text_bpe_encode",
     "multimodal_audio_energy",
     "multimodal_image_resize",
+    "ml_pagerank_bipartite",
+    "ml_logreg_quality",
+    "stream_late_data_accounting",
+    "sketch_count_min_tokens",
     # --- keys still carrying r1 driver rows ---
     "events_tumbling_window",
     "events_funnel",
@@ -229,7 +189,7 @@ _PRIORITY = (
     "events_rolling_window",
     "events_value_band_join",
     "events_retention_cohorts",
-    # --- cut off below the r5 cap: oldest remaining (r3 rows) ---
+    # --- oldest remaining full-pass rows (r3) ---
     "etl_extract_conform",
     "etl_scd2_merge",
     "etl_load_audit",
@@ -243,12 +203,11 @@ _PRIORITY = (
     "set_ops_customers",
     "agg_distinct_exact",
     "agg_percentiles",
-    # --- tail: r4-refreshed keys whose code is untouched since; they
+    # --- tail: r4/r5-passed keys whose code is untouched since; they
     #     keep their driver signal and pytest re-verifies locally ---
     "sample_weighted_aes",
     "text_vocab_topk",
     "text_bigram_pairs",
-    "events_anomaly_zscore",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",

@@ -164,27 +164,60 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 8 bands x 4 rows
 
+# Portable universal-hash family h_i(x) = (a_i*x + b_i) mod P over a
+# base value derived from md5 — identical arithmetic in Spark and
+# DuckDB, so the ORACLE reproduces signatures (and therefore the LSH
+# candidate set and the verified pair set) bit-for-bit. P = 2^31 - 1
+# keeps a_i*base < 2^62: no 64-bit overflow on either engine (Spark
+# would silently wrap, DuckDB would raise — both avoided). Constants
+# come from a fixed-seed LCG, not random.Random (whose randrange
+# changed across Python versions).
+_MH_P = 2147483647
+
+
+def _lcg_pairs(n: int, seed: int = 0x5EED) -> tuple[tuple[int, int], ...]:
+    x, vals = seed, []
+    for _ in range(2 * n):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 64)
+        vals.append(x % (_MH_P - 2) + 1)  # in [1, P-2]: never the zero map
+    return tuple((vals[2 * i], vals[2 * i + 1]) for i in range(n))
+
+
+MINHASH_AB = _lcg_pairs(MINHASH_PERMS)
+
+# md5 prefix of 15 hex chars = 60 bits: fits BIGINT/UBIGINT exactly
+_MH_BASE_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(sh), 1, 15)) AS UBIGINT)"
+    f" % {_MH_P} AS BIGINT)"
+)
+
 
 def minhash_signatures(sh: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
-    """One minhash per seeded hash-family member: min(xxhash64(sh, i))
-    per doc — the classic k-hash-functions construction; one
-    aggregation pass computes all k. xxhash64 is engine-internal but
-    deterministic across runs, which is all a rows-only sketch needs
-    (portable-hash variants would use md5 — ~5x slower, measured)."""
+    """One minhash per hash-family member: min((a_i*base + b_i) mod P)
+    per doc, base = md5-derived 60-bit value mod P — the classic
+    k-hash-functions construction; one aggregation pass computes all
+    k. One md5 per shingle feeds all k members (32 separate md5 calls
+    would be ~5x slower, measured), and the family is portable: the
+    DuckDB oracle replays the identical signatures."""
+    base = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("bigint") % _MH_P
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"mh{i}")
-        for i in range(n_perms)
+        F.min((F.lit(a).cast("bigint") * base + F.lit(b)) % _MH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_perms])
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, n_perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> DataFrame:
-    """Band the signature, hash each band, bucket-join: only docs
-    agreeing on a full band ever meet — the O(n²) pair space never
-    materializes."""
+    """Band the signature, key each band by the joined signature
+    values, bucket-join: only docs agreeing on a full band ever meet —
+    the O(n²) pair space never materializes. The band key is the
+    plain 'v0|v1|...' string (not an engine-internal hash) so the
+    oracle's bucket join sees identical keys."""
     rows = n_perms // bands
     band_cols = [
-        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sigs.select("doc_id", *band_cols)
@@ -231,15 +264,67 @@ def verify_candidate_jaccard(
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — MinHash + LSH near-dup: signatures → banded candidates →
-    exact Jaccard verification on candidates only. (Rows-only check:
-    recall is probabilistic by construction; the exact twin
-    dedup_ngram_jaccard carries the value oracle.)"""
+    exact Jaccard verification on candidates only. The hash family is
+    the portable md5-based one (MINHASH_AB), so the DuckDB oracle
+    replays signatures → bands → candidates → verified pairs
+    bit-for-bit: recall stays probabilistic in general, but for a
+    FIXED family the output is deterministic and value-checkable."""
     # the shingle set feeds three subtrees (signatures, verification
     # sides, sizes) — the memoized persist means tokenization runs
     # once, not four times (and once across the whole dedup family)
     sh = _doc_shingles(spark, sf_dir)
     candidates = lsh_candidate_pairs(minhash_signatures(sh))
     return verify_candidate_jaccard(sh, candidates, JACCARD_THRESHOLD)
+
+
+def _minhash_oracle_sql() -> str:
+    rows = MINHASH_PERMS // LSH_BANDS
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * base + {b}) % {_MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {idx} AS band_idx, concat_ws('|', {cols}) AS sig FROM sigs".format(
+            idx=b,
+            cols=", ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS sh FROM documents
+),
+hx AS (
+  SELECT doc_id, sh, {_MH_BASE_SQL} AS base FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+  GROUP BY c.a, c.b
+)
+SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
 
 
 SIMHASH_BITS = 60

@@ -2189,6 +2189,14 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(digit.alias("digit"))
         .agg(F.count("*").alias("observed"))
     )
+    # left-join onto a constant 1..9 spine: a digit that never occurs
+    # must still report observed=0 with its FULL expected-count chi2
+    # component — the largest deviation a fraud screen exists to
+    # surface would otherwise silently produce no row at all
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    obs = spine.join(F.broadcast(obs), "digit", "left").select(
+        "digit", F.coalesce(F.col("observed"), F.lit(0)).alias("observed")
+    )
     tot = orders.filter(F.col("o_totalprice") > 0).agg(
         F.count("*").cast("double").alias("n")
     )
@@ -2211,10 +2219,14 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["etl_benford_audit"] = """
-WITH obs AS (
+WITH raw AS (
   SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '([1-9])', 1) AS INT) AS digit,
          COUNT(*) AS observed
   FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+obs AS (
+  SELECT CAST(s.d AS INT) AS digit, COALESCE(raw.observed, 0) AS observed
+  FROM range(1, 10) s(d) LEFT JOIN raw ON raw.digit = s.d
 ),
 tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders WHERE o_totalprice > 0)
 SELECT digit, observed,

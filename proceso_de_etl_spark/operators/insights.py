@@ -459,21 +459,34 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
     ma = F.col("s1a") / F.col("na")
     mb = F.col("s1b") / F.col("nb")
-    va = F.greatest(
-        (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("na"))
-        / (F.col("na") - 1),
-        F.lit(0.0),
-    )
-    vb = F.greatest(
-        (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("nb"))
-        / (F.col("nb") - 1),
-        F.lit(0.0),
-    )
+    # degenerate-group guards: n=1 groups get variance 0 explicitly
+    # (Spark's non-ANSI x/0 -> NULL vs DuckDB's IEEE x/0 -> inf would
+    # otherwise diverge), and the t/df pair is NULL — on both engines —
+    # whenever either arm is a singleton or both variances are zero
+    va = F.when(
+        F.col("na") > 1,
+        F.greatest(
+            (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("na"))
+            / (F.col("na") - 1),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    vb = F.when(
+        F.col("nb") > 1,
+        F.greatest(
+            (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("nb"))
+            / (F.col("nb") - 1),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
     sea = va / F.col("na")
     seb = vb / F.col("nb")
-    t = (ma - mb) / F.sqrt(sea + seb)
-    df = (sea + seb) * (sea + seb) / (
-        sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)
+    defined = (F.col("na") > 1) & (F.col("nb") > 1) & (sea + seb > 0)
+    t = F.when(defined, (ma - mb) / F.sqrt(sea + seb))
+    df = F.when(
+        defined,
+        (sea + seb) * (sea + seb)
+        / (sea * sea / (F.col("na") - 1) + seb * seb / (F.col("nb") - 1)),
     )
     return j.select(
         "type_a",
@@ -497,17 +510,23 @@ WITH mom AS (
 se AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
          a.n AS na, b.n AS nb, a.s1 AS s1a, b.s1 AS s1b,
-         GREATEST((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1), 0) / a.n AS sea,
-         GREATEST((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1), 0) / b.n AS seb
+         CASE WHEN a.n > 1
+              THEN GREATEST((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1), 0) / a.n
+              ELSE 0 END AS sea,
+         CASE WHEN b.n > 1
+              THEN GREATEST((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1), 0) / b.n
+              ELSE 0 END AS seb
   FROM mom a JOIN mom b ON a.event_type < b.event_type
 )
 SELECT type_a, type_b,
        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        ROUND(s1a / na, 6) AS mean_a,
        ROUND(s1b / nb, 6) AS mean_b,
-       ROUND((s1a / na - s1b / nb) / SQRT(sea + seb), 6) AS t_stat,
-       ROUND((sea + seb) * (sea + seb)
-             / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) AS welch_df
+       CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+            THEN ROUND((s1a / na - s1b / nb) / SQRT(sea + seb), 6) END AS t_stat,
+       CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+            THEN ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6) END AS welch_df
 FROM se
 """
 
@@ -539,10 +558,20 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.first("med").alias("median_value"),
             F.first("mad").alias("mad"),
+            # mad=0 guard: Spark's non-ANSI x/0 -> NULL (row silently
+            # not counted) vs DuckDB's IEEE x/0 -> inf (row counted)
+            # would diverge the moment >50% of a group equals its
+            # median, so the degenerate case is pinned explicitly: a
+            # zero-MAD group reports zero outliers on both engines
             F.count(
                 F.when(
-                    F.abs(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"))
-                    > 3.5,
+                    (F.col("mad") > 0)
+                    & (
+                        F.abs(
+                            0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+                        )
+                        > 3.5
+                    ),
                     1,
                 )
             ).alias("n_outliers"),
@@ -566,7 +595,9 @@ mad AS (
 SELECT d.event_type, COUNT(*) AS n,
        MIN(d.med) AS median_value,
        MIN(a.mad) AS mad,
-       COUNT(CASE WHEN ABS(0.6745 * (d.value - d.med) / a.mad) > 3.5 THEN 1 END) AS n_outliers
+       COUNT(CASE WHEN a.mad > 0
+                   AND ABS(0.6745 * (d.value - d.med) / a.mad) > 3.5
+             THEN 1 END) AS n_outliers
 FROM dev d JOIN mad a ON d.event_type = a.event_type
 GROUP BY d.event_type
 """
@@ -740,17 +771,31 @@ def ab_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = a.crossJoin(F.broadcast(b))
     ma, mb = F.col("s1a") / F.col("na"), F.col("s1b") / F.col("nb")
-    va = F.greatest(
-        (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("na"))
-        / (F.col("na") - 1),
-        F.lit(0.0),
+    # same degenerate-group guards as ab_welch_ttest: singleton arms
+    # get variance 0 explicitly, and t is NULL on both engines when
+    # either arm is a singleton or both variances vanish (Spark x/0 ->
+    # NULL vs DuckDB x/0 -> inf would otherwise diverge)
+    va = F.when(
+        F.col("na") > 1,
+        F.greatest(
+            (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("na"))
+            / (F.col("na") - 1),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    vb = F.when(
+        F.col("nb") > 1,
+        F.greatest(
+            (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("nb"))
+            / (F.col("nb") - 1),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    se2 = va / F.col("na") + vb / F.col("nb")
+    t = F.when(
+        (F.col("na") > 1) & (F.col("nb") > 1) & (se2 > 0),
+        (ma - mb) / F.sqrt(se2),
     )
-    vb = F.greatest(
-        (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("nb"))
-        / (F.col("nb") - 1),
-        F.lit(0.0),
-    )
-    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
     return j.select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
@@ -783,11 +828,19 @@ ab AS (
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, ua, ub,
        ROUND(s1a / na, 6) AS mean_a,
        ROUND(s1b / nb, 6) AS mean_b,
-       ROUND((s1a / na - s1b / nb)
-             / SQRT(GREATEST((s2a - s1a * s1a / na) / (na - 1), 0) / na
-                  + GREATEST((s2b - s1b * s1b / nb) / (nb - 1), 0) / nb), 6) AS t_stat,
+       CASE WHEN na > 1 AND nb > 1 AND se2 > 0
+            THEN ROUND((s1a / na - s1b / nb) / SQRT(se2), 6) END AS t_stat,
        ABS(na - nb) / (na + nb) < 0.05 AS balanced
-FROM ab
+FROM (
+  SELECT ab.*,
+         CASE WHEN na > 1
+              THEN GREATEST((s2a - s1a * s1a / na) / (na - 1), 0) / na
+              ELSE 0 END
+       + CASE WHEN nb > 1
+              THEN GREATEST((s2b - s1b * s1b / nb) / (nb - 1), 0) / nb
+              ELSE 0 END AS se2
+  FROM ab
+)
 """
 
 

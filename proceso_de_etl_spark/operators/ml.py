@@ -558,11 +558,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     as A59's triangle count; see ``kcore_edges`` for the peeling
     loop's scale shape. One summary row: surviving node/edge counts,
     degree extremes inside the core (min must be ≥ k — asserted by
-    the unit golden test, not just claimed), and an id checksum so
-    the driver's rows-only gate still pins membership drift.
-    (Rows-only: recursive delete-and-reaggregate is not expressible
-    in DuckDB's recursive CTEs; the unit test golden-pins the
-    peeling against a hand-computed graph.)"""
+    the unit golden test, not just claimed), and an id checksum
+    that pins membership drift. Value-oracled via a fixed-unroll
+    peel ladder: delete-and-reaggregate doesn't fit DuckDB's
+    recursive CTEs, but peeling is IDEMPOTENT once converged, so
+    unrolling KCORE_ORACLE_UNROLL rounds (4x the measured 1-2
+    rounds at gate scale) replays the exact fixpoint."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
@@ -595,6 +596,53 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_core_deg",
         "node_checksum",
     )
+
+
+# Measured convergence: 1 round at sf0.01, 2 at sf0.1. 8 unrolled
+# rounds is 4x margin; tests/test_sketches.py asserts the real loop
+# converges within this budget at the gate SF so the ladder can never
+# silently under-peel.
+KCORE_ORACLE_UNROLL = 8
+
+
+def _kcore_oracle_sql() -> str:
+    rounds = []
+    for i in range(1, KCORE_ORACLE_UNROLL + 1):
+        p = i - 1
+        rounds.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node FROM (SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p})
+  GROUP BY node HAVING COUNT(*) < {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u NOT IN (SELECT node FROM l{i}) AND v NOT IN (SELECT node FROM l{i})
+)"""
+        )
+    n = KCORE_ORACLE_UNROLL
+    ladder = ",\n".join(rounds)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+{ladder},
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e{n} UNION ALL SELECT v FROM e{n})
+  GROUP BY node
+)
+SELECT {KCORE_K} AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_core_nodes,
+       (SELECT COUNT(*) FROM e{n}) AS n_core_edges,
+       (SELECT CAST(COALESCE(MIN(deg), 0) AS BIGINT) FROM deg) AS min_core_deg,
+       (SELECT CAST(COALESCE(MAX(deg), 0) AS BIGINT) FROM deg) AS max_core_deg,
+       (SELECT CAST(COALESCE(SUM(node), 0) AS BIGINT) FROM deg) AS node_checksum
+"""
+
+
+ORACLES["graph_kcore"] = _kcore_oracle_sql()
 
 
 QUERIES = {

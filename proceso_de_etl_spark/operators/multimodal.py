@@ -523,6 +523,89 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("keeper_a", "keeper_b")
 
 
+def _phash_oracle_sql() -> str:
+    """DuckDB twin of multimodal_phash_dedup: replays the dHash from
+    hex(encode(text)) — np.resize tiling = byte[(i*64+j) % len],
+    block means compare as exact integer block SUMS (both sides
+    divide by the same positive constant, so sum>sum ⟺ mean>mean
+    with no float in the loop), the 64-bit pack uses signed weights
+    (MSB weight = -2^63: the int64 two's-complement value directly),
+    and the 4 pigeonhole band joins + hamming filter mirror the
+    Spark plan clause-for-clause."""
+    side, canvas = PHASH_SIDE, PHASH_CANVAS
+    cols = side + 1
+    block_r, block_c = canvas // side, canvas // cols
+    use_c = block_c * cols
+    pw_rows = []
+    for k in range(side * side):
+        bitpos = side * side - 1 - k
+        swgt = -(1 << 63) if bitpos == 63 else (1 << bitpos)
+        bw = [0] * PHASH_BANDS
+        bw[bitpos // 16] = 1 << (bitpos % 16)
+        pw_rows.append(f"({k}, {swgt}, {', '.join(map(str, bw))})")
+    pw_values = ",\n    ".join(pw_rows)
+    band_cols = ", ".join(f"b{i}" for i in range(PHASH_BANDS))
+    band_sums = ",\n         ".join(
+        f"CAST(SUM(b.bit * pw.b{i}w) AS BIGINT) AS b{i}" for i in range(PHASH_BANDS)
+    )
+    band_joins = "\n  UNION ALL\n  ".join(
+        f"""SELECT x.phash AS ph_a, x.n_docs AS n_a, x.keeper_doc AS keeper_a,
+         y.phash AS ph_b, y.n_docs AS n_b, y.keeper_doc AS keeper_b
+  FROM clusters x JOIN clusters y ON x.b{i} = y.b{i} AND x.phash <= y.phash"""
+        for i in range(PHASH_BANDS)
+    )
+    bw_cols = ", ".join(f"b{i}w" for i in range(PHASH_BANDS))
+    return f"""
+WITH media AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+  FROM documents
+),
+cell AS (
+  SELECT m.doc_id, (t.k // {canvas}) // {block_r} AS r, (t.k % {canvas}) // {block_c} AS c,
+         CASE WHEN m.len = 0 THEN 0
+              ELSE CAST(concat('0x', substr(m.hx, 2 * (t.k % m.len) + 1, 2)) AS BIGINT)
+         END AS val
+  FROM media m, unnest(generate_series(0, {canvas * canvas - 1})) AS t(k)
+  WHERE (t.k % {canvas}) < {use_c}
+),
+blocks AS (SELECT doc_id, r, c, SUM(val) AS s FROM cell GROUP BY 1, 2, 3),
+bits AS (
+  SELECT doc_id, r * {side} + c AS k,
+         CASE WHEN s > LEAD(s) OVER (PARTITION BY doc_id, r ORDER BY c)
+              THEN 1 ELSE 0 END AS bit
+  FROM blocks
+  QUALIFY c < {side}
+),
+pw(k, swgt, {bw_cols}) AS (
+  VALUES
+    {pw_values}
+),
+hashes AS (
+  SELECT b.doc_id,
+         CAST(SUM(b.bit * pw.swgt) AS BIGINT) AS phash,
+         {band_sums}
+  FROM bits b JOIN pw ON pw.k = b.k
+  GROUP BY 1
+),
+clusters AS (
+  SELECT phash, {band_cols}, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc
+  FROM hashes GROUP BY ALL
+),
+cand AS (
+  {band_joins}
+)
+SELECT DISTINCT keeper_a, keeper_b, n_a, n_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming,
+       CAST(CASE WHEN ph_a = ph_b THEN n_a - 1 ELSE LEAST(n_a, n_b) END AS BIGINT) AS n_foldable
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
+  AND (keeper_a <> keeper_b OR n_a > 1)
+"""
+
+
+ORACLES["multimodal_phash_dedup"] = _phash_oracle_sql()
+
+
 SCENE_FRAME_BYTES = 256
 SCENE_CUT_THRESHOLD = 12.0  # mean-intensity jump that counts as a cut
 
@@ -570,15 +653,54 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T67 — scene-change detection plumbing: per asset, frame-mean
     intensity series → cut count + cut-index checksum (the summary a
     keyframe sampler consumes). Arrow-batched mapInPandas, numpy
-    vectorized, partitioning untouched. (Rows-only: the framing of
-    multibyte text payloads has no SQL twin; the unit test pins
-    goldens on literal payloads with planted intensity jumps.)"""
+    vectorized, partitioning untouched. Value-oracled: the stub
+    payload is the utf-8 text bytes, so DuckDB recomputes the frame
+    means byte-for-byte from hex(encode(text)) — frame sums are exact
+    integers, /256.0 is a power-of-two division, so the float means
+    and the >threshold cuts are bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return media.select("doc_id", "payload").mapInPandas(
         make_scene_detector(SCENE_FRAME_BYTES, SCENE_CUT_THRESHOLD),
         schema="doc_id bigint, n_frames bigint, n_cuts bigint, cut_checksum bigint",
     )
+
+
+# cuts = frame indices whose mean jumps >threshold vs the PREVIOUS
+# frame (numpy: flatnonzero(|diff|>t)+1 — the +1 is the LAG form).
+# The last frame is zero-PADDED to 256 bytes, so its SUM/256.0 mean
+# matches numpy's padded reshape exactly.
+ORACLES["multimodal_scene_cuts"] = f"""
+WITH media AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, (t.p - 1) // {SCENE_FRAME_BYTES} AS frame_idx,
+         CAST(concat('0x', substr(hx, 2 * t.p - 1, 2)) AS BIGINT) AS val
+  FROM media, unnest(generate_series(1, len)) AS t(p)
+),
+frames AS (
+  SELECT doc_id, frame_idx, SUM(val) / {SCENE_FRAME_BYTES}.0 AS m
+  FROM bytes GROUP BY 1, 2
+),
+jumps AS (
+  SELECT doc_id, frame_idx,
+         ABS(m - LAG(m) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS jump
+  FROM frames
+),
+cuts AS (
+  SELECT doc_id,
+         COUNT(CASE WHEN jump > {SCENE_CUT_THRESHOLD} THEN 1 END) AS n_cuts,
+         CAST(COALESCE(SUM(CASE WHEN jump > {SCENE_CUT_THRESHOLD} THEN frame_idx END), 0) AS BIGINT) AS cut_checksum
+  FROM jumps GROUP BY 1
+)
+SELECT m.doc_id,
+       CAST((m.len + {SCENE_FRAME_BYTES - 1}) // {SCENE_FRAME_BYTES} AS BIGINT) AS n_frames,
+       COALESCE(c.n_cuts, 0) AS n_cuts,
+       COALESCE(c.cut_checksum, 0) AS cut_checksum
+FROM media m LEFT JOIN cuts c ON c.doc_id = m.doc_id
+"""
 
 
 QUERIES = {

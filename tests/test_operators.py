@@ -1011,6 +1011,49 @@ def test_kcore_peeling_golden(spark):
         assert got == ref_kcore(edges, k), f"k={k}"
 
 
+def test_kcore_converges_within_oracle_unroll():
+    """The graph_kcore ORACLE is a fixed KCORE_ORACLE_UNROLL-round
+    peel ladder — correct only if the real fixpoint lands within
+    that budget at the gate SF. Pin it with a DuckDB replica of the
+    peel (measured: 1 round at sf0.01, 2 at sf0.1 — budget 8), so a
+    testdata or K change that needs deeper peeling fails HERE, not
+    as a silent oracle mismatch."""
+    import duckdb
+
+    from proceso_de_etl_spark.operators.ml import KCORE_K, KCORE_ORACLE_UNROLL
+    from tests.conftest import SF_CORRECT
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_CORRECT}/lineitem.parquet')"
+    )
+    con.execute(
+        """CREATE TABLE e AS
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+        SELECT DISTINCT a.p AS u, b.p AS v FROM op a JOIN op b
+        ON a.ok = b.ok AND a.p < b.p"""
+    )
+    low_sql = f"""SELECT COUNT(*) FROM (
+        SELECT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node HAVING COUNT(*) < {KCORE_K})"""
+    rounds = 0
+    while con.sql(low_sql).fetchone()[0] > 0:
+        rounds += 1
+        assert rounds <= KCORE_ORACLE_UNROLL, (
+            f"peel needs more than the {KCORE_ORACLE_UNROLL}-round oracle budget"
+        )
+        con.execute(
+            f"""CREATE OR REPLACE TABLE e AS
+            WITH d AS (
+              SELECT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node HAVING COUNT(*) < {KCORE_K})
+            SELECT u, v FROM e
+            WHERE u NOT IN (SELECT node FROM d) AND v NOT IN (SELECT node FROM d)"""
+        )
+    con.close()
+
+
 def test_multimodal_scene_cuts_golden(spark):
     """Scene detector: planted intensity jumps → exact cut indices
     (numpy-reference golden), flat content → zero cuts."""

@@ -46,6 +46,32 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[Column]) -> 
     )
 
 
+ENUM_WINDOW_MAX = 100_000
+
+
+def _enum_guard(df: DataFrame, id_col: str, bound: int = ENUM_WINDOW_MAX) -> DataFrame:
+    """Plan-side cardinality guard for the single-task id-assignment
+    steps (extract_dimension's coalesce(1), etl_surrogate_hwm's
+    unpartitioned dense_rank): both are safe only BECAUSE their input
+    is enum-sized distinct dimension values. Any assigned id above
+    ``bound`` now fails the job loudly — assert_true inside a filter,
+    so the check rides the existing plan (no extra action) and cannot
+    be pruned — instead of silently funneling a data-sized frame
+    through one task."""
+    return df.filter(
+        F.coalesce(
+            F.assert_true(
+                F.col(id_col) <= F.lit(bound),
+                F.lit(
+                    f"enum-window guard: {id_col} exceeded {bound} distinct "
+                    "values; repartition the id assignment instead"
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+    )
+
+
 def extract_dimension(df: DataFrame, value_col: str, id_col: str, name_col: str) -> DataFrame:
     """Distinct values → dimension with dense, stable surrogate keys
     (reference main.py:92-100 + IDENTITY columns in its DDL). A
@@ -64,13 +90,14 @@ def extract_dimension(df: DataFrame, value_col: str, id_col: str, name_col: str)
     ``dense_rank() OVER (ORDER BY name)`` because the values are
     distinct."""
     distinct = df.select(F.col(value_col).alias(name_col)).dropna().distinct()
-    return (
+    return _enum_guard(
         distinct.coalesce(1)
         .sortWithinPartitions(name_col)
         .select(
             (F.monotonically_increasing_id() + 1).cast("bigint").alias(id_col),
             name_col,
-        )
+        ),
+        id_col,
     )
 
 
@@ -1981,16 +2008,22 @@ def etl_surrogate_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    existing = initial.withColumn(
-        "id", F.dense_rank().over(W.orderBy("p_type")).cast("bigint")
+    existing = _enum_guard(
+        initial.withColumn(
+            "id", F.dense_rank().over(W.orderBy("p_type")).cast("bigint")
+        ),
+        "id",
     )
     hwm = existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("hwm"))
     new_vals = (
         part.select("p_type").distinct().join(existing.select("p_type"), "p_type", "left_anti")
     )
     new_rows = (
-        new_vals.withColumn(
-            "rk", F.dense_rank().over(W.orderBy("p_type")).cast("bigint")
+        _enum_guard(
+            new_vals.withColumn(
+                "rk", F.dense_rank().over(W.orderBy("p_type")).cast("bigint")
+            ),
+            "rk",
         )
         .join(F.broadcast(hwm))
         .select("p_type", (F.col("rk") + F.col("hwm")).alias("id"))

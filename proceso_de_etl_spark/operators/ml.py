@@ -380,6 +380,51 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One persisted co-purchase edge set per (session, sf_dir): the
+# triangle count (A59) and k-core (A77) consume the identical
+# distinct self-join of lineitem — before this cache each benched
+# query paid the same two shuffles independently. Same discipline as
+# dedup._SHINGLE_CACHE; ``unpersist_copurchase()`` releases storage
+# when a consumer batch (bench suite, test session) finishes.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (u < v) co-purchase part edges: parts are adjacent
+    when they co-occur in an order. Per-order pair generation is
+    bounded by orders' line counts (<=7 lineitems in TPC-H => <=21
+    pairs/order), so the self-join never goes quadratic in the
+    table. Persisted + memoized per (applicationId, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .persist()
+    )
+    _EDGE_CACHE[key] = und
+    return und
+
+
+def unpersist_copurchase() -> None:
+    """Release every cached co-purchase edge set; safe on a stopped
+    session (mirrors dedup.unpersist_shingles)."""
+    for df in _EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already gone - storage went with it
+    _EDGE_CACHE.clear()
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 — distributed triangle counting over the co-purchase part
     graph (parts are adjacent when they co-occur in an order), via
@@ -395,16 +440,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize. Per-order pair generation is bounded by orders'
     line counts (≤7 lineitems in TPC-H ⇒ ≤21 pairs/order).
     Reports nodes/edges/wedges/triangles in one row."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    und = copurchase_edges(spark, sf_dir)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -564,16 +600,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTEs, but peeling is IDEMPOTENT once converged, so
     unrolling KCORE_ORACLE_UNROLL rounds (4x the measured 1-2
     rounds at gate scale) replays the exact fixpoint."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-    )
+    und = copurchase_edges(spark, sf_dir)
     core = kcore_edges(und, KCORE_K)
     deg = (
         core.select(F.col("u").alias("node"))

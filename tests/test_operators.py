@@ -1,6 +1,8 @@
 """Unit semantics on tiny literal frames (SURVEY.md §5.2) — the edge
 cases the sf-level oracle comparisons can't isolate."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from proceso_de_etl_spark.functions.columns import clean_id
@@ -1081,3 +1083,23 @@ def test_multimodal_scene_cuts_golden(spark):
     assert got[1] == (5, 2, 2 + 4)
     assert got[2] == (5, 0, 0)
     assert got[3] == (1, 0, 0)
+
+
+def test_enum_window_guard(spark):
+    """The single-task id-assignment steps carry a plan-side
+    cardinality guard: ids within ENUM_WINDOW_MAX pass through
+    untouched, anything above fails the job loudly instead of
+    silently sorting a data-sized frame in one task."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from proceso_de_etl_spark.operators.etl import _enum_guard, extract_dimension
+
+    df = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    assert _enum_guard(df, "id", bound=10).count() == 5
+    with pytest.raises(SparkRuntimeException, match="enum-window guard"):
+        _enum_guard(df, "id", bound=3).collect()
+
+    dim = extract_dimension(
+        spark.createDataFrame([("b",), ("a",), ("b",)], "v string"), "v", "id", "name"
+    )
+    assert [(r.id, r.name) for r in dim.orderBy("id").collect()] == [(1, "a"), (2, "b")]

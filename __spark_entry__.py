@@ -162,20 +162,24 @@ _PRIORITY = (
     "q9_product_profit_v2",
     "q10_returned_items_v2",
     "q18_large_orders_v2",
-    # --- rows-only keys upgraded with independent-hash oracles in r6:
-    #     need a fresh driver row to convert no_oracle → pass ---
+    # --- rows-only keys upgraded with value oracles in r6 (portable
+    #     hash families / byte-level SQL replays): need a fresh driver
+    #     row to convert no_oracle → pass ---
     "dedup_minhash_lsh",
     "multimodal_scene_cuts",
     "multimodal_phash_dedup",
     "graph_kcore",
+    "dedup_simhash",
+    "dedup_incremental_minhash",
+    "multimodal_frame_sample",
+    "multimodal_image_resize",
+    "multimodal_audio_energy",
     # --- never-gated, no oracle by design (cross-engine nondeterminism
     #     or non-SQL iterative algorithms): rows-only driver signal ---
     "dedup_semantic_semdedup",
     "ann_ivfpq_topk",
     "ann_ivf_incremental",
     "text_bpe_encode",
-    "multimodal_audio_energy",
-    "multimodal_image_resize",
     "ml_pagerank_bipartite",
     "ml_logreg_quality",
     "stream_late_data_accounting",

@@ -277,7 +277,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_candidate_jaccard(sh, candidates, JACCARD_THRESHOLD)
 
 
-def _minhash_oracle_sql() -> str:
+def _mh_common_ctes() -> str:
+    """Shared CTE prefix: shingles → md5 base → 32 portable minhash
+    signatures → stacked band keys (the 'v0|v1|...' string form the
+    Spark side uses)."""
     rows = MINHASH_PERMS // LSH_BANDS
     sig_cols = ",\n         ".join(
         f"MIN(({a} * base + {b}) % {_MH_P}) AS mh{i}"
@@ -290,8 +293,7 @@ def _minhash_oracle_sql() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, unnest(list_distinct({_SH_SQL})) AS sh FROM documents
 ),
 hx AS (
@@ -305,26 +307,51 @@ sigs AS (
 bands AS (
   {band_selects}
 ),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y
-    ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)"""
+
+
+def _mh_verify_tail(select_cols: str) -> str:
+    """Exact-Jaccard verification over `cand` (a, b) pairs."""
+    return f"""inter AS (
   SELECT c.a, c.b, COUNT(*) AS inter
   FROM cand c
   JOIN sh x ON x.doc_id = c.a
   JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
   GROUP BY c.a, c.b
 )
-SELECT a, b, ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+SELECT {select_cols},
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""
+WITH {_mh_common_ctes()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+{_mh_verify_tail("a, b")}
+"""
+
+
+def _minhash_incremental_oracle_sql() -> str:
+    return f"""
+WITH {_mh_common_ctes()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.sig = y.sig
+  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+),
+{_mh_verify_tail("a AS batch_doc_id, b AS corpus_doc_id")}
 """
 
 
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle_sql()
+ORACLES["dedup_incremental_minhash"] = _minhash_incremental_oracle_sql()
 
 
 SIMHASH_BITS = 60
@@ -335,12 +362,22 @@ HAMMING_MAX = 3
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """60-bit SimHash: per-token xxhash64, each bit position votes
-    +count/-count, sign → bit. One groupBy(doc) computes all bits."""
+    """60-bit SimHash: per-token portable hash (md5-derived 60-bit
+    int — the dedup_minhash_lsh portability discipline, so the
+    DuckDB oracle replays fingerprints exactly), each bit position
+    votes +count/-count, sign → bit. The hash is materialized ONCE
+    per (doc, token) row through a projection boundary; the 60 bit
+    tests then read the column (inlined, each aggregate would
+    re-evaluate the md5). One groupBy(doc) computes all bits."""
     tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
     counted = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
-    h = F.xxhash64("tok")
-    bit_sums = counted.groupBy("doc_id").agg(
+    hashed = counted.select(
+        "doc_id",
+        "cnt",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("hb"),
+    )
+    h = F.col("hb")
+    bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.col("cnt")).otherwise(-F.col("cnt"))
@@ -356,8 +393,11 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — SimHash near-dup: banded 15-bit buckets propose
-    candidates, hamming distance <= HAMMING_MAX confirms. (Rows-only:
-    candidate recall is probabilistic, like any banded sketch.)"""
+    candidates, hamming distance <= HAMMING_MAX confirms. Value-
+    oracled: with the portable hash family the fingerprints, band
+    buckets, and confirmed pairs are all integer-deterministic, so
+    DuckDB replays the whole chain (recall stays probabilistic in
+    general; for the FIXED family the output is exact)."""
     docs = load_table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs)
     width = SIMHASH_BITS // SIMHASH_BANDS
@@ -387,6 +427,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
     return pairs.select("a", "b", "hamming")
+
+
+def _simhash_oracle_sql() -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    s_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (hb >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp_sum = "\n         + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx,"
+        f" (simhash >> {b * width}) & {(1 << width) - 1} AS sig FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+counted AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hashed AS (
+  SELECT doc_id, cnt,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS hb
+  FROM counted
+),
+bitsums AS (
+  SELECT doc_id,
+         {s_cols}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {fp_sum} AS simhash
+  FROM bitsums
+),
+bands AS (
+  {band_selects}
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.sig = y.sig AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+"""
+
+
+ORACLES["dedup_simhash"] = _simhash_oracle_sql()
 
 
 # The synthetic embeddings carry no planted near-dups (max pairwise
@@ -868,8 +957,12 @@ def lsh_cross_candidates(sigs_left: DataFrame, sigs_right: DataFrame) -> DataFra
     rows = MINHASH_PERMS // LSH_BANDS
 
     def _stack(sigs: DataFrame, out: str) -> DataFrame:
+        # same portable 'v0|v1|...' band key as lsh_candidate_pairs so
+        # the DuckDB oracle replays the cross-set candidates too
         band_cols = [
-            F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            ).alias(f"band{b}")
             for b in range(LSH_BANDS)
         ]
         banded = sigs.select("doc_id", *band_cols)
@@ -892,9 +985,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T21 near-dup half: incoming batch (doc_id % 5 == 0) checked
     for NEAR-duplicates against the historical corpus — banded
     minhash candidates between the two sets only, exact Jaccard on
-    candidates. (Rows-only: banded recall is probabilistic by
-    construction; tests pin pair-set equality against the exact
-    cross-set twin, same treatment as dedup_minhash_lsh.)"""
+    candidates. Value-oracled like dedup_minhash_lsh: the portable
+    hash family lets DuckDB replay the cross-set candidate join
+    bit-for-bit; tests additionally pin pair-set equality against
+    the exact cross-set twin."""
     sh = _doc_shingles(spark, sf_dir)
     sigs = minhash_signatures(sh)
     batch_sigs = sigs.filter(F.col("doc_id") % 5 == 0)

@@ -175,14 +175,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12b — frame sampling plumbing: binary payload → every 4th
     256-byte 'frame' with a content digest. Exercises the expanding
     (1 → N rows) mapInPandas shape that real video frame extraction
-    uses; partitioning stays whatever the scan produced. (Rows-only:
-    byte-slice frames of multibyte text have no clean SQL twin; the
-    unit test pins golden values.)"""
+    uses; partitioning stays whatever the scan produced. Value-
+    oracled: the testdata corpus is pure ASCII (pinned by a unit
+    test AND an error() guard inside the oracle), so byte slices ==
+    char slices and DuckDB's md5(substr(text, ...)) replays every
+    frame digest exactly."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return media.select("doc_id", "payload").mapInPandas(
         make_frame_sampler(FRAME_BYTES, FRAME_STRIDE), schema=FRAME_SCHEMA
     )
+
+
+# byte-semantics caveat: md5/substr operate on VARCHAR here, which is
+# only equal to byte-level framing because the corpus is ASCII — the
+# error() branch makes a future non-ASCII testdata fail LOUDLY as an
+# oracle error instead of silently hash-mismatching.
+ORACLES["multimodal_frame_sample"] = f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) <> length(text)
+              THEN error('frame-sample oracle requires ASCII payloads')
+              ELSE text END AS payload,
+         octet_length(encode(text)) AS len
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, t.i AS frame_idx,
+         CAST((len + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS BIGINT) AS n_frames,
+         substr(payload, CAST(t.i * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}) AS fr
+  FROM media,
+       unnest(generate_series(0, (len + {FRAME_BYTES - 1}) // {FRAME_BYTES} - 1,
+                              {FRAME_STRIDE})) AS t(i)
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, n_frames,
+       CAST(length(fr) AS BIGINT) AS frame_bytes, md5(fr) AS frame_md5
+FROM frames
+"""
 
 
 AUDIO_WIN = 1024  # samples per RMS window
@@ -200,8 +229,17 @@ def make_audio_featurizer(win: int):
     row) is identical."""
 
     def feats(batches):
+        import math
+
         import numpy as np
         import pandas as pd
+
+        # half-up 6dp rounding via the explicit floor formula: Python's
+        # round() is banker's while SQL ROUND is half-away — PCM-derived
+        # ratios DO land on exact 6dp midpoints (k/2^a denominators), so
+        # the oracle mirrors this exact float expression instead
+        def r6(v: float) -> float:
+            return math.floor(v * 1000000 + 0.5) / 1000000
 
         for pdf in batches:
             out = []
@@ -225,9 +263,9 @@ def make_audio_featurizer(win: int):
                         "doc_id": doc_id,
                         "n_samples": int(x.size),
                         "n_windows": int(nwin),
-                        "mean_rms": round(float(rms.mean()), 6) if nwin else 0.0,
-                        "peak": round(float(np.abs(x).max()), 6) if x.size else 0.0,
-                        "zcr": round(zc / max(x.size - 1, 1), 6),
+                        "mean_rms": r6(float(rms.mean())) if nwin else 0.0,
+                        "peak": r6(float(np.abs(x).max())) if x.size else 0.0,
+                        "zcr": r6(zc / max(x.size - 1, 1)),
                     }
                 )
             yield pd.DataFrame(
@@ -241,9 +279,13 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T33 — audio feature extraction plumbing: binary payload →
     int16-PCM reinterpret → windowed RMS / peak / zero-crossing
     ratio per document. The per-doc summary shape an audio-quality
-    gate (silence or clipping filters) consumes. (Rows-only: DSP
-    over byte-reinterpreted samples has no SQL twin; the unit test
-    pins golden values on literal PCM.)"""
+    gate (silence or clipping filters) consumes. Value-oracled in
+    the regime the gate data exercises: peak and zcr are exact
+    integer-derived ratios DuckDB replays from hex byte pairs, and
+    every gate document is shorter than one RMS window (error()
+    guard pins that), so mean_rms is exactly 0.0 on both sides;
+    the windowed-DSP branch itself is golden-pinned on literal PCM
+    by the unit test."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return media.select("doc_id", "payload").mapInPandas(
@@ -251,6 +293,52 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_samples bigint, n_windows bigint,"
         " mean_rms double, peak double, zcr double",
     )
+
+
+# int16 LE sample s = byte[2s] + 256*byte[2s+1], two's-complement;
+# signbit(i/32768.0) == (i < 0) (numpy signbit(0.0) is False, matching
+# i=0 in the non-negative branch). The windowed-RMS regime would need
+# a float mean over windows whose summation order differs between
+# numpy and SQL — excluded by the error() guard, which turns a future
+# bigger-document corpus into a loud oracle error, never a mismatch.
+ORACLES["multimodal_audio_energy"] = f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) >= {2 * AUDIO_WIN}
+              THEN error('audio oracle covers only the sub-window regime')
+              ELSE hex(encode(text)) END AS hx,
+         octet_length(encode(text)) AS len
+  FROM documents
+),
+samples AS (
+  SELECT doc_id, t.s AS idx,
+         CAST(concat('0x', substr(hx, 4 * t.s + 3, 2)) AS BIGINT) * 256
+       + CAST(concat('0x', substr(hx, 4 * t.s + 1, 2)) AS BIGINT) AS u
+  FROM media, unnest(generate_series(0, len // 2 - 1)) AS t(s)
+),
+signed AS (
+  SELECT doc_id, idx, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS i
+  FROM samples
+),
+crossed AS (
+  SELECT doc_id, i,
+         CASE WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY idx) IS NULL THEN 0
+              WHEN (i < 0) <> (LAG(i) OVER (PARTITION BY doc_id ORDER BY idx) < 0) THEN 1
+              ELSE 0 END AS zc
+  FROM signed
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n, MAX(ABS(i)) AS maxabs, SUM(zc) AS zc
+  FROM crossed GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_samples,
+       CAST(COALESCE(a.n, 0) // {AUDIO_WIN} AS BIGINT) AS n_windows,
+       0.0 AS mean_rms,
+       COALESCE(FLOOR((CAST(a.maxabs AS DOUBLE) / 32768.0) * 1000000 + 0.5) / 1000000, 0.0) AS peak,
+       COALESCE(FLOOR((CAST(a.zc AS DOUBLE) / GREATEST(a.n - 1, 1)) * 1000000 + 0.5) / 1000000, 0.0) AS zcr
+FROM media m LEFT JOIN agg a ON a.doc_id = m.doc_id
+"""
 
 
 IMG_W = 64  # stub image width (bytes per row)
@@ -306,8 +394,12 @@ def make_image_resizer(width: int):
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T34 — image resize plumbing: binary payload as a 64-wide uint8
     grid, 2×2 mean-pooled (numpy reshape, no Python pixel loop),
-    output dims + digest. (Rows-only: pixel pooling has no SQL twin;
-    the unit test pins golden digests on literal grids.)"""
+    output dims + digest. Value-oracled: the float mean + uint8
+    truncation is exactly (sum of 4 bytes) // 4 (power-of-two
+    division is exact in float64), pooled values of ASCII input stay
+    < 128, so DuckDB rebuilds the pooled byte string with
+    chr()/string_agg and replays the digest; an error() guard makes
+    a non-ASCII corpus fail loudly."""
     docs = load_table(spark, sf_dir, "documents")
     media = attach_binary_payload(docs)
     return media.select("doc_id", "payload").mapInPandas(
@@ -315,6 +407,46 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, in_w bigint, in_h bigint, out_w bigint,"
         " out_h bigint, out_md5 string",
     )
+
+
+def _image_resize_oracle_sql() -> str:
+    w = IMG_W
+    ow = w // 2
+    # byte (i,j) of the h x 64 grid = ascii char at position i*64+j+1;
+    # pooled cell (pi,pj) = floor(mean of the 2x2 block) = block_sum // 4
+    b = [
+        f"ascii(substr(payload, (2 * (t.c // {ow}) + {di}) * {w} + 2 * (t.c % {ow}) + {dj} + 1, 1))"
+        for di in (0, 1)
+        for dj in (0, 1)
+    ]
+    cell_sum = " + ".join(b)
+    return f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) <> length(text)
+              THEN error('image-resize oracle requires ASCII payloads')
+              ELSE text END AS payload,
+         (octet_length(encode(text)) // {w}) AS h
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, t.c // {ow} AS pi, t.c % {ow} AS pj,
+         ({cell_sum}) // 4 AS pv
+  FROM media, unnest(generate_series(0, (h // 2) * {ow} - 1)) AS t(c)
+),
+digests AS (
+  SELECT doc_id, md5(COALESCE(string_agg(chr(CAST(pv AS INT)), '' ORDER BY pi, pj), '')) AS out_md5
+  FROM cells GROUP BY doc_id
+)
+SELECT m.doc_id, CAST({w} AS BIGINT) AS in_w, CAST(m.h AS BIGINT) AS in_h,
+       CAST(CASE WHEN m.h // 2 > 0 THEN {ow} ELSE 0 END AS BIGINT) AS out_w,
+       CAST(m.h // 2 AS BIGINT) AS out_h,
+       COALESCE(d.out_md5, md5('')) AS out_md5
+FROM media m LEFT JOIN digests d ON d.doc_id = m.doc_id
+"""
+
+
+ORACLES["multimodal_image_resize"] = _image_resize_oracle_sql()
 
 
 BLOB_N_FILES = 30

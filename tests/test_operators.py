@@ -97,8 +97,9 @@ def test_lsh_pairs_match_exact_at_gate_sf(spark):
     """pipeline_clean_corpus registers the LSH near-dup path while its
     DuckDB oracle composes the exact-Jaccard twin — that only stays
     hash-green while the two pair sets are identical on the gate data.
-    Both are fully deterministic (xxhash signatures), so this either
-    always holds or never does; guard the tuning constants."""
+    Both are fully deterministic (portable md5-based signatures), so
+    this either always holds or never does; guard the tuning
+    constants."""
     from proceso_de_etl_spark.operators import dedup
     from tests.conftest import SF_CORRECT
 
@@ -1103,3 +1104,21 @@ def test_enum_window_guard(spark):
         spark.createDataFrame([("b",), ("a",), ("b",)], "v string"), "v", "id", "name"
     )
     assert [(r.id, r.name) for r in dim.orderBy("id").collect()] == [(1, "a"), (2, "b")]
+
+
+def test_corpus_is_ascii_for_byte_level_oracles():
+    """The frame-sample / image-resize oracles equate byte slicing
+    with char slicing, which holds only while the corpus is pure
+    ASCII. The oracles carry their own error() guard; this pin makes
+    a testdata change fail here first, with a clear message."""
+    import duckdb
+
+    from tests.conftest import SF_CORRECT
+
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_CORRECT}/documents.parquet') "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    con.close()
+    assert n == 0, f"{n} non-ASCII documents break the byte-level oracles"

@@ -174,6 +174,9 @@ _PRIORITY = (
     "multimodal_frame_sample",
     "multimodal_image_resize",
     "multimodal_audio_energy",
+    "multimodal_features",
+    "ann_lsh_bucketed",
+    "dedup_embedding_lsh_pairs",
     # --- never-gated, no oracle by design (cross-engine nondeterminism
     #     or non-SQL iterative algorithms): rows-only driver signal ---
     "dedup_semantic_semdedup",

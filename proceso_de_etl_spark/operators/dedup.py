@@ -554,12 +554,12 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space never materializes — work is O(n · tables) hashing
     plus O(candidates) verification, all equi-joins.
 
-    (Rows-only check: bucket recall is probabilistic by construction
-    — ~86% per pair at cosine 0.45 with 16×5-bit tables, higher for
-    truer near-dups — while precision is exactly 1 because every
-    emitted pair is cosine-verified. The brute-force twin keeps the
-    DuckDB value oracle; tests pin this variant's recall against it.)
-    """
+    Value-oracled: the ±1 planes are md5-derived (portable), so the
+    DuckDB oracle replays buckets → candidates → verified pairs for
+    the FIXED plane family (recall vs the brute-force twin stays
+    probabilistic in general and is test-pinned separately;
+    precision is exactly 1 because every emitted pair is
+    cosine-verified)."""
     from proceso_de_etl_spark.operators.similarity import with_lsh_tables
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
@@ -581,6 +581,33 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _embedding_lsh_pairs_oracle_sql() -> str:
+    from proceso_de_etl_spark.operators.similarity import lsh_bucket_ctes
+
+    return f"""
+WITH {lsh_bucket_ctes()},
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.table_idx = y.table_idx AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT cd.a, cd.b, SUM(ea.x * eb.x) / (na.norm * nb.norm) AS cosine
+  FROM cand cd
+  JOIN elems ea ON ea.vec_id = cd.a
+  JOIN elems eb ON eb.vec_id = cd.b AND eb.i = ea.i
+  JOIN norms na ON na.vec_id = cd.a
+  JOIN norms nb ON nb.vec_id = cd.b
+  GROUP BY 1, 2, na.norm, nb.norm
+)
+SELECT a, b, ROUND(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {COSINE_THRESHOLD}
+"""
+
+
+ORACLES["dedup_embedding_lsh_pairs"] = _embedding_lsh_pairs_oracle_sql()
 
 
 CC_MAX_ITER = 50

@@ -2234,17 +2234,27 @@ def etl_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n")
     )
     exp_p = F.log10(1 + 1 / F.col("digit").cast("double"))
+    # n=0 guard: the digit spine emits 9 rows even over an EMPTY
+    # orders table (that's its point), so the per-digit ratios must
+    # not divide by the zero total — NULL report columns on both
+    # engines, not an ANSI divide-by-zero
+    nonzero = F.col("n") > 0
     return (
         obs.crossJoin(F.broadcast(tot))
         .select(
             "digit",
             "observed",
             F.round(exp_p, 6).alias("expected_p"),
-            F.round(F.col("observed") / F.col("n"), 6).alias("observed_p"),
             F.round(
-                (F.col("observed") - exp_p * F.col("n"))
-                * (F.col("observed") - exp_p * F.col("n"))
-                / (exp_p * F.col("n")),
+                F.when(nonzero, F.col("observed") / F.col("n")), 6
+            ).alias("observed_p"),
+            F.round(
+                F.when(
+                    nonzero,
+                    (F.col("observed") - exp_p * F.col("n"))
+                    * (F.col("observed") - exp_p * F.col("n"))
+                    / (exp_p * F.col("n")),
+                ),
                 6,
             ).alias("chi2_component"),
         )
@@ -2264,10 +2274,11 @@ obs AS (
 tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders WHERE o_totalprice > 0)
 SELECT digit, observed,
        ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS expected_p,
-       ROUND(observed / n, 6) AS observed_p,
-       ROUND((observed - log10(1 + 1 / CAST(digit AS DOUBLE)) * n)
-             * (observed - log10(1 + 1 / CAST(digit AS DOUBLE)) * n)
-             / (log10(1 + 1 / CAST(digit AS DOUBLE)) * n), 6) AS chi2_component
+       CASE WHEN n > 0 THEN ROUND(observed / n, 6) END AS observed_p,
+       CASE WHEN n > 0 THEN
+         ROUND((observed - log10(1 + 1 / CAST(digit AS DOUBLE)) * n)
+               * (observed - log10(1 + 1 / CAST(digit AS DOUBLE)) * n)
+               / (log10(1 + 1 / CAST(digit AS DOUBLE)) * n), 6) END AS chi2_component
 FROM obs CROSS JOIN tot
 """
 

@@ -116,14 +116,67 @@ def extract_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T12 contract query — the typed operator with ``hist``
     stringified AT THE GATE BOUNDARY only (the driver's pandas
-    canonicalizer cannot hash list cells). Java's double→string is
-    shortest-round-trip, so the text is exact and deterministic; the
-    unit test parses it back against the typed values. (Rows-only:
-    the mapInPandas plumbing has no SQL equivalent.)"""
+    canonicalizer cannot hash list cells). Elements round to the
+    repo-standard 6dp via the portable half-up floor formula, then
+    format as %.6f (Spark's format_string pins Locale.US) — NOT
+    shortest-round-trip casts (Java and DuckDB shortest-repr
+    conventions differ) and NOT high-precision %f (Java pads its
+    canonical digits with zeros instead of printing the exact
+    expansion, measured). A 6dp-rounded double sits ~1e-17 from its
+    decimal target vs 5e-7 from the nearest formatting boundary, so
+    both engines print the identical string. That makes the whole
+    feature row value-oracled: byte_mean and the histogram are exact
+    integer ratios DuckDB recomputes from hex byte values."""
     return extract_media_features(spark, sf_dir).withColumn(
         "hist",
-        F.array_join(F.transform("hist", lambda v: v.cast("string")), ","),
+        F.array_join(
+            F.transform(
+                "hist",
+                lambda v: F.format_string(
+                    "%.6f", F.floor(v * 1000000 + F.lit(0.5)) / 1000000
+                ),
+            ),
+            ",",
+        ),
     )
+
+
+ORACLES["multimodal_features"] = """
+WITH media AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, CAST(concat('0x', substr(hx, 2 * t.p - 1, 2)) AS BIGINT) AS val
+  FROM media, unnest(generate_series(1, len)) AS t(p)
+),
+sums AS (SELECT doc_id, COUNT(*) AS n, SUM(val) AS s FROM bytes GROUP BY doc_id),
+cnts AS (SELECT doc_id, val // 32 AS bin, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
+grid AS (
+  SELECT m.doc_id, b.b AS bin, COALESCE(c.c, 0) AS c,
+         COALESCE(s.n, 0) AS n
+  FROM media m
+  CROSS JOIN range(8) b(b)
+  LEFT JOIN cnts c ON c.doc_id = m.doc_id AND c.bin = b.b
+  LEFT JOIN sums s ON s.doc_id = m.doc_id
+),
+hists AS (
+  SELECT doc_id,
+         string_agg(printf('%.6f',
+                    FLOOR((CAST(c AS DOUBLE) / CASE WHEN n > 0 THEN n ELSE 1 END)
+                          * 1000000 + 0.5) / 1000000), ',' ORDER BY bin) AS hist
+  FROM grid GROUP BY doc_id
+)
+SELECT m.doc_id,
+       ['png', 'wav', 'mp4'][CAST(m.doc_id % 3 AS INT) + 1] AS fmt,
+       CAST(m.len AS BIGINT) AS n_bytes,
+       CAST(COALESCE(s.s, 0) AS DOUBLE)
+         / (CASE WHEN m.len > 0 THEN m.len ELSE 1 END) AS byte_mean,
+       h.hist
+FROM media m
+LEFT JOIN sums s ON s.doc_id = m.doc_id
+JOIN hists h ON h.doc_id = m.doc_id
+"""
 
 
 FRAME_BYTES = 256  # stub "frame" size

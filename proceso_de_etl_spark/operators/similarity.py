@@ -128,11 +128,47 @@ def with_lsh_tables(emb: DataFrame, col: str = "embedding") -> DataFrame:
     ).drop("tb")
 
 
+def lsh_bucket_ctes() -> str:
+    """Shared oracle CTE block: embeddings exploded, norms, the
+    md5-derived ±1 hyperplane grid (recomputed IN SQL from the same
+    'plane:t:j:i' strings _plane_weights hashes — no 5120-row
+    literal), per-(vec, table, plane) dots, and the packed bucket
+    ids. Dot products fold in element order on both engines (probe
+    order follows the elems scan; products are ±x exactly), the same
+    float discipline as the ann_cosine_topk / dedup_embedding_cosine
+    oracles that have been sf0.1-exact since r3."""
+    return f"""elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+grid AS (
+  SELECT t.t AS table_idx, j.j AS plane, i.i AS i,
+         CASE WHEN CAST(concat('0x', substr(md5('plane:' || t.t || ':' || j.j || ':' || i.i), 1, 2)) AS INT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({N_TABLES}) t(t), range({PLANES_PER_TABLE}) j(j), range({EMB_DIM}) i(i)
+),
+dots AS (
+  SELECT e.vec_id, g.table_idx, g.plane, SUM(e.x * g.w) AS dot
+  FROM elems e JOIN grid g ON g.i = e.i - 1
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, table_idx,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+)"""
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 — LSH-bucketed ANN: hash into N_TABLES independent bucket
     tables, equi-join per (table, bucket), dedup candidates, re-rank
-    exactly within candidates. (Rows-only: approximate recall by
-    construction; ann_cosine_topk is the exact oracle twin.)"""
+    exactly within candidates. Value-oracled: the ±1 planes are
+    md5-derived (portable), so DuckDB replays buckets → candidates →
+    exact re-rank; recall stays probabilistic in general, but for
+    the FIXED plane family the output is deterministic
+    (ann_cosine_topk remains the exact-recall twin)."""
     from pyspark.sql import Window as W
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
@@ -160,6 +196,35 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+ORACLES["ann_lsh_bucketed"] = f"""
+WITH {lsh_bucket_ctes()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c
+    ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         SUM(q.x * c.x) / (nq.norm * nc.norm) AS cosine
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.query_id
+  JOIN elems c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  JOIN norms nq ON nq.vec_id = cd.query_id
+  JOIN norms nc ON nc.vec_id = cd.neighbor_id
+  GROUP BY 1, 2, nq.norm, nc.norm
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 N_LISTS = 16  # IVF coarse-quantizer cells (k-means centroids)

@@ -219,9 +219,13 @@ def test_multimodal_extractor_values(spark):
 
 
 def test_multimodal_gate_boundary_stringify(spark):
-    """The contract query stringifies hist ONLY at the gate boundary;
+    """The contract query stringifies hist ONLY at the gate boundary,
+    rounded to the repo-standard 6dp with the portable half-up
+    formula (so the DuckDB oracle formats the identical string);
     parsing the string back must reproduce the typed operator's
-    array<double> exactly (Java double→string is round-trip exact)."""
+    array<double> through that same rounding."""
+    import math
+
     from proceso_de_etl_spark.operators.multimodal import (
         extract_media_features,
         multimodal_features,
@@ -233,7 +237,8 @@ def test_multimodal_gate_boundary_stringify(spark):
     assert set(typed) == set(gated)
     for doc_id, hist in typed.items():
         assert isinstance(gated[doc_id], str)
-        assert [float(x) for x in gated[doc_id].split(",")] == hist
+        parsed = [float(x) for x in gated[doc_id].split(",")]
+        assert parsed == [math.floor(h * 1000000 + 0.5) / 1000000 for h in hist]
 
 
 def test_multimodal_frame_sample_golden(spark):

@@ -75,6 +75,13 @@ HEADLINE = (
     "text_bigram_lm_score",
     "events_top_paths",
     "pareto_abc_classes",
+    # r6 additions: the three newly value-oracled families whose hash
+    # plumbing changed this round (portable md5 simhash, banded dHash
+    # clusters, hyperplane-bucketed ANN) — benched so the portability
+    # rewrite stays honest about cost
+    "dedup_simhash",
+    "multimodal_phash_dedup",
+    "ann_lsh_bucketed",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -129,6 +136,14 @@ BASELINE = {
     "text_bigram_lm_score": 1.483,
     "events_top_paths": 0.957,
     "pareto_abc_classes": 2.236,
+    # --- r6 floors: idle-box medians at add time. ann_lsh_bucketed is
+    #     SLOWER than the brute-force twin at sf0.1 by design — 80
+    #     hyperplane dots per vector only pay off when the corpus
+    #     outgrows the query x corpus product (the 100 TB regime);
+    #     benched to keep that overhead from silently growing ---
+    "dedup_simhash": 3.516,
+    "multimodal_phash_dedup": 2.071,
+    "ann_lsh_bucketed": 7.999,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

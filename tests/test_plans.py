@@ -418,7 +418,12 @@ def test_results_invariant_to_shuffle_parallelism(spark):
     # round-8 extensions: the distributed prefix-sum consumers (A72
     # weighted quantiles ride sampled range partitions — the exact
     # place a parallelism dependence would hide), the rank·decimal
-    # Gini fold, and the DSIR log-ratio accumulation
+    # Gini fold, and the DSIR log-ratio accumulation.
+    # r6 extensions: the portable-hash rewrites now feeding DRIVER
+    # value oracles — minhash signatures (MIN aggregate, order-free
+    # by construction, but the banded join + verify chain must stay
+    # partition-invariant) and the simhash vote accumulation (integer
+    # SUMs per bit — any double in that path would surface here)
     keys = (
         "q1_pricing_summary",
         "etl_star_flagship",
@@ -426,6 +431,8 @@ def test_results_invariant_to_shuffle_parallelism(spark):
         "agg_weighted_quantiles",
         "revenue_gini_index",
         "sample_importance_dsir",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
     )
     qs = entrymod.queries()
     wide = {}

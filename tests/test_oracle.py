@@ -35,8 +35,14 @@ def test_query_matches_oracle(spark, con, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_query_runs(spark, name):
+    """Every remaining oracle-less key is a report/sketch/ANN/trainer
+    whose gate-SF output is non-empty by construction (top-k over a
+    non-empty query set, 1-row sketch aggregates, k-cluster reports,
+    ...), so emptiness means the operator broke — assert > 0, not the
+    vacuous >= 0 this used to be. Value-level behavior for these keys
+    is pinned by their unit goldens/invariant tests, not here."""
     df = QUERIES[name](spark, SF_CORRECT)
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: rows-only operator returned an empty frame"
 
 
 def test_entry_smoke(spark):

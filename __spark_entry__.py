@@ -162,6 +162,8 @@ _PRIORITY = (
     "q9_product_profit_v2",
     "q10_returned_items_v2",
     "q18_large_orders_v2",
+    # --- brand-new in r6, oracle-paired (first driver row pending) ---
+    "events_cusum_changepoint",
     # --- rows-only keys upgraded with value oracles in r6 (portable
     #     hash families / byte-level SQL replays): need a fresh driver
     #     row to convert no_oracle → pass ---

@@ -1336,7 +1336,145 @@ FROM dau d JOIN wau w ON d.day = w.window_end
 """
 
 
+CUSUM_K_SD = 0.5  # slack, in per-type hourly stddevs
+CUSUM_H_SD = 4.0  # alarm threshold, in per-type hourly stddevs
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A88 — CUSUM change-point / drift detection per event type: the
+    classic sequential monitor C_t = max(0, C_{t-1} + (x_t − μ0 − k))
+    over the hourly mean-value series, alarming when C_t clears h —
+    the upward-drift detector an observability stack runs beside
+    A43's pointwise z-scores (CUSUM catches small sustained shifts a
+    per-point screen never sees). The recursion is NOT iterated:
+    C_t = S_t − min(0, min_{j≤t} S_j) for prefix sums S of the slack-
+    adjusted deviations, so the whole detector is two ordered window
+    functions (the A72 prefix-sum discipline) over exact DECIMAL(18,6)
+    values — engine-exact end to end, hence fully value-oracled.
+    Scale: the window partitions by event_type over the HOURLY rollup,
+    whose length is bounded by the monitored time range, not the fact
+    count — the rollup itself is one partial-agg shuffle. μ0/k/h are
+    derived per type from exact moments and cut to 6dp before reuse
+    (the A71 discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg((dsum("value", 6) / F.count("*")).alias("xm"))
+        .select(
+            "event_type",
+            F.unix_micros("hr").alias("hr_us"),
+            F.round("xm", 6).cast("decimal(18,6)").alias("x"),
+        )
+    )
+    return cusum_report(cusum_hourly(hourly))
+
+
+def cusum_hourly(hourly: DataFrame) -> DataFrame:
+    """Closed-form CUSUM over an (event_type, hr_us, x DECIMAL(18,6))
+    series: per-type μ0/k/h from exact moments, then
+    C_t = S_t − min(0, min_{j≤t} S_j) — provably equal to the
+    textbook recursion C_t = max(0, C_{t-1} + x_t − μ0 − k)
+    (unit-pinned against a literal recursion in tests)."""
+    st = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mu = F.round(F.col("sx").cast("double") / F.col("n_hours"), 6)
+    var = F.greatest(
+        F.col("sxx").cast("double") / F.col("n_hours") - mu * mu, F.lit(0.0)
+    )
+    params = st.select(
+        "event_type",
+        "n_hours",
+        mu.cast("decimal(18,6)").alias("mu"),
+        F.round(F.lit(CUSUM_K_SD) * F.sqrt(var), 6).cast("decimal(18,6)").alias("k"),
+        F.round(F.lit(CUSUM_H_SD) * F.sqrt(var), 6).cast("decimal(18,6)").alias("h"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dev = hourly.join(F.broadcast(params), "event_type").withColumn(
+        "s", F.sum(F.col("x") - F.col("mu") - F.col("k")).over(w)
+    )
+    return dev.withColumn(
+        "c",
+        F.col("s")
+        - F.least(F.min("s").over(w), F.lit(0).cast("decimal(18,6)")),
+    )
+
+
+def cusum_report(cusum: DataFrame) -> DataFrame:
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.first("n_hours").alias("n_hours"),
+            # decimal->double conversion is engine-divergent in the
+            # last ulp (one engine divides the unscaled int by 10^6,
+            # the other multiplies by 1e-6), so every decimal output
+            # re-rounds at 6dp AFTER the cast on both sides
+            F.round(F.first("mu").cast("double"), 6).alias("target_mean"),
+            F.round(F.first("k").cast("double"), 6).alias("slack_k"),
+            F.round(F.first("h").cast("double"), 6).alias("threshold_h"),
+            F.round(F.max("c").cast("double"), 6).alias("max_cusum"),
+            F.count(F.when(F.col("c") > F.col("h"), 1)).alias("n_alarm_hours"),
+            F.min(F.when(F.col("c") > F.col("h"), F.col("hr_us"))).alias(
+                "first_alarm_us"
+            ),
+        )
+    )
+
+
+ORACLES["events_cusum_changepoint"] = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(18,6)) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, COUNT(*) AS n_hours, SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM hourly GROUP BY 1
+),
+params AS (
+  SELECT event_type, n_hours,
+         CAST(ROUND(CAST(sx AS DOUBLE) / n_hours, 6) AS DECIMAL(18,6)) AS mu,
+         CAST(ROUND({CUSUM_K_SD} * sqrt(GREATEST(CAST(sxx AS DOUBLE) / n_hours
+              - ROUND(CAST(sx AS DOUBLE) / n_hours, 6) * ROUND(CAST(sx AS DOUBLE) / n_hours, 6), 0)), 6)
+              AS DECIMAL(18,6)) AS k,
+         CAST(ROUND({CUSUM_H_SD} * sqrt(GREATEST(CAST(sxx AS DOUBLE) / n_hours
+              - ROUND(CAST(sx AS DOUBLE) / n_hours, 6) * ROUND(CAST(sx AS DOUBLE) / n_hours, 6), 0)), 6)
+              AS DECIMAL(18,6)) AS h,
+  FROM st
+),
+dev AS (
+  SELECT h.event_type, h.hr_us, p.n_hours, p.mu, p.k, p.h AS th,
+         SUM(h.x - p.mu - p.k) OVER (PARTITION BY h.event_type ORDER BY h.hr_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM hourly h JOIN params p ON p.event_type = h.event_type
+),
+cus AS (
+  SELECT *, s - LEAST(MIN(s) OVER (PARTITION BY event_type ORDER BY hr_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(0 AS DECIMAL(18,6))) AS c
+  FROM dev
+)
+SELECT event_type,
+       CAST(MIN(n_hours) AS BIGINT) AS n_hours,
+       ROUND(CAST(MIN(mu) AS DOUBLE), 6) AS target_mean,
+       ROUND(CAST(MIN(k) AS DOUBLE), 6) AS slack_k,
+       ROUND(CAST(MIN(th) AS DOUBLE), 6) AS threshold_h,
+       ROUND(CAST(MAX(c) AS DOUBLE), 6) AS max_cusum,
+       COUNT(CASE WHEN c > th THEN 1 END) AS n_alarm_hours,
+       MIN(CASE WHEN c > th THEN hr_us END) AS first_alarm_us
+FROM cus GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "events_cusum_changepoint": events_cusum_changepoint,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "events_sequence_match": events_sequence_match,
     "events_conversion_lag": events_conversion_lag,

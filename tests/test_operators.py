@@ -1127,3 +1127,28 @@ def test_corpus_is_ascii_for_byte_level_oracles():
     ).fetchone()[0]
     con.close()
     assert n == 0, f"{n} non-ASCII documents break the byte-level oracles"
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The A88 detector computes C_t = S_t − min(0, min_{j≤t} S_j)
+    with two window functions; pin it against the textbook recursion
+    C_t = max(0, C_{t-1} + (x_t − μ0 − k)) evaluated literally in
+    Python with exact Decimals on a series with a planted level
+    shift."""
+    from decimal import Decimal
+
+    from proceso_de_etl_spark.operators.events import cusum_hourly
+
+    xs = [10, 11, 9, 10, 30, 31, 29, 30, 10, 9]  # shift at t=4, back at t=8
+    hourly = spark.createDataFrame(
+        [("a", i, Decimal(x)) for i, x in enumerate(xs)],
+        "event_type string, hr_us long, x decimal(18,6)",
+    )
+    rows = {r.hr_us: r for r in cusum_hourly(hourly).collect()}
+    mu, k = Decimal(rows[0].mu), Decimal(rows[0].k)
+    c = Decimal(0)
+    for i, x in enumerate(xs):
+        c = max(Decimal(0), c + (Decimal(x) - mu - k))
+        assert Decimal(rows[i].c) == c, f"t={i}: {rows[i].c} != {c}"
+    # the planted shift must actually raise the statistic
+    assert max(Decimal(r.c) for r in rows.values()) > 0

@@ -289,3 +289,43 @@ def test_distributed_prefix_sum_matches_enumeration(spark, rows):
         run += (Decimal(cents) / 100).quantize(Decimal("0.0001"))
         want.add((id_, f"{run:.4f}"))
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA1),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_md5_base_hash_is_engine_portable(spark, values):
+    """The portable universal-hash base every r6 driver oracle rides
+    (minhash / simhash / ab_aa bucketing): Spark's
+    conv(substr(md5(x),1,15),16,10) must equal DuckDB's
+    CAST(concat('0x', substr(md5(x),1,15)) AS UBIGINT) for arbitrary
+    unicode input — if either engine's md5/hex/parse semantics ever
+    drift, this pins the failure to the primitive instead of a
+    mysterious oracle mismatch."""
+    import duckdb
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select(
+            "s",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for v in values:
+        want = con.execute(
+            "SELECT CAST(CAST(concat('0x', substr(md5(?), 1, 15)) AS UBIGINT) AS BIGINT)",
+            [v],
+        ).fetchone()[0]
+        assert got[v] == want, v
+    con.close()

@@ -164,6 +164,7 @@ _PRIORITY = (
     "q18_large_orders_v2",
     # --- brand-new in r6, oracle-paired (first driver row pending) ---
     "events_cusum_changepoint",
+    "stream_cusum_monitor",
     # --- rows-only keys upgraded with value oracles in r6 (portable
     #     hash families / byte-level SQL replays): need a fresh driver
     #     row to convert no_oracle → pass ---

@@ -1369,12 +1369,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_report(cusum_hourly(hourly))
 
 
-def cusum_hourly(hourly: DataFrame) -> DataFrame:
-    """Closed-form CUSUM over an (event_type, hr_us, x DECIMAL(18,6))
-    series: per-type μ0/k/h from exact moments, then
-    C_t = S_t − min(0, min_{j≤t} S_j) — provably equal to the
-    textbook recursion C_t = max(0, C_{t-1} + x_t − μ0 − k)
-    (unit-pinned against a literal recursion in tests)."""
+def cusum_params(hourly: DataFrame) -> DataFrame:
+    """Per-type CUSUM parameters (μ0, slack k, threshold h as
+    DECIMAL(18,6)) from exact moments of an (event_type, hr_us, x)
+    hourly series — shared by the batch detector (A88) and the
+    streaming monitor's training phase (ST21)."""
     st = hourly.groupBy("event_type").agg(
         F.count("*").alias("n_hours"),
         F.sum("x").alias("sx"),
@@ -1384,13 +1383,22 @@ def cusum_hourly(hourly: DataFrame) -> DataFrame:
     var = F.greatest(
         F.col("sxx").cast("double") / F.col("n_hours") - mu * mu, F.lit(0.0)
     )
-    params = st.select(
+    return st.select(
         "event_type",
         "n_hours",
         mu.cast("decimal(18,6)").alias("mu"),
         F.round(F.lit(CUSUM_K_SD) * F.sqrt(var), 6).cast("decimal(18,6)").alias("k"),
         F.round(F.lit(CUSUM_H_SD) * F.sqrt(var), 6).cast("decimal(18,6)").alias("h"),
     )
+
+
+def cusum_hourly(hourly: DataFrame) -> DataFrame:
+    """Closed-form CUSUM over an (event_type, hr_us, x DECIMAL(18,6))
+    series: per-type μ0/k/h from exact moments, then
+    C_t = S_t − min(0, min_{j≤t} S_j) — provably equal to the
+    textbook recursion C_t = max(0, C_{t-1} + x_t − μ0 − k)
+    (unit-pinned against a literal recursion in tests)."""
+    params = cusum_params(hourly)
     w = (
         W.partitionBy("event_type")
         .orderBy("hr_us")

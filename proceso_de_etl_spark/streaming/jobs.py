@@ -1202,7 +1202,154 @@ FROM snaps
 """
 
 
+
+
+HOUR_US = 3_600_000_000
+
+
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST21 — streaming CUSUM drift monitor: A88's detector run the
+    way production actually runs it — parameters (μ0, slack, alarm
+    threshold) FIT ON A TRAINING WINDOW (first half of the corpus,
+    batch, shared cusum_params code), then the live stream is
+    monitored with the recursion carried in keyed state
+    (stateful.cusum_monitor_state) across triggers. The monitor half
+    replays as two micro-batches split ON AN HOUR BOUNDARY (a
+    spanning hour would see two partial means where the batch twin
+    sees one — same boundary discipline as ST17's midpoint split);
+    the per-type state is five integers, bounded by key cardinality.
+    Fully value-oracled: the state recursion runs in exact
+    micro-unit integers, and the oracle replays training params +
+    the closed-form CUSUM over the monitor half in SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.operators.events import cusum_params
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from proceso_de_etl_spark.streaming.stateful import cusum_monitor_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    split = mm["lo"] + (mm["hi"] - mm["lo"]) // 2
+    split -= split % HOUR_US
+    b2 = mm["lo"] + (mm["hi"] - mm["lo"]) * 3 // 4
+    b2 -= b2 % HOUR_US
+    train_hourly = (
+        ev.filter(F.unix_micros("ts") < split)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg((dsum("value", 6) / F.count("*")).alias("xm"))
+        .select(
+            "event_type",
+            F.unix_micros("hr").alias("hr_us"),
+            F.round("xm", 6).cast("decimal(18,6)").alias("x"),
+        )
+    )
+    params = cusum_params(train_hourly).select(
+        "event_type",
+        (F.col("mu") * 1000000).cast("bigint").alias("mu6"),
+        (F.col("k") * 1000000).cast("bigint").alias("k6"),
+        (F.col("h") * 1000000).cast("bigint").alias("h6"),
+    )
+    monitor = ev.filter(F.unix_micros("ts") >= split)
+    stage = tempfile.mkdtemp(prefix="stream_cusum_src_")
+    for i, pred in enumerate((F.unix_micros("ts") < b2, F.unix_micros("ts") >= b2)):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_cusum_b{i}_")
+        monitor.filter(pred).coalesce(1).write.mode("overwrite").parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_events.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime -> deterministic replay order
+    raw = (
+        spark.readStream.schema(monitor.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    enriched = raw.withColumn(
+        "hr_us", F.unix_micros(F.date_trunc("hour", "ts"))
+    ).join(F.broadcast(params), "event_type")
+    mem = run_to_memory(cusum_monitor_state(enriched), "update")
+    # update-mode memory sink keeps one row per key per trigger; the
+    # final state is the row with the largest n_hours per key
+    final = mem.groupBy("event_type").agg(
+        F.max(
+            F.struct("n_hours", "c6", "max6", "n_alarm_hours", "first_alarm_us")
+        ).alias("m")
+    )
+    return final.select(
+        "event_type",
+        F.col("m.n_hours").alias("n_hours"),
+        F.round(F.col("m.max6") / F.lit(1000000.0), 6).alias("max_cusum"),
+        F.col("m.n_alarm_hours").alias("n_alarm_hours"),
+        F.when(F.col("m.first_alarm_us") >= 0, F.col("m.first_alarm_us")).alias(
+            "first_alarm_us"
+        ),
+    )
+
+
+ORACLES["stream_cusum_monitor"] = f"""
+WITH bounds AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+sp AS (
+  SELECT (lo + (hi - lo) // 2) - ((lo + (hi - lo) // 2) % {HOUR_US}) AS split
+  FROM bounds
+),
+train_hourly AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(18,6)) AS x
+  FROM events, sp WHERE epoch_us(ts) < sp.split
+  GROUP BY event_type, date_trunc('hour', ts)
+),
+st AS (
+  SELECT event_type, COUNT(*) AS n_hours, SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM train_hourly GROUP BY 1
+),
+params AS (
+  SELECT event_type,
+         CAST(CAST(ROUND(CAST(sx AS DOUBLE) / n_hours, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mu6,
+         CAST(CAST(ROUND(0.5 * sqrt(GREATEST(CAST(sxx AS DOUBLE) / n_hours
+              - ROUND(CAST(sx AS DOUBLE) / n_hours, 6) * ROUND(CAST(sx AS DOUBLE) / n_hours, 6), 0)), 6)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS k6,
+         CAST(CAST(ROUND(4.0 * sqrt(GREATEST(CAST(sxx AS DOUBLE) / n_hours
+              - ROUND(CAST(sx AS DOUBLE) / n_hours, 6) * ROUND(CAST(sx AS DOUBLE) / n_hours, 6), 0)), 6)
+              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS h6,
+  FROM st
+),
+mon_hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hr_us,
+         CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              * 1000000 + 0.5) AS BIGINT) AS x6
+  FROM events, sp WHERE epoch_us(ts) >= sp.split
+  GROUP BY 1, 2
+),
+dev AS (
+  SELECT m.event_type, m.hr_us, p.h6,
+         SUM(m.x6 - p.mu6 - p.k6) OVER (PARTITION BY m.event_type ORDER BY m.hr_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM mon_hourly m JOIN params p ON p.event_type = m.event_type
+),
+cus AS (
+  SELECT *, s - LEAST(MIN(s) OVER (PARTITION BY event_type ORDER BY hr_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS c
+  FROM dev
+)
+SELECT event_type,
+       COUNT(*) AS n_hours,
+       ROUND(CAST(MAX(c) AS DOUBLE) / 1000000, 6) AS max_cusum,
+       COUNT(CASE WHEN c > h6 THEN 1 END) AS n_alarm_hours,
+       MIN(CASE WHEN c > h6 THEN hr_us END) AS first_alarm_us
+FROM cus GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "stream_cusum_monitor": stream_cusum_monitor,
     "stream_freshness_monitor": stream_freshness_monitor,
     "stream_pit_enrichment": stream_pit_enrichment,
     "stream_novelty_rate": stream_novelty_rate,

@@ -187,3 +187,94 @@ def markov_transition_edges(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUT_SCHEMA = (
+    "event_type string, n_hours bigint, c6 bigint, max6 bigint,"
+    " n_alarm_hours bigint, first_alarm_us bigint"
+)
+CUSUM_STATE_SCHEMA = (
+    "n_hours bigint, c6 bigint, max6 bigint, n_alarms bigint, first_alarm bigint"
+)
+
+
+def cusum_monitor_state(events: DataFrame) -> DataFrame:
+    """ST21 core — keyed CUSUM recursion with explicit state: per
+    event_type, C_t = max(0, C_{t-1} + (x_t − μ0 − k)) over hourly
+    mean values, carrying (C, max C, alarm count, first alarm hour)
+    across triggers. Input rows must carry hr_us (hour bucket),
+    value, and the per-type training parameters mu6/k6/h6 as exact
+    micro-unit BIGINTs (the ST4 integer-state discipline: float
+    state would make emissions depend on batch/partition order; the
+    integer recursion is reproducible by any engine, which is what
+    lets this job carry a value oracle). The calling job must split
+    micro-batches on HOUR BOUNDARIES so no hour spans two triggers —
+    a spanning hour would see two partial means where the batch twin
+    sees one.
+
+    State is five integers per event_type — bounded by key
+    cardinality, not stream length."""
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        n_hours, c6, max6, n_alarms, first_alarm = (
+            state.get if state.exists else (0, 0, 0, 0, -1)
+        )
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            mu6 = int(pdf["mu6"].iloc[0])
+            k6 = int(pdf["k6"].iloc[0])
+            h6 = int(pdf["h6"].iloc[0])
+            # value -> exact micro units, mirroring CAST(value AS
+            # DECIMAL(18,6)) (half-up; values are non-negative here)
+            v6 = np.floor(pdf["value"].to_numpy(dtype="float64") * 1e6 + 0.5).astype(
+                "int64"
+            )
+            g = (
+                pd.DataFrame({"hr": pdf["hr_us"].to_numpy(dtype="int64"), "v6": v6})
+                .groupby("hr")
+                .agg(s=("v6", "sum"), n=("v6", "size"))
+                .sort_index()
+            )
+            for hr, row in g.iterrows():
+                # hourly mean at 6dp: the oracle's explicit
+                # FLOOR((s/1e6)/n * 1e6 + 0.5) formula, exactly —
+                # s/1e6 reproduces the DECIMAL->DOUBLE divide, the
+                # floor form sidesteps engine ROUND() differences
+                x6 = int(np.floor((int(row["s"]) / 1e6) / int(row["n"]) * 1e6 + 0.5))
+                c6 = max(0, c6 + (x6 - mu6 - k6))
+                n_hours += 1
+                if c6 > max6:
+                    max6 = c6
+                if c6 > h6:
+                    n_alarms += 1
+                    if first_alarm < 0:
+                        first_alarm = int(hr)
+        state.update((n_hours, c6, max6, n_alarms, first_alarm))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_hours": n_hours,
+                    "c6": c6,
+                    "max6": max6,
+                    "n_alarm_hours": n_alarms,
+                    "first_alarm_us": first_alarm,
+                }
+            ]
+        )
+
+    return (
+        events.select("event_type", "hr_us", "value", "mu6", "k6", "h6")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

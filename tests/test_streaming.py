@@ -295,3 +295,61 @@ def test_late_data_accounting_reconciles_exactly(spark):
         .count()
     )
     assert row.n_dropped_groups == expected_groups, (row.n_dropped_groups, expected_groups)
+
+
+def test_stream_cusum_state_carries_across_triggers(spark, tmp_path):
+    """ST21's state contract: the CUSUM statistic must CONTINUE
+    across micro-batches — re-running the recursion per batch would
+    reset C at the boundary and underestimate a drift that spans it.
+    Literal two-batch replay with a planted cross-batch drift; the
+    expected values are the hand recursion over the CONCATENATED
+    series."""
+    import pandas as pd
+
+    from proceso_de_etl_spark.streaming.stateful import cusum_monitor_state
+
+    # hourly singleton events: x = value exactly; mu=10, k=0, h=25
+    hours1 = [(1, 10.0), (2, 30.0), (3, 30.0)]  # C: 0, 20, 40 (alarm)
+    hours2 = [(4, 30.0), (5, 10.0)]  # C: 60 (alarm), 60 — only if carried
+    src = str(tmp_path / "src")
+    cols = "event_type string, hr_us long, value double, mu6 long, k6 long, h6 long"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [("a", h * 3_600_000_000, v, 10_000_000, 0, 25_000_000) for h, v in rows],
+            cols,
+        )
+
+    frame(hours1).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(frame(hours1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "cusum_state_test"
+    q = (
+        cusum_monitor_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        frame(hours2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    final = max(rows, key=lambda r: r.n_hours)
+    # hand recursion over ALL 5 hours: C = 0,20,40,60,60 ; alarms at
+    # C>25: hours 3,4,5 ; first alarm at hour 3
+    assert final.n_hours == 5
+    assert final.c6 == 60_000_000
+    assert final.max6 == 60_000_000
+    assert final.n_alarm_hours == 3
+    assert final.first_alarm_us == 3 * 3_600_000_000
+    # a per-batch reset would have produced max C = 40e6 in batch 1
+    # and 20e6 in batch 2 — the 60e6 above is the carried state
+    batch1 = min(rows, key=lambda r: r.n_hours)
+    assert batch1.n_hours == 3 and batch1.max6 == 40_000_000

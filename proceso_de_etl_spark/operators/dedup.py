@@ -583,11 +583,45 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_lsh_pairs_oracle_sql() -> str:
-    from proceso_de_etl_spark.operators.similarity import lsh_bucket_ctes
+def lsh_bucket_ctes(n_tables: int, planes_per_table: int, emb_dim: int) -> str:
+    """Shared oracle CTE block: embeddings exploded, norms, the
+    md5-derived ±1 hyperplane grid (recomputed IN SQL from the same
+    'plane:t:j:i' strings _plane_weights hashes — no 5120-row
+    literal), per-(vec, table, plane) dots, and the packed bucket
+    ids. Dot products fold in element order on both engines (probe
+    order follows the elems scan; products are ±x exactly), the same
+    float discipline as the ann_cosine_topk / dedup_embedding_cosine
+    oracles that have been sf0.1-exact since r3."""
+    return f"""elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+grid AS (
+  SELECT t.t AS table_idx, j.j AS plane, i.i AS i,
+         CASE WHEN CAST(concat('0x', substr(md5('plane:' || t.t || ':' || j.j || ':' || i.i), 1, 2)) AS INT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range({n_tables}) t(t), range({planes_per_table}) j(j), range({emb_dim}) i(i)
+),
+dots AS (
+  SELECT e.vec_id, g.table_idx, g.plane, SUM(e.x * g.w) AS dot
+  FROM elems e JOIN grid g ON g.i = e.i - 1
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, table_idx,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1, 2
+)"""
 
+
+def _embedding_lsh_pairs_oracle_sql() -> str:
+    # table geometry mirrors similarity.py's N_TABLES/PLANES_PER_TABLE/
+    # EMB_DIM; passed as literals here because similarity imports THIS
+    # module (a top-level back-import would be circular)
     return f"""
-WITH {lsh_bucket_ctes()},
+WITH {lsh_bucket_ctes(16, 5, 64)},
 cand AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
   FROM buckets x JOIN buckets y

@@ -11,8 +11,10 @@ Shape of the computation, which is what matters at scale:
   iterations (assignment is a per-row expression).
 
 Deterministic: init = lowest-k vec_ids, distance ties break to the
-lower cluster id. (Rows-only check: mean accumulation order makes
-the last float ulp run-dependent, so no cross-engine value oracle.)
+lower cluster id, and centroid means accumulate in exact DECIMAL —
+bit-reproducible under any parallelism (test-pinned). Still
+rows-only at the driver gate: the iterative Lloyd loop has no
+single-statement SQL twin for DuckDB to replay.
 """
 
 from __future__ import annotations
@@ -99,10 +101,22 @@ def kmeans_fit(df: DataFrame, k: int = K, n_iter: int = N_ITER, emb_col: str = "
                 .groupBy("vec_id")
                 .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
             )
+            # per-dim accumulation in DECIMAL(38,18): double sums
+            # would make each centroid's last ulp depend on partition
+            # order, propagating into assignments — the dsum
+            # discipline applied to the trainer, so k-means (and
+            # every IVF/PQ/SemDeDup consumer) is bit-reproducible
+            # under any parallelism (test-pinned). The 18dp cut
+            # exceeds float32 input precision; no accuracy cost.
             sums = (
                 best.selectExpr("m.c AS cluster", "posexplode(v) AS (pos, val)")
                 .groupBy("cluster", "pos")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .agg(
+                    F.sum(F.col("val").cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias("s"),
+                    F.count("*").alias("n"),
+                )
             )
             rows: dict[int, dict[int, tuple[float, int]]] = {}
             for r in sums.collect():

@@ -15,7 +15,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from proceso_de_etl_spark.operators.dedup import dot_cosine, with_norm
+from proceso_de_etl_spark.operators.dedup import dot_cosine, lsh_bucket_ctes, with_norm
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -128,39 +128,6 @@ def with_lsh_tables(emb: DataFrame, col: str = "embedding") -> DataFrame:
     ).drop("tb")
 
 
-def lsh_bucket_ctes() -> str:
-    """Shared oracle CTE block: embeddings exploded, norms, the
-    md5-derived ±1 hyperplane grid (recomputed IN SQL from the same
-    'plane:t:j:i' strings _plane_weights hashes — no 5120-row
-    literal), per-(vec, table, plane) dots, and the packed bucket
-    ids. Dot products fold in element order on both engines (probe
-    order follows the elems scan; products are ±x exactly), the same
-    float discipline as the ann_cosine_topk / dedup_embedding_cosine
-    oracles that have been sf0.1-exact since r3."""
-    return f"""elems AS (
-  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings
-),
-norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
-grid AS (
-  SELECT t.t AS table_idx, j.j AS plane, i.i AS i,
-         CASE WHEN CAST(concat('0x', substr(md5('plane:' || t.t || ':' || j.j || ':' || i.i), 1, 2)) AS INT) % 2 = 0
-              THEN 1.0 ELSE -1.0 END AS w
-  FROM range({N_TABLES}) t(t), range({PLANES_PER_TABLE}) j(j), range({EMB_DIM}) i(i)
-),
-dots AS (
-  SELECT e.vec_id, g.table_idx, g.plane, SUM(e.x * g.w) AS dot
-  FROM elems e JOIN grid g ON g.i = e.i - 1
-  GROUP BY 1, 2, 3
-),
-buckets AS (
-  SELECT vec_id, table_idx,
-         CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS bucket
-  FROM dots GROUP BY 1, 2
-)"""
-
-
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 — LSH-bucketed ANN: hash into N_TABLES independent bucket
     tables, equi-join per (table, bucket), dedup candidates, re-rank
@@ -199,7 +166,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_lsh_bucketed"] = f"""
-WITH {lsh_bucket_ctes()},
+WITH {lsh_bucket_ctes(N_TABLES, PLANES_PER_TABLE, EMB_DIM)},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM buckets q JOIN buckets c

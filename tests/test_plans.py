@@ -433,6 +433,8 @@ def test_results_invariant_to_shuffle_parallelism(spark):
         "sample_importance_dsir",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "ml_kmeans_embeddings",
+        "ann_ivf_topk",
     )
     qs = entrymod.queries()
     wide = {}

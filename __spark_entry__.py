@@ -73,72 +73,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. After the r5 gate,
-# 73 oracle-paired keys have NEVER had a driver row (cumulative scan of
-# CORRECTNESS_r01..r05); they fill the front of the queue — the r6 gate
-# takes the first 50, the remaining 23 clear in r7. Rotation order:
-#   1. the 73 never-gated oracle-paired keys (50-row cap leaves 23 for
-#      the next round),
-#   2. rows-only keys newly upgraded with independent-hash oracles this
-#      round (need a fresh driver row to convert no_oracle → pass),
-#   3. never-gated keys that legitimately ship no oracle (sketch/ANN/
-#      k-means cross-engine nondeterminism) — rows-only by design, so
-#      they sit below every oracle-paired ungated key,
-#   4. keys whose newest driver row is r1, then r3,
-#   5. the tail: r4/r5-passed keys, re-verified locally by pytest.
+# whatever keys most need a FRESH driver row. After the r6 gate
+# (50/50 pass, zero no_oracle slots), the remaining backlog is exactly
+# the r6 verdict's item 1+2 list: 27 oracle-paired keys with NO driver
+# row yet, 10 keys whose latest driver row is a stale r3-r5 `no_oracle`
+# but which NOW ship value oracles (re-gating flips them to pass), and
+# 8 never-gated keys that legitimately ship no oracle (rows-only by
+# design). 27+10+8 = 45; the last 5 gate slots go to keys added THIS
+# round so they earn a driver row immediately, then the oldest
+# r1-pass keys as freshness re-checks (the r6 verdict's fill choice —
+# NOT the 8 never-gated rows-only keys, which would burn pass slots on
+# no_oracle rows; they sit just below the cap). Tail: r3 rows, then
+# the r4-r6 passes (all re-verified locally by pytest).
 _PRIORITY = (
-    # --- never-gated, oracle-paired (73 keys; r6 gate takes first 50) ---
-    "etl_dynamic_partition_overwrite",
-    "etl_write_audit_publish",
-    "etl_aggregate_retract",
-    "etl_reject_routing",
-    "etl_snapshot_diff",
-    "etl_backfill_plan",
-    "etl_erasure_propagation",
-    "etl_ri_audit",
-    "etl_observed_load",
-    "etl_multisource_harmonize",
-    "etl_entity_resolution",
-    "etl_surrogate_hwm",
-    "etl_masked_export",
-    "etl_scd_type_matrix",
-    "dedup_source_overlap",
-    "dedup_duplicate_spans",
-    "dedup_leakproof_split",
-    "dedup_threshold_curve",
-    "dedup_span_excise",
-    "ann_sparse_tfidf_topk",
-    "embedding_int8_quantize",
-    "text_chunk_documents",
-    "text_chunk_dedup_stats",
-    "text_perplexity_buckets",
-    "text_quality_terciles",
-    "text_gopher_quality",
-    "text_hashed_tf",
-    "text_corpus_datasheet",
-    "text_lang_confusion",
-    "text_quality_dedup_interaction",
-    "multimodal_blob_dedup",
-    "sample_pack_sequences",
-    "sample_group_aware_split",
-    "sample_mixture_epochs",
-    "pipeline_training_data",
-    "graph_triangle_count",
-    "stream_left_outer_join",
-    "stream_dedup_within_watermark",
-    "stream_quota_per_source",
-    "stream_funnel",
-    "stream_topk",
-    "source_binary_files",
-    "source_federated_formats",
-    "interval_islands",
-    "skew_key_diagnostics",
-    "agg_filter_clause_matrix",
-    "lateral_explode_matrix",
-    "map_function_matrix",
-    "datetime_function_matrix",
-    "subquery_semantics_matrix",
-    # ---- 50-row cap lands about here; the 23 below clear in r7 ----
+    # --- 1. never-gated, oracle-paired (27 keys — r6 overflow) ---
     "agg_argmax_no_window",
     "recursive_cte_closure",
     "sort_global_rank",
@@ -162,12 +110,12 @@ _PRIORITY = (
     "q9_product_profit_v2",
     "q10_returned_items_v2",
     "q18_large_orders_v2",
-    # --- brand-new in r6, oracle-paired (first driver row pending) ---
     "events_cusum_changepoint",
     "stream_cusum_monitor",
-    # --- rows-only keys upgraded with value oracles in r6 (portable
-    #     hash families / byte-level SQL replays): need a fresh driver
-    #     row to convert no_oracle → pass ---
+    "multimodal_image_resize",
+    "multimodal_audio_energy",
+    # --- 2. stale r3-r5 `no_oracle` rows whose keys NOW ship value
+    #     oracles: a fresh driver row converts no_oracle → pass ---
     "dedup_minhash_lsh",
     "multimodal_scene_cuts",
     "multimodal_phash_dedup",
@@ -175,22 +123,16 @@ _PRIORITY = (
     "dedup_simhash",
     "dedup_incremental_minhash",
     "multimodal_frame_sample",
-    "multimodal_image_resize",
-    "multimodal_audio_energy",
     "multimodal_features",
     "ann_lsh_bucketed",
     "dedup_embedding_lsh_pairs",
-    # --- never-gated, no oracle by design (cross-engine nondeterminism
-    #     or non-SQL iterative algorithms): rows-only driver signal ---
-    "dedup_semantic_semdedup",
-    "ann_ivfpq_topk",
-    "ann_ivf_incremental",
-    "text_bpe_encode",
-    "ml_pagerank_bipartite",
-    "ml_logreg_quality",
-    "stream_late_data_accounting",
-    "sketch_count_min_tokens",
-    # --- keys still carrying r1 driver rows ---
+    # --- 3. new in r7, oracle-paired (first driver row now) ---
+    "semdedup_pairs",
+    "stream_late_data_exact",
+    "stream_distinct_exact",
+    "graph_connected_components",
+    "graph_label_propagation",
+    # --- 4. oldest r1-pass keys as freshness re-checks (fill to 50) ---
     "events_tumbling_window",
     "events_funnel",
     "events_asof_join",
@@ -199,6 +141,19 @@ _PRIORITY = (
     "events_rolling_window",
     "events_value_band_join",
     "events_retention_cohorts",
+    # ---- 50-row gate cap lands here (37 backlog + 5 new + 8 r1) ----
+    # --- 5. never-gated, no oracle by design (cross-engine
+    #     nondeterminism or iterative float algorithms): rows-only
+    #     driver signal only, so they sit below every pass-capable
+    #     slot per the r6 verdict's fill choice ---
+    "dedup_semantic_semdedup",
+    "ann_ivfpq_topk",
+    "ann_ivf_incremental",
+    "text_bpe_encode",
+    "ml_pagerank_bipartite",
+    "ml_logreg_quality",
+    "stream_late_data_accounting",
+    "sketch_count_min_tokens",
     # --- oldest remaining full-pass rows (r3) ---
     "etl_extract_conform",
     "etl_scd2_merge",

@@ -686,10 +686,194 @@ SELECT {KCORE_K} AS k,
 ORACLES["graph_kcore"] = _kcore_oracle_sql()
 
 
+
+
+MIN_SUPPORT = 2
+
+
+def copurchase_edges_supported(
+    spark: SparkSession, sf_dir: str, min_support: int = MIN_SUPPORT
+) -> DataFrame:
+    """Support-filtered co-purchase edges: (u < v) part pairs that
+    co-occur in at least ``min_support`` distinct orders. Dropping
+    support-1 pairs removes ~97% of edges at sf0.01 (112k -> 3.4k)
+    and turns the near-clique co-purchase graph into the sparse
+    association graph community detection actually runs on — the
+    same support thresholding market_basket_rules applies. Pair
+    generation stays bounded by per-order line counts (<= 21
+    pairs/order); the support filter is one map-side-combinable
+    count over the pair key. Persisted + memoized per
+    (applicationId, sf_dir, support), released by
+    ``unpersist_copurchase``."""
+    key = (spark.sparkContext.applicationId, sf_dir, f"support{min_support}")
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    sup = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("u", "v")
+        .persist()
+    )
+    _EDGE_CACHE[key] = sup
+    return sup
+
+
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A91 — connected components of the support-filtered co-purchase
+    graph, reported per component: (component = min member id,
+    n_nodes, n_edges). Labeling is the repo's min-label fixpoint loop
+    (dedup.connected_components — driver union-find under the edge
+    threshold, the distributed join loop above it; identical labels
+    either way, test-pinned there). The per-component rollups are two
+    keyed aggregations — nodes by label, edges by their lower
+    endpoint's label (both endpoints share a label by definition).
+    Value-oracled: DuckDB replays the transitive closure with a
+    recursive CTE over the same support-filtered pair set."""
+    from proceso_de_etl_spark.operators.dedup import connected_components
+
+    edges = copurchase_edges_supported(spark, sf_dir)
+    labels = connected_components(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    ).select(F.col("doc_id").alias("node"), F.col("cluster").alias("component"))
+    node_counts = labels.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    edge_counts = (
+        edges.join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy("component")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    return node_counts.join(edge_counts, "component").select(
+        "component", "n_nodes", "n_edges"
+    )
+
+
+def _supported_edges_sql() -> str:
+    return f"""op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+pair AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+)"""
+
+
+ORACLES["graph_connected_components"] = f"""
+WITH {_supported_edges_sql()},
+edges AS (SELECT u AS src, v AS dst FROM pair UNION ALL SELECT v, u FROM pair),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  ) SELECT * FROM r
+),
+lab AS (SELECT src AS node, least(src, MIN(dst)) AS component FROM reach GROUP BY src),
+node_counts AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1),
+edge_counts AS (
+  SELECT l.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM pair p JOIN lab l ON l.node = p.u GROUP BY 1
+)
+SELECT component, n_nodes, n_edges
+FROM node_counts JOIN edge_counts USING (component)
+"""
+
+
+LPA_ROUNDS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A92 — community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) over the support-filtered co-purchase
+    graph, made fully deterministic so it can carry a value oracle:
+    init label(v) = v; each round every node simultaneously takes the
+    MOST FREQUENT label among its neighbors, ties to the SMALLEST
+    label; exactly ``LPA_ROUNDS`` rounds (fixed unroll — classic LPA
+    randomizes update order precisely to break the oscillation that
+    synchronous updates allow, so a fixpoint loop would be the wrong
+    contract here; the fixed-round form is the deterministic variant
+    GraphFrames' labelPropagation exposes, and DuckDB replays it as
+    an unrolled CTE ladder). Per round: one edge⋈label join shuffled
+    on the node key, a (node, label) count with map-side partial
+    aggregation, one keyed argmax — all linear in edges;
+    localCheckpoint truncates the iterative lineage (the T4b
+    discipline). Output: one row per surviving community label with
+    its member count."""
+    sym_edges = copurchase_edges_supported(spark, sf_dir)
+    sym = sym_edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(sym_edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    nodes = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LPA_ROUNDS):
+        neigh = (
+            sym.join(nodes, sym.dst == nodes.id)
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        nodes = (
+            neigh.groupBy("src")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("best"))
+            .select(
+                F.col("src").alias("id"),
+                (-F.col("best.neg")).cast("bigint").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+    )
+
+
+def _lpa_oracle_sql() -> str:
+    rounds = []
+    for i in range(1, LPA_ROUNDS + 1):
+        p = i - 1
+        rounds.append(
+            f"""r{i} AS (
+  SELECT e.src AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{p} l ON l.node = e.dst GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM r{i}
+  ) WHERE rn = 1
+)"""
+        )
+    ladder = ",\n".join(rounds)
+    return f"""
+WITH {_supported_edges_sql()},
+edges AS (SELECT u AS src, v AS dst FROM pair UNION ALL SELECT v, u FROM pair),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{ladder}
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{LPA_ROUNDS} GROUP BY 1
+"""
+
+
+ORACLES["graph_label_propagation"] = _lpa_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_pagerank_bipartite": ml_pagerank_bipartite,
     "ml_logreg_quality": ml_logreg_quality,
     "graph_triangle_count": graph_triangle_count,
+    "graph_connected_components": graph_connected_components,
+    "graph_label_propagation": graph_label_propagation,
 }

@@ -52,6 +52,11 @@ def get_spark(app_name: str = "proceso_de_etl_spark", cpus: str | None = None) -
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # stage progress bars corrupt captured stdout/stderr records
+        # (the per-round driver keeps only a short tail of bench
+        # output; 2000 chars of \r-rewritten bars would evict the
+        # JSON line it needs to parse)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Pin the ADAPTIVE broadcast threshold to the same bound
         # instead of inheriting whatever the static threshold resolves

@@ -1348,6 +1348,140 @@ FROM cus GROUP BY event_type
 """
 
 
+
+
+def stream_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 companion (r6 verdict item 7) — EXACT per-hour distinct
+    users in a stream, value-oracled. Exact COUNT(DISTINCT) is
+    illegal in a streaming aggregation (per-group state would hold
+    every user id), so the standing two-stage pattern applies:
+    dedup IN the stream on (user_id, hour) with
+    ``dropDuplicatesWithinWatermark`` (state per key lives only for
+    the watermark delay — bounded), then a plain windowed COUNT of
+    the survivors — two chained stateful operators in append mode
+    (supported since Spark 3.4). The count is exact because every
+    (user, hour) key reaches the aggregation exactly once; the
+    HLL++ twin (stream_approx_distinct) stays the right call when
+    even per-delay dedup state is too large.
+
+    Append mode only emits CLOSED windows — window_end <= final
+    watermark = max(ts) - 2h (ms-floored, Spark tracks watermarks in
+    millis) — and the oracle replays exactly that emission rule, so
+    the result is deterministic end to end: the last two hour
+    windows of the static replay are by-contract unemitted."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "2 hours")
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .dropDuplicatesWithinWatermark(["user_id", "hour"])
+    )
+    counts = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n_users")
+    )
+    return run_to_memory(counts, "append")
+
+
+ORACLES["stream_distinct_exact"] = """
+WITH wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000 - 7200000) * 1000 AS wm_us FROM events
+)
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+HAVING window_start_us + 3600000000 <= (SELECT wm_us FROM wm)
+"""
+
+
+def stream_late_data_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12 companion (r6 verdict item 7) — the exact integer LEDGER
+    of the late-data replay, split out of the rows-only
+    ``stream_late_data_accounting`` so the driver can value-verify
+    it: the three batch sizes under the same percentile cuts
+    (recent 25% / middle 25% / oldest 50% late) and the dropped-GROUP
+    count the watermark RULE predicts — distinct (1h window,
+    event_type) groups among late rows whose window closed at or
+    before max(batch1.ts) - delay, ms-floored exactly as Spark
+    tracks watermarks. The engine-internal
+    ``numRowsDroppedByWatermark`` metric stays in the rows-only key;
+    tests pin metric == this ledger's n_expected_dropped_groups, so
+    together the pair is fully driver-verifiable. Pure batch plan:
+    one percentile aggregate broadcast over the scan, keyed
+    conditional counts, one distinct-group count — no collect, no
+    stream."""
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    us = F.unix_micros("ts")
+    cuts = ev.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.50)).alias("c50"),
+        F.percentile(F.unix_micros("ts"), F.lit(0.75)).alias("c75"),
+    )
+    banded = ev.crossJoin(F.broadcast(cuts)).withColumn(
+        "band",
+        F.when(us >= F.col("c75"), F.lit(1))
+        .when(us >= F.col("c50"), F.lit(2))
+        .otherwise(F.lit(3)),
+    )
+    counts = banded.agg(
+        F.count("*").cast("bigint").alias("n_input"),
+        F.count(F.when(F.col("band") == 1, 1)).cast("bigint").alias("n_batch1"),
+        F.count(F.when(F.col("band") == 2, 1)).cast("bigint").alias("n_batch2"),
+        F.count(F.when(F.col("band") == 3, 1)).cast("bigint").alias("n_batch3_late"),
+    )
+    wm = banded.filter(F.col("band") == 1).agg(
+        ((F.max(F.unix_micros("ts")) / F.lit(1000)).cast("bigint") - F.lit(7_200_000))
+        .alias("wm_ms")
+    )
+    expected = (
+        banded.filter(F.col("band") == 3)
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            F.unix_micros(F.date_trunc("hour", "ts")) + F.lit(3_600_000_000)
+            <= F.col("wm_ms") * 1000
+        )
+        .select(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_expected_dropped_groups"))
+    )
+    return counts.crossJoin(F.broadcast(expected))
+
+
+ORACLES["stream_late_data_exact"] = """
+WITH cuts AS (
+  SELECT quantile_cont(epoch_us(ts), 0.50) AS c50,
+         quantile_cont(epoch_us(ts), 0.75) AS c75
+  FROM events
+),
+banded AS (
+  SELECT ts, event_type,
+         CASE WHEN epoch_us(ts) >= c75 THEN 1
+              WHEN epoch_us(ts) >= c50 THEN 2
+              ELSE 3 END AS band
+  FROM events, cuts
+),
+wm AS (
+  SELECT epoch_us(MAX(ts)) // 1000 - 7200000 AS wm_ms FROM banded WHERE band = 1
+),
+expected AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_expected_dropped_groups FROM (
+    SELECT DISTINCT date_trunc('hour', ts) AS w, event_type
+    FROM banded, wm
+    WHERE band = 3
+      AND epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_ms * 1000
+  )
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(COUNT(*) FILTER (band = 1) AS BIGINT) AS n_batch1,
+       CAST(COUNT(*) FILTER (band = 2) AS BIGINT) AS n_batch2,
+       CAST(COUNT(*) FILTER (band = 3) AS BIGINT) AS n_batch3_late,
+       (SELECT n_expected_dropped_groups FROM expected) AS n_expected_dropped_groups
+FROM banded
+"""
+
+
 QUERIES = {
     "stream_cusum_monitor": stream_cusum_monitor,
     "stream_freshness_monitor": stream_freshness_monitor,
@@ -1362,6 +1496,8 @@ QUERIES = {
     "stream_topk": stream_topk,
     "stream_late_data_accounting": stream_late_data_accounting,
     "stream_approx_distinct": stream_approx_distinct,
+    "stream_distinct_exact": stream_distinct_exact,
+    "stream_late_data_exact": stream_late_data_exact,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,
     "stream_interval_join": stream_interval_join,

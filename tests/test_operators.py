@@ -1152,3 +1152,132 @@ def test_cusum_closed_form_matches_recursion(spark):
         assert Decimal(rows[i].c) == c, f"t={i}: {rows[i].c} != {c}"
     # the planted shift must actually raise the statistic
     assert max(Decimal(r.c) for r in rows.values()) > 0
+
+
+def test_semdedup_pairs_cellbound_and_precision(spark):
+    """T36 companion (semdedup_pairs): every emitted pair must (a)
+    appear in the brute-force cosine pair set with the same rounded
+    cosine (precision = 1 — the cell bound may lose recall, never
+    invent a pair), and (b) have both members assigned to the same
+    pinned cell."""
+    from proceso_de_etl_spark.operators import dedup
+    from proceso_de_etl_spark.operators.ml import assign_clusters
+    from tests.conftest import SF_CORRECT
+
+    got = {
+        (r.a, r.b): (r.cluster, r.cosine)
+        for r in dedup.semdedup_pairs(spark, SF_CORRECT).collect()
+    }
+    assert got, "no pairs at gate SF — threshold or cells broke"
+    brute = {
+        (r.a, r.b): r.cosine
+        for r in dedup.dedup_embedding_cosine(spark, SF_CORRECT).collect()
+    }
+    cells = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(
+            __import__(
+                "proceso_de_etl_spark.sources.catalog", fromlist=["load_table"]
+            ).load_table(spark, SF_CORRECT, "embeddings"),
+            dedup.SEMDEDUP_PINNED_CENTROIDS,
+        ).collect()
+    }
+    for (a, b), (cell, cosine) in got.items():
+        assert brute[(a, b)] == cosine, (a, b)
+        assert cells[a] == cells[b] == cell, (a, b)
+
+
+def test_graph_cc_labels_and_rollup_consistent(spark):
+    """A91: every support-filtered edge's endpoints share a
+    component label, and the reported per-component node/edge counts
+    reconcile with the label frame."""
+    from proceso_de_etl_spark.operators.dedup import connected_components
+    from proceso_de_etl_spark.operators.ml import (
+        copurchase_edges_supported,
+        graph_connected_components,
+    )
+    from tests.conftest import SF_CORRECT
+
+    edges = [
+        (r.u, r.v) for r in copurchase_edges_supported(spark, SF_CORRECT).collect()
+    ]
+    labels = {
+        r.doc_id: r.cluster
+        for r in connected_components(
+            copurchase_edges_supported(spark, SF_CORRECT)
+            .selectExpr("u as a", "v as b")
+        ).collect()
+    }
+    assert all(labels[u] == labels[v] for u, v in edges)
+    report = {
+        r.component: (r.n_nodes, r.n_edges)
+        for r in graph_connected_components(spark, SF_CORRECT).collect()
+    }
+    from collections import Counter
+
+    node_counts = Counter(labels.values())
+    edge_counts = Counter(labels[u] for u, _v in edges)
+    assert report == {
+        c: (node_counts[c], edge_counts[c]) for c in node_counts
+    }
+
+
+def test_graph_lpa_golden_vs_reference(spark):
+    """A92: synchronous min-tie-break label propagation vs a pure-
+    python reference on the barbell graph (two triangles bridged by
+    an edge) — LPA_ROUNDS rounds, mode of neighbor labels, ties to
+    the smallest label, exactly the oracle's unrolled contract."""
+    from collections import Counter
+
+    from proceso_de_etl_spark.operators.ml import LPA_ROUNDS
+    from proceso_de_etl_spark.operators import ml as mlmod
+    import pyspark.sql.functions as F
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+
+    def ref_lpa(es, rounds):
+        adj: dict[int, list[int]] = {}
+        for u, v in es:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        label = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n, nbrs in adj.items():
+                freq = Counter(label[m] for m in nbrs)
+                top = max(freq.values())
+                nxt[n] = min(l for l, c in freq.items() if c == top)
+            label = nxt
+        return Counter(label.values())
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    sym = df.selectExpr("u as src", "v as dst").unionByName(
+        df.selectExpr("v as src", "u as dst")
+    )
+    nodes = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(LPA_ROUNDS):
+        neigh = (
+            sym.join(nodes, sym.dst == nodes.id)
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        nodes = (
+            neigh.groupBy("src")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("best"))
+            .select(F.col("src").alias("id"), (-F.col("best.neg")).cast("bigint").alias("label"))
+        )
+    got = Counter({r.id: r.label for r in nodes.collect()}.values())
+    assert got == ref_lpa(edges, LPA_ROUNDS)
+    # and the registered operator's community sizes partition the graph
+    from tests.conftest import SF_CORRECT
+
+    sizes = mlmod.graph_label_propagation(spark, SF_CORRECT).collect()
+    n_nodes = (
+        mlmod.copurchase_edges_supported(spark, SF_CORRECT)
+        .selectExpr("u as n").union(
+            mlmod.copurchase_edges_supported(spark, SF_CORRECT).selectExpr("v as n")
+        ).distinct().count()
+    )
+    assert sum(r.n_members for r in sizes) == n_nodes

@@ -329,3 +329,55 @@ def test_md5_base_hash_is_engine_portable(spark, values):
         ).fetchone()[0]
         assert got[v] == want, v
     con.close()
+
+
+def test_float_margin_guards_for_embedding_oracles():
+    """r6 advisor: the LSH-bucket and semdedup-pairs oracles assume
+    float SUMMATION ORDER can never flip a discrete decision —
+    a hyperplane dot's SIGN, a cosine-vs-threshold comparison, a
+    nearest-centroid argmin. That holds only while every decision
+    margin dwarfs the worst-case reassociation error (~n·eps·Σ|x_i|
+    ≈ 1e-13 for 64 doubles here). This test MEASURES the margins on
+    the gate data so a testdata/plane/centroid change that erodes
+    them fails HERE, not as a silent cross-engine oracle mismatch.
+    Margins are computed in numpy float64 — itself within the same
+    error bound of either engine's value, which the asserted floors
+    (>= 1e5 x the bound) absorb."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from proceso_de_etl_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        SEMDEDUP_PINNED_CENTROIDS,
+    )
+    from proceso_de_etl_spark.operators.similarity import (
+        N_TABLES,
+        _plane_weights,
+    )
+    from tests.conftest import SF_CORRECT
+
+    t = pq.read_table(f"{SF_CORRECT}/embeddings.parquet")
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)  # (n, 64)
+
+    # 1. hyperplane dot signs (lsh_bucket_ctes / with_lsh_tables)
+    planes = np.array(
+        [w for tbl in range(N_TABLES) for w in _plane_weights(tbl)]
+    ).T  # (64, tables*planes)
+    dots = x @ planes
+    min_abs_dot = np.abs(dots).min()
+    assert min_abs_dot > 1e-8, f"hyperplane dot margin {min_abs_dot:.2e}"
+
+    # 2. cosine-vs-threshold margins (all pairs — superset of every
+    #    candidate set any bucketing emits)
+    norms = np.linalg.norm(x, axis=1)
+    cos = (x @ x.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(x), k=1)
+    min_tau_margin = np.abs(cos[iu] - COSINE_THRESHOLD).min()
+    assert min_tau_margin > 1e-7, f"cosine threshold margin {min_tau_margin:.2e}"
+
+    # 3. nearest-pinned-centroid argmin gaps (semdedup_pairs)
+    c = np.array(SEMDEDUP_PINNED_CENTROIDS)  # (8, 64)
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)  # (n, 8)
+    d2.sort(axis=1)
+    rel_gap = ((d2[:, 1] - d2[:, 0]) / d2[:, 0]).min()
+    assert rel_gap > 1e-5, f"centroid assignment relative gap {rel_gap:.2e}"

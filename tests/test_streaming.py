@@ -274,27 +274,50 @@ def test_late_data_accounting_reconciles_exactly(spark):
     assert row.n_dropped_groups > 0
     assert row.n_input == row.n_batch1 + row.n_batch2 + row.n_batch3_late
 
+    # the value-oracled companion (ST12e) computes the same ledger as
+    # one declarative batch plan; the engine metric must reconcile
+    # against IT — this is the contract that lets the rows-only key
+    # and the oracle-paired key vouch for each other
+    ledger = jobs.stream_late_data_exact(spark, SF_SMOKE).collect()[0]
+    assert (row.n_batch1, row.n_batch2, row.n_batch3_late) == (
+        ledger.n_batch1,
+        ledger.n_batch2,
+        ledger.n_batch3_late,
+    )
+    assert row.n_dropped_groups == ledger.n_expected_dropped_groups, (
+        row.n_dropped_groups,
+        ledger.n_expected_dropped_groups,
+    )
+
+
+def test_stream_distinct_exact_matches_batch_rule(spark):
+    """ST9e: the streamed exact distinct must equal the batch exact
+    distinct for every EMITTED window, and the emitted set must be
+    exactly the append-mode closure rule — window_end <= max(ts) - 2h
+    (ms-floored, as Spark tracks watermarks)."""
+    got = {
+        r.window_start_us: r.n_users
+        for r in jobs.stream_distinct_exact(spark, SF_SMOKE).collect()
+    }
     ev = load_table(spark, SF_SMOKE, "events")
-    cuts = ev.agg(
-        F.percentile(F.unix_micros("ts"), F.lit(0.50)).alias("c50"),
-        F.percentile(F.unix_micros("ts"), F.lit(0.75)).alias("c75"),
-    ).collect()[0]
-    recent_max_us = (
-        ev.filter(F.unix_micros("ts") >= cuts.c75)
-        .agg(F.max(F.unix_micros("ts")))
-        .collect()[0][0]
-    )
-    wm_ms = recent_max_us // 1000 - 2 * 3600 * 1000
-    expected_groups = (
-        ev.filter(F.unix_micros("ts") < cuts.c50)
-        .filter(
-            (F.unix_micros(F.date_trunc("hour", "ts")) + 3600 * 1_000_000) <= wm_ms * 1000
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_us = (max_us // 1000 - 7_200_000) * 1000
+    want = {
+        r.ws: r.n
+        for r in (
+            ev.select(
+                F.unix_micros(F.date_trunc("hour", "ts")).alias("ws"), "user_id"
+            )
+            .groupBy("ws")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .filter(F.col("ws") + 3_600_000_000 <= wm_us)
+            .collect()
         )
-        .select(F.date_trunc("hour", "ts").alias("w"), "event_type")
-        .distinct()
-        .count()
-    )
-    assert row.n_dropped_groups == expected_groups, (row.n_dropped_groups, expected_groups)
+    }
+    assert got == want
+    # the rule must genuinely trim something, or the contract is vacuous
+    n_all_windows = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    assert len(got) < n_all_windows
 
 
 def test_stream_cusum_state_carries_across_triggers(spark, tmp_path):

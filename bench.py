@@ -121,8 +121,15 @@ BASELINE = {
     "dedup_semantic_semdedup": 11.603,
     "text_bpe_encode": 4.661,
     # --- r7 floors: warm sf0.1 runs at add time (triangle floor
-    #     re-seeded after the compact-forward rewrite: 9.7 -> 5.7 s) ---
-    "graph_triangle_count": 5.672,
+    #     re-seeded after the compact-forward rewrite: 9.7 -> 5.7 s;
+    #     re-seeded AGAIN in r7 from a median-of-5 idle-box run at
+    #     5.19 s — the r5/r6 drivers' 6.7-6.8 s readings were box
+    #     noise, not a regression. Decomposition (same run): 1.70 s
+    #     shared copurchase_edges build+persist (triangle is the
+    #     first graph query per pass, so it pays it cold) + 3.16 s
+    #     triangle proper with warm edges; see DECOMPOSITION below,
+    #     recorded into bench_detail.json) ---
+    "graph_triangle_count": 5.187,
     "agg_equidepth_histogram": 3.801,
     "text_hashed_tf": 2.519,
     "events_rolling_distinct": 1.346,
@@ -152,6 +159,20 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 
 
 REPS = 3
+
+# Cost attribution for queries whose HEADLINE timing includes shared
+# infrastructure (r6 verdict item 2): measured median-of-5 on an idle
+# box at sf0.1, 2026-08-14. graph_triangle_count runs first in the
+# graph family each pass, so its cold timing carries the persisted
+# copurchase_edges build that graph_kcore then reuses warm.
+DECOMPOSITION = {
+    "graph_triangle_count": {
+        "edge_build_sec": 1.70,
+        "triangle_warm_sec": 3.16,
+        "cold_total_median5_sec": 5.187,
+    },
+    "graph_kcore": {"kcore_warm_sec": 4.13},
+}
 
 # Queries whose median moved >1.5s across rounds on byte-identical code
 # (q1 swung 1.9<->3.1s three rounds running): sample them TWICE per
@@ -241,6 +262,7 @@ def main() -> None:
         "delta_vs_baseline": deltas,
         "baseline": BASELINE,
         "regressed": regressed,
+        "decomposition": DECOMPOSITION,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:

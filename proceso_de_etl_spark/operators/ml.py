@@ -453,7 +453,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned, no global structure, and no wedge ROWS ever
     materialize. Per-order pair generation is bounded by orders'
     line counts (≤7 lineitems in TPC-H ⇒ ≤21 pairs/order).
-    Reports nodes/edges/wedges/triangles in one row."""
+    Reports nodes/edges/wedges/triangles in one row.
+
+    Skew posture (pinned in tests/test_plans.py::
+    test_graph_family_skew_posture): the degree cap is the ONLY
+    protection at power-law hubs — AQE's skew-split cannot fire on
+    the intersection join because both inputs descend from the
+    shared cached edge frame (OptimizeSkewedJoin needs
+    sort-over-shuffle-stage on both sides). Row concentration at
+    high IN-degree hubs is bounded by the array-size cap per row;
+    if a real corpus ever produces in-degree skew beyond executor
+    memory, salt the `d` key (relational.py's salted join), don't
+    count on AQE."""
     und = copurchase_edges(spark, sf_dir)
     deg = (
         und.select(F.col("u").alias("node"))

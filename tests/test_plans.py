@@ -552,3 +552,111 @@ def test_round7_new_ops_plan_shapes(spark):
     ]
     assert wedge_joins == [], f"wedge rows materialized: {wedge_joins[:1]}"
     spark.catalog.clearCache()
+
+
+def test_graph_family_skew_posture(spark):
+    """Pins the skew posture of the co-purchase graph joins (r6
+    verdict item 6). Two facts, both load-bearing at 100 TB:
+
+    1. DEGREE CAP (the operator's actual protection): after the
+       (degree, id) orientation, max out-degree <= sqrt(2m) — per-edge
+       intersection work is bounded even at power-law hubs. Asserted
+       on the real gate data.
+
+    2. AQE LIMIT (what the cap must therefore cover): the
+       intersection join's row concentration at high IN-degree hubs is
+       NOT AQE-splittable in the operator's shape, because both join
+       inputs descend from the shared cached `oriented` frame and
+       OptimizeSkewedJoin only matches sort-over-shuffle-stage on both
+       sides. Pinned by contrast: the same hub-skewed join against an
+       INDEPENDENT right side shows `AQEShuffleRead skewed`; against a
+       right side derived from the same cache it does not. If this
+       ever flips (Spark lifts the limitation), the cap can be
+       re-examined; until then, pathological in-degree row skew is
+       salting territory (relational.py), not AQE territory."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.ml import copurchase_edges
+
+    # --- 1. degree cap on real data ---
+    und = copurchase_edges(spark, SF_CORRECT)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"))
+    )
+    row = oriented.groupBy("s").count().agg(
+        F.max("count").alias("max_out"), F.sum("count").alias("m")
+    ).collect()[0]
+    assert row.max_out <= (2 * row.m) ** 0.5, (row.max_out, row.m)
+
+    # --- 2. AQE split posture by contrast (hub-synthetic) ---
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    hub_left = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+
+        hub_left = (
+            spark.range(0, 300_000)
+            .select((F.col("id") % 2 + 10_000_000).alias("d"), F.col("id").alias("pay"))
+            .persist()
+        )
+        hub_left.count()
+
+        def skew_fired(right) -> bool:
+            df = hub_left.join(right, hub_left.d == right.v2).agg(
+                F.count("*").alias("n")
+            )
+            df.collect()
+            return "AQEShuffleRead skewed" in plan_of(df)
+
+        independent = spark.range(9_999_990, 10_000_100).select(
+            F.col("id").alias("v2"), (F.col("id") * 3).alias("w")
+        )
+        assert skew_fired(independent), "independent right side must split"
+
+        self_derived = (
+            hub_left.groupBy("pay")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("pay").alias("v2"), "c")
+            .repartition("v2")
+        )
+        assert not skew_fired(self_derived), (
+            "shared-cache lineage started AQE-splitting — revisit the "
+            "triangle/k-core skew docstrings: the degree cap may no "
+            "longer be the only protection"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        ):
+            spark.conf.unset(k)
+        if hub_left is not None:
+            hub_left.unpersist()

@@ -79,8 +79,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # row yet, 10 keys whose latest driver row is a stale r3-r5 `no_oracle`
 # but which NOW ship value oracles (re-gating flips them to pass), and
 # 8 never-gated keys that legitimately ship no oracle (rows-only by
-# design). 27+10+8 = 45; the last 5 gate slots go to keys added THIS
-# round so they earn a driver row immediately, then the oldest
+# design). 27+10 = 37 backlog slots; the next 6 gate slots go to keys
+# added THIS round so they earn a driver row immediately, then the oldest
 # r1-pass keys as freshness re-checks (the r6 verdict's fill choice —
 # NOT the 8 never-gated rows-only keys, which would burn pass slots on
 # no_oracle rows; they sit just below the cap). Tail: r3 rows, then
@@ -132,6 +132,7 @@ _PRIORITY = (
     "stream_distinct_exact",
     "graph_connected_components",
     "graph_label_propagation",
+    "ann_ivf_pinned_topk",
     # --- 4. oldest r1-pass keys as freshness re-checks (fill to 50) ---
     "events_tumbling_window",
     "events_funnel",
@@ -140,8 +141,9 @@ _PRIORITY = (
     "events_json_extract",
     "events_rolling_window",
     "events_value_band_join",
+    # ---- 50-row gate cap lands here (37 backlog + 6 new + 7 r1;
+    #      events_retention_cohorts spills to the tail) ----
     "events_retention_cohorts",
-    # ---- 50-row gate cap lands here (37 backlog + 5 new + 8 r1) ----
     # --- 5. never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

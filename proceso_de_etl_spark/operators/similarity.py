@@ -272,6 +272,127 @@ def ivf_search(
     )
 
 
+
+
+# Frozen coarse quantizer for the driver-verifiable IVF companion:
+# fit ONCE by ml.kmeans_fit (k=N_LISTS, 3 iters — same recipe as
+# ann_ivf_topk) on the sf0.01 embeddings, rounded to 6dp so the
+# literals parse to identical doubles in Spark and DuckDB. Same
+# freeze-the-geometry move as dedup.SEMDEDUP_PINNED_CENTROIDS: the
+# k-means FIT stays rows-only in ann_ivf_topk; this pins the
+# probe-and-rerank half (ivf_search) to a value oracle.
+IVF_PINNED_CENTROIDS: list[list[float]] = [
+    [0.019524, 0.025106, 0.050597, -0.106388, 0.027263, -0.009795, -0.035729, 0.001011, 0.043619, -0.057394, -0.041875, -0.01767, -0.048797, -0.003956, -0.019706, -0.006786, 0.04346, 0.060503, 0.041406, 0.051916, -0.09569, 0.018694, 0.024474, -0.016613, -0.006437, 0.052921, 0.094825, -0.006842, -0.007379, 0.090711, -0.005817, 0.042709, -0.041065, -0.032083, 0.009548, -0.029096, 0.013294, 0.016034, 0.029841, -0.010427, 0.00638, 0.015345, -0.01348, 0.022606, -0.023343, 0.046399, 0.022186, -0.073476, 0.012618, -0.021085, 0.00656, 0.014029, 0.00703, -0.037574, 0.064884, 0.005139, -0.014345, -0.011271, -0.08253, -0.033253, -0.016412, 0.01538, 0.035205, -0.053874],
+    [-0.042974, 0.034698, 0.013603, -0.020418, -0.002822, -0.010402, -0.066478, -0.020484, -0.003278, -0.006862, -0.075064, 0.073309, 0.098382, -0.033414, 0.039219, 0.010503, -0.03814, -0.033773, 0.029224, -0.05062, 0.001704, 0.049023, 0.036174, -0.047504, 0.034528, 0.05562, -0.015432, -0.060309, 0.00887, 0.03514, -0.00161, -0.015455, -0.059988, -0.021081, -0.030103, 0.062478, -0.067459, -0.009962, 0.020955, -0.125774, -0.001787, -0.060388, 0.065797, 0.044299, 0.017649, 0.01027, -0.05122, -0.002962, -0.090271, -0.073005, -0.015397, 0.009057, 0.00291, 0.014697, -0.000823, 0.054055, 0.055748, -0.032064, -0.006407, 0.012128, -0.036614, -0.003601, -0.045204, -0.04261],
+    [-0.007088, -0.005922, -0.023553, 0.061469, 0.044531, -0.033847, -0.000507, -0.03731, -0.016517, -0.100314, -0.010748, 0.028113, -0.036502, 0.072885, 0.027934, 0.036935, -0.003545, 0.064546, -0.047236, -0.041448, 0.02191, 0.037695, 0.050099, -0.018939, -0.002662, -0.05579, -0.00598, -0.027943, 0.027281, -0.004479, -0.002965, -0.04584, -0.01324, 0.00258, -0.000584, 0.01082, 0.021775, 0.062543, 0.029563, 0.075524, 0.038672, -0.00323, 0.035246, 0.007147, -0.002291, -0.007428, 0.000251, -0.006859, 0.052121, 0.026949, 0.0359, -0.017117, -0.01257, -0.053767, 0.026487, 0.06317, 0.030176, -0.058163, -0.009202, 0.067958, 0.029602, 0.036856, 0.016589, -0.012753],
+    [-0.014841, 0.069213, 0.024891, 0.017049, 0.027268, -0.003339, 0.026019, -0.010579, -0.026293, 0.019942, 0.017667, 0.041952, 0.022049, 0.102264, 0.045558, 0.012622, -0.013745, 0.000257, -0.006473, 0.029732, -0.015008, 0.012907, -0.005976, 0.029208, -0.000814, 0.035468, -0.012187, -0.019187, -0.061251, -0.034596, -0.016675, -0.00477, 0.048842, 0.011114, -0.048747, -0.004964, -0.004954, 0.008051, -0.014283, -0.024985, -0.023631, -0.049941, -0.085837, -0.031799, -0.000198, -0.027135, -0.012615, -0.057124, 0.112258, -0.088358, -0.004501, -0.037161, -0.008317, 0.060714, -0.020541, -0.025981, 0.017526, -0.037944, 0.006298, -0.070798, 0.048205, -8e-05, -0.003873, -0.073352],
+    [-0.010532, -0.025881, 0.065571, 0.007623, -0.035214, -0.122202, 0.070082, 0.058972, -0.019324, 0.038273, 0.064141, -0.033891, 0.013383, -0.057173, -0.015489, 0.002654, 0.026476, 0.017122, -0.018403, 0.057396, -0.039809, 0.012181, -0.017583, 0.000834, -0.042112, -0.020886, 0.031459, -0.011557, 0.022914, -0.015108, 0.02593, 0.015719, 0.050642, -0.002819, 0.001651, -0.02709, -0.003015, -0.053336, -0.042919, 0.033451, 0.014103, -0.013366, -0.080209, 0.050056, -0.033652, 0.03579, -0.059904, 0.093152, -0.068511, -0.020711, 0.037005, 0.039524, 0.029119, 0.025076, 0.097673, -0.024723, 0.025471, -0.046647, 0.021327, -0.016076, -0.041702, -0.000477, 0.024588, -0.028674],
+    [0.003929, -0.053396, 0.052515, -0.003294, 0.074026, -0.036935, -0.037532, 0.105768, -0.042479, 0.049863, -0.02605, 0.02679, 0.025237, 0.046886, -0.009051, -0.002618, 0.028335, -0.074699, -0.075892, 0.046047, 0.000285, -0.007124, 0.032736, 0.023572, 0.035796, -0.006936, -0.054954, 0.008548, 0.010099, 0.034925, 0.067053, -0.035049, 0.016683, 0.000638, -0.00638, 0.043037, 0.020924, 0.064133, -0.035431, 0.008, -0.068945, 0.002068, -0.033804, 0.031346, -0.071589, -0.053044, -0.002192, -0.016525, -0.007844, 0.001813, 0.065566, 0.038632, -0.006472, 0.046464, -0.068028, -0.065572, 0.005772, -0.054277, -0.01632, 0.012376, -0.005596, 0.019315, -0.026456, 0.052842],
+    [0.019433, -0.038333, -0.010362, -0.04242, 0.017574, 0.060309, -0.024778, -0.041768, -0.006616, 0.015941, 0.084868, -0.016734, 0.007655, 0.050497, -0.048831, 0.051931, 0.011606, 0.104353, -0.050758, -0.030553, -0.004768, -0.007602, -0.024538, -0.083503, -0.046872, -0.047486, -0.003219, 0.037014, 0.032105, -0.01859, -0.006174, 0.013866, -0.031887, -0.077368, -0.011684, 0.06199, 0.037098, -0.033546, 0.018712, -0.04235, 0.029585, -0.052935, 0.003211, -0.038907, 0.037388, 0.032979, 0.04544, 0.072461, 0.020151, 0.028, -0.007131, 0.008131, 0.054646, -0.034181, -0.007923, 0.051225, -0.039362, 0.038608, 0.013411, -0.046317, 0.041915, -0.004213, 0.013793, 0.017421],
+    [0.109832, 0.024602, -0.006681, 0.05454, -0.030654, 0.023396, -0.008013, 0.096602, -0.038959, 0.009047, 0.048082, 0.036626, -0.033825, -0.080041, -0.01847, 0.003849, -0.023484, -0.00131, -0.007343, 0.029548, -0.021031, 0.007065, 0.005507, 0.024395, -0.002628, -0.03869, -0.049388, 0.061538, -0.017867, 0.0357, 0.098259, 0.047082, -0.034845, -1.1e-05, -0.015752, 0.03021, -0.059872, -0.037898, 0.023384, -0.018897, -0.006939, -0.028289, -0.001738, -0.035196, -0.013552, 0.051697, -0.005421, 0.090495, -0.040097, -0.002989, 0.062086, -0.000977, 0.003384, 0.005752, -0.014299, 0.024509, 0.008233, 0.001369, -0.120498, -0.004712, 0.020766, -0.025266, -0.002964, -0.103616],
+    [-0.049492, -0.07951, -0.028592, 0.034046, 0.008504, 0.071928, -0.011697, 0.020485, 0.003208, 0.058431, -0.071118, 0.066633, -0.038022, 0.010873, 0.013574, 0.075127, 0.04419, -0.03833, 0.050055, 0.008174, 0.039799, -0.038248, -0.005975, -0.036887, -0.056515, 0.054944, 0.024868, 0.010711, 0.013557, -0.088952, -0.022917, -0.023877, 0.01009, -0.017801, 0.065299, -0.033185, 0.002352, 0.01882, 0.046705, 0.00962, -0.022238, -0.027036, -0.026934, 0.022617, -0.017156, -0.040849, 0.011897, -0.0253, -0.040771, -0.037255, 0.023409, -0.016468, -0.048101, 0.029586, 0.027248, -0.022345, -0.018803, 0.074945, 0.069913, -0.05437, -0.04865, 0.006214, -0.012675, -0.020023],
+    [0.040425, -0.023501, -0.048704, 0.015981, 0.01035, 0.013709, -0.074173, 0.060905, -0.022171, 0.023641, 0.039553, -0.051775, -0.035931, 0.021439, -0.024837, -0.038578, -0.042183, 0.058574, -0.021086, -0.026791, 0.004425, -0.052984, 0.039255, 0.05965, -0.037786, -0.016091, -0.070569, 0.055621, -0.0259, 0.002579, -0.029831, -0.038008, -0.021818, 0.018817, 0.10887, 0.022511, -0.171209, 0.030027, 0.052652, 0.053941, -0.078949, 0.03329, 0.12724, 0.050092, 0.009592, 0.012866, -0.007238, -0.031392, -0.032334, -0.047285, 0.023875, 0.036952, -0.035693, 0.044059, 0.010119, 0.027323, 0.014644, -0.007227, -0.000801, -0.027425, -0.007912, -0.001186, -0.001068, 0.012305],
+    [0.024004, -0.012596, -0.075409, -0.011625, -0.043227, 0.022315, -0.007218, 0.030376, 0.037237, -0.015064, 0.001669, -0.074845, -0.003215, -0.031501, 0.015165, -0.045905, -0.042386, 0.007496, 0.029904, -0.029785, -0.007851, 0.003228, -0.024914, 0.004429, 0.037943, 0.100436, -0.031797, 0.034212, -0.040301, 0.058669, -0.100302, 0.040972, 0.073872, -0.05946, -0.032831, -0.005346, 0.038358, 0.013715, -0.036374, 0.0428, -0.024867, -0.068905, -0.0278, 0.022463, -0.020015, 0.0208, 0.015342, -0.00641, 0.018999, 0.079146, 0.066899, -0.032498, 0.042473, -0.004703, -0.016203, -0.035466, 0.098444, 0.006391, 0.031149, -0.005861, 0.040799, -0.044246, -0.043479, -0.010589],
+    [0.014719, -0.021641, -0.025138, 0.00617, 0.019909, 0.038366, -0.040283, -0.03885, 0.034903, -0.011209, 0.036056, -0.029413, 0.014441, 0.032947, -0.025369, -0.013112, 0.037338, 0.016664, 0.005283, 0.013519, -0.065292, -0.081098, 0.041102, -0.019777, 0.016474, -0.016681, 0.038665, 0.091913, -0.027376, -0.020671, 0.003505, -0.015727, 0.06076, -0.059624, 0.005843, -0.020686, -0.003515, -0.029322, -0.057487, -0.022168, 0.047002, 0.055149, 0.054776, -0.009691, 0.038317, -0.045759, -0.033566, -0.03053, 0.061226, 0.015534, -0.060969, -0.036251, 0.053866, 0.023105, 0.036407, -0.007688, -0.02688, 0.054054, -0.009395, -0.02193, 0.013225, 0.052834, 0.068129, 0.110776],
+    [0.015259, -0.065645, 0.037551, -0.030618, 0.048543, 0.082203, -0.047363, -0.044604, 0.056537, 0.017247, 0.037059, 0.031955, 0.010658, 0.010312, 0.066365, -0.030828, 0.013078, -0.112579, -0.058648, -0.032604, 0.015606, 0.059474, -0.003123, -0.017879, 0.017001, 0.075869, 0.022642, 0.016754, -0.049658, -0.034583, 0.062962, -0.01583, -0.005959, 0.002558, 0.026144, -0.015326, -0.009849, -0.043909, 0.011174, 0.050964, 0.011215, 0.010479, -0.031609, 0.009079, 0.014385, 0.034168, -0.017987, 0.045859, -0.047687, -0.019475, -0.041236, -0.000884, 0.101271, -0.034578, -0.010709, 0.006355, -0.051502, -0.042065, 0.071415, -0.012943, 0.043184, 0.07417, -0.040208, -0.073125],
+    [-0.004882, 0.028823, 0.043682, 0.002194, 0.047921, 0.043997, -0.07281, 0.010292, 0.003143, -0.061779, 0.059388, -0.000246, -0.009525, -0.077539, -0.026346, 0.010968, 0.009041, 0.026431, 0.026947, -0.059018, 0.073646, 0.033733, -0.026052, -0.026129, 0.022153, -0.018489, 0.032754, 0.052006, 0.066101, -0.014064, -0.025142, -0.003388, 0.014564, 0.071165, 0.020364, 0.004732, 0.010834, 0.080026, 0.0201, -0.025177, 0.000352, -0.032555, -0.004955, -0.072179, -0.077087, -0.011441, 0.034681, 0.001179, -0.023263, -0.058805, -0.026398, 0.00503, -0.054592, -0.034792, -0.024087, -0.020548, -0.042489, 0.022041, -0.003672, 0.036179, -0.010756, 0.005691, -0.030239, 0.053],
+    [-0.041254, 0.06179, 0.003202, -0.047494, -0.050884, 0.023604, -0.019681, 0.019798, 0.004345, 0.12498, -0.052769, -0.023518, 0.03463, 0.003322, 0.026572, 0.073754, 0.007442, -0.015953, 0.036135, 0.005158, 0.035131, -0.019889, -0.043627, 0.067032, -0.023444, 0.040097, -0.021142, -0.01073, 0.01127, 0.006105, -0.014969, 0.007354, 0.034342, 0.089618, 0.049865, -0.018907, 0.059486, -0.12386, -0.079288, 0.014465, 0.012562, 0.049306, 0.092092, 0.039959, -0.064541, -0.041505, -0.005708, 0.024315, 0.00485, 0.00981, -0.008012, 0.019044, 0.038641, -0.030291, 0.049374, 0.020456, -0.022159, 0.048841, -0.084465, 0.036025, -0.065801, -0.061915, 0.024613, -0.003186],
+    [-0.045673, 0.019684, -0.030644, -0.025971, -0.023336, -0.047689, 0.035309, -0.070028, -0.040336, -0.080539, -0.025885, -0.03195, -0.045094, -0.021648, -0.037163, -0.066846, -0.023563, 0.001843, 0.055477, 0.041603, -0.013049, -0.015397, 0.010436, -0.025487, 0.024173, 0.016906, -0.03584, -0.065978, -0.00424, -0.01611, 0.062688, -0.087178, 0.027376, -0.008167, -0.015093, -0.066496, -0.027268, -0.038181, -0.023179, -0.016242, 0.034376, 0.043569, 0.034755, -0.074558, 0.041272, 0.038, 0.026265, 0.009776, -0.007441, 0.045891, -0.030269, -0.03709, -0.018905, -0.079541, -0.051592, -0.081478, 0.040508, -0.002267, 0.0241, 0.008, -0.031316, 0.011603, 0.022506, -0.02239],
+]
+
+
+def ann_ivf_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b companion — IVF probe-and-rerank made driver-verifiable:
+    identical plan to ``ann_ivf_topk`` (one assignment scan against
+    broadcast centroids, per-query explode to the N_PROBE nearest
+    cells, list_id equi-join, exact-cosine re-rank to TOP_K) but
+    against the FROZEN quantizer ``IVF_PINNED_CENTROIDS``, so DuckDB
+    can replay assignment, probe selection, and re-rank
+    value-for-value. Cell-boundary float safety is measured, not
+    assumed: tests/test_properties.py asserts the minimum gap
+    between every query's N_PROBE-th and (N_PROBE+1)-th nearest cell
+    distance and between corpus argmin gaps, orders above double
+    reassociation error. The iterative FIT itself stays rows-only in
+    the parent key — exactly the split the SemDeDup pair, so the
+    quantizer-freshness question (T50) remains the operator family's
+    own concern."""
+    from proceso_de_etl_spark.operators.ml import assign_clusters
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    corpus = assign_clusters(emb, IVF_PINNED_CENTROIDS).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        F.col("cluster").alias("list_id"),
+    )
+    return ivf_search(
+        corpus, emb.filter(F.col("vec_id") < N_QUERIES), IVF_PINNED_CENTROIDS
+    )
+
+
+def _ivf_pinned_oracle_sql() -> str:
+    vals = ",\n         ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+cents(list_id, w) AS (
+  VALUES {vals}
+),
+centel AS (SELECT list_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS cx FROM cents),
+dists AS (
+  SELECT e.vec_id, ce.list_id, SUM((e.x - ce.cx) * (e.x - ce.cx)) AS d2
+  FROM elems e JOIN centel ce ON ce.i = e.i GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, CAST(list_id AS BIGINT) AS list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         SUM(q.x * c.x) / (nq.norm * nc.norm) AS cosine
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.query_id
+  JOIN elems c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  JOIN norms nq ON nq.vec_id = cd.query_id
+  JOIN norms nc ON nc.vec_id = cd.neighbor_id
+  GROUP BY 1, 2, nq.norm, nc.norm
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ORACLES["ann_ivf_pinned_topk"] = _ivf_pinned_oracle_sql()
+
+
 def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T50 — incremental IVF index maintenance: a new embedding batch
     (odd vec_ids) joins an index whose coarse quantizer was fitted on
@@ -657,6 +778,7 @@ QUERIES = {
     "embedding_int8_quantize": embedding_int8_quantize,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_pinned_topk": ann_ivf_pinned_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_incremental": ann_ivf_incremental,

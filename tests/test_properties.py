@@ -381,3 +381,23 @@ def test_float_margin_guards_for_embedding_oracles():
     d2.sort(axis=1)
     rel_gap = ((d2[:, 1] - d2[:, 0]) / d2[:, 0]).min()
     assert rel_gap > 1e-5, f"centroid assignment relative gap {rel_gap:.2e}"
+
+    # 4. IVF pinned quantizer (ann_ivf_pinned_topk): corpus argmin gap
+    #    AND the probe-set boundary — the gap between every query's
+    #    N_PROBE-th and (N_PROBE+1)-th nearest cell decides WHICH
+    #    lists get scanned, so it too must dwarf reassociation error
+    from proceso_de_etl_spark.operators.similarity import (
+        IVF_PINNED_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+    )
+
+    ci = np.array(IVF_PINNED_CENTROIDS)  # (16, 64)
+    di = ((x[:, None, :] - ci[None, :, :]) ** 2).sum(axis=2)
+    di.sort(axis=1)
+    ivf_assign_gap = ((di[:, 1] - di[:, 0]) / di[:, 0]).min()
+    assert ivf_assign_gap > 1e-5, f"IVF assignment gap {ivf_assign_gap:.2e}"
+    vec_ids = np.array(t.column("vec_id").to_pylist())
+    dq = di[vec_ids < N_QUERIES]
+    probe_gap = ((dq[:, N_PROBE] - dq[:, N_PROBE - 1]) / dq[:, N_PROBE - 1]).min()
+    assert probe_gap > 1e-5, f"IVF probe boundary gap {probe_gap:.2e}"

@@ -142,7 +142,8 @@ _PRIORITY = (
     "events_rolling_window",
     "events_value_band_join",
     # ---- 50-row gate cap lands here (37 backlog + 6 new + 7 r1;
-    #      events_retention_cohorts spills to the tail) ----
+    #      the rows below are the front of the r8 gate queue) ----
+    "graph_modularity",
     "events_retention_cohorts",
     # --- 5. never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only

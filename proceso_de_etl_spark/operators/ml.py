@@ -817,6 +817,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint truncates the iterative lineage (the T4b
     discipline). Output: one row per surviving community label with
     its member count."""
+    return (
+        lpa_labels(spark, sf_dir)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+    )
+
+
+def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LPA_ROUNDS synchronous label-propagation loop shared by
+    A92's community sizes and A93's modularity score; see
+    ``graph_label_propagation`` for the determinism contract."""
     sym_edges = copurchase_edges_supported(spark, sf_dir)
     sym = sym_edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
@@ -842,9 +853,65 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return nodes
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A93 — Newman modularity of the A92 label-propagation
+    partition, reported per community: Q_c = intra_c/m −
+    (D_c/(2m))², where intra_c counts edges with both endpoints in
+    c, D_c sums member degrees, m is the support-filtered edge
+    count. Σ Q_c is THE standard community-quality score (Newman &
+    Girvan 2004) and the quantity Louvain greedily ascends — so this
+    key is also the evaluation harness a Louvain implementation
+    would plug into. All inputs are exact integers; the two float
+    divisions happen once per community row and round to 6dp, the
+    repo's established margin discipline. Plan shape: one
+    edge⋈labels join (keyed, linear in m), two keyed aggregations,
+    one broadcast of the single-row m."""
+    labels = lpa_labels(spark, sf_dir).select(
+        F.col("id").alias("node"), F.col("label").alias("community")
+    )
+    edges = copurchase_edges_supported(spark, sf_dir)
+    lu = labels.withColumnRenamed("node", "u").withColumnRenamed("community", "cu")
+    lv = labels.withColumnRenamed("node", "v").withColumnRenamed("community", "cv")
+    labeled_edges = edges.join(lu, "u").join(lv, "v")
+    m = labeled_edges.agg(F.count("*").alias("m"))
+    intra = (
+        labeled_edges.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("intra_edges"))
+    )
+    deg = (
+        labeled_edges.select(F.col("u").alias("node"), F.col("cu").alias("community"))
+        .unionByName(
+            labeled_edges.select(F.col("v").alias("node"), F.col("cv").alias("community"))
+        )
+        .groupBy("community")
+        .agg(F.count("*").cast("bigint").alias("degree_sum"),
+             F.countDistinct("node").cast("bigint").alias("n_members"))
+    )
     return (
-        nodes.groupBy(F.col("label").alias("community"))
-        .agg(F.count("*").cast("bigint").alias("n_members"))
+        deg.join(intra, "community", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_members",
+            "intra_edges",
+            "degree_sum",
+            # + 0.0 folds IEEE -0.0 (a tiny negative contribution
+            # rounded away) to +0.0 — the repr-compare gate treats
+            # them as different values even though they are ==
+            (
+                F.round(
+                    F.col("intra_edges") / F.col("m")
+                    - F.pow(F.col("degree_sum") / (2 * F.col("m")), 2),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("q_contribution"),
+        )
     )
 
 
@@ -879,6 +946,42 @@ FROM l{LPA_ROUNDS} GROUP BY 1
 ORACLES["graph_label_propagation"] = _lpa_oracle_sql()
 
 
+def _modularity_oracle_sql() -> str:
+    # same ladder as A92's oracle, then the Q arithmetic over exact
+    # integer counts (one rounded float expression per community row)
+    ladder_sql = _lpa_oracle_sql()
+    # strip the final SELECT of the LPA oracle; rebuild with labels
+    head, _, _ = ladder_sql.rpartition("SELECT label AS community")
+    head = head.rstrip().rstrip(",") + ","
+    return f"""{head}
+labels AS (SELECT node, label AS community FROM l{LPA_ROUNDS}),
+le AS (
+  SELECT p.u, p.v, cu.community AS cu, cv.community AS cv
+  FROM pair p JOIN labels cu ON cu.node = p.u JOIN labels cv ON cv.node = p.v
+),
+m AS (SELECT COUNT(*) AS m FROM le),
+intra AS (
+  SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM le WHERE cu = cv GROUP BY 1
+),
+deg AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS degree_sum,
+         CAST(COUNT(DISTINCT node) AS BIGINT) AS n_members
+  FROM (
+    SELECT u AS node, cu AS community FROM le
+    UNION ALL SELECT v, cv FROM le
+  ) GROUP BY 1
+)
+SELECT community, n_members, COALESCE(intra_edges, 0) AS intra_edges, degree_sum,
+       ROUND(COALESCE(intra_edges, 0) * 1.0 / m.m
+             - POW(degree_sum * 1.0 / (2 * m.m), 2), 6) + 0.0 AS q_contribution
+FROM deg LEFT JOIN intra USING (community), m
+"""
+
+
+ORACLES["graph_modularity"] = _modularity_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
@@ -887,4 +990,5 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_connected_components": graph_connected_components,
     "graph_label_propagation": graph_label_propagation,
+    "graph_modularity": graph_modularity,
 }

@@ -1281,3 +1281,26 @@ def test_graph_lpa_golden_vs_reference(spark):
         ).distinct().count()
     )
     assert sum(r.n_members for r in sizes) == n_nodes
+
+
+def test_graph_modularity_reconciles_with_lpa(spark):
+    """A93: per-community member counts must equal A92's sizes, the
+    intra-edge total can't exceed m, and total Q lies in [-1, 1]."""
+    from proceso_de_etl_spark.operators.ml import (
+        copurchase_edges_supported,
+        graph_label_propagation,
+        graph_modularity,
+    )
+    from tests.conftest import SF_CORRECT
+
+    mod = {r.community: r for r in graph_modularity(spark, SF_CORRECT).collect()}
+    sizes = {
+        r.community: r.n_members
+        for r in graph_label_propagation(spark, SF_CORRECT).collect()
+    }
+    assert {c: r.n_members for c, r in mod.items()} == sizes
+    m = copurchase_edges_supported(spark, SF_CORRECT).count()
+    assert sum(r.intra_edges for r in mod.values()) <= m
+    assert sum(r.degree_sum for r in mod.values()) == 2 * m
+    q = sum(r.q_contribution for r in mod.values())
+    assert -1.0 <= q <= 1.0

@@ -615,6 +615,20 @@ def etl_atomic_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(manifest, "table_name string, n_rows bigint")
 
 
+# The manifest counts READ BACK from the committed directories must
+# equal the distinct dimension cardinalities of the sources — a torn
+# or partial promote would break the equality, so the r4-era
+# "rows-only: the observable is the commit protocol" stance was too
+# conservative: the protocol's end state IS value-checkable (r7).
+ORACLES["etl_atomic_write"] = """
+SELECT 'dim_categoria' AS table_name,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_rows FROM part
+UNION ALL
+SELECT 'dim_clasificacion',
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+"""
+
+
 def etl_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 — snapshot versioning + time travel on the atomic sink:
     two retained commits of an orders fact (v1 = through 1996, v2 =

@@ -82,6 +82,16 @@ HEADLINE = (
     "dedup_simhash",
     "multimodal_phash_dedup",
     "ann_lsh_bucketed",
+    # r7 additions: the support-graph community family (CC pays the
+    # shared supported-edge build cold; LPA/modularity ride it warm —
+    # same attribution pattern as triangle/kcore) and the two
+    # pinned-geometry companions whose quadratic-bounding / probe
+    # claims are exactly what must not silently regress
+    "graph_connected_components",
+    "graph_label_propagation",
+    "graph_modularity",
+    "semdedup_pairs",
+    "ann_ivf_pinned_topk",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -151,6 +161,14 @@ BASELINE = {
     "dedup_simhash": 3.516,
     "multimodal_phash_dedup": 2.071,
     "ann_lsh_bucketed": 7.999,
+    # --- r7 floors: median-of-5 idle-box runs at add time, replaying
+    #     the bench pass order (CC cold on the supported-edge build,
+    #     LPA/modularity warm behind it) ---
+    "graph_connected_components": 3.184,
+    "graph_label_propagation": 1.652,
+    "graph_modularity": 1.847,
+    "semdedup_pairs": 2.653,
+    "ann_ivf_pinned_topk": 2.771,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

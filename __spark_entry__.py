@@ -144,6 +144,7 @@ _PRIORITY = (
     # ---- 50-row gate cap lands here (37 backlog + 6 new + 7 r1;
     #      the rows below are the front of the r8 gate queue) ----
     "graph_modularity",
+    "graph_louvain_move",
     "etl_atomic_write",
     "events_retention_cohorts",
     # --- 5. never-gated, no oracle by design (cross-engine

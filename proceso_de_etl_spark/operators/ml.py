@@ -982,6 +982,213 @@ FROM deg LEFT JOIN intra USING (community), m
 ORACLES["graph_modularity"] = _modularity_oracle_sql()
 
 
+
+
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A94 — one synchronous Louvain local-move round (Blondel et al.
+    2008) refining the A92 LPA partition, with the gain comparison
+    made INTEGER-EXACT so determinism needs no float margins at all:
+    moving node i (degree k_i, removed from its current community
+    first, the standard convention) into community c changes Q by
+    ΔQ ∝ k_{i,c}/m − Σtot'(c)·k_i/(2m²); multiplying by the positive
+    constant 2m² gives the integer score
+    s(i,c) = 2·m·k_{i,c} − Σtot'(c)·k_i, where Σtot'(c) subtracts
+    k_i when c is i's own community. Every node simultaneously takes
+    argmax_c s(i,c) over its neighbor communities ∪ {stay}, ties to
+    the smallest community id, moving only on a STRICT improvement
+    over staying. One round (the classic algorithm loops until Q
+    stalls, sequentially — order-dependent and thus oracle-hostile;
+    the synchronous single round is the deterministic unit both
+    engines can replay, and composes: run it again on its own
+    output). Output: the refinement ledger — communities/Q before
+    and after (A93's exact-integer arithmetic, 6dp-rounded at the
+    edge) and the move count. Plan shape: the per-node candidate
+    frame is one edge⋈labels join + a (node, community) count, all
+    keyed shuffles linear in m; the rest is small keyed aggregates.
+    Q CAN decrease under synchronous moves (two adjacent nodes may
+    swap into each other's communities) — the ledger reports, not
+    asserts, the delta; the oracle pins it either way."""
+    labels = lpa_labels(spark, sf_dir).select(
+        F.col("id").alias("node"), F.col("label").alias("comm")
+    )
+    edges = copurchase_edges_supported(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    m_row = F.broadcast(edges.agg(F.count("*").alias("m")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("k"))
+    tot = (
+        labels.join(deg, "node")
+        .groupBy("comm")
+        .agg(F.sum("k").alias("tot"))
+    )
+    # k_{i,c}: edges from node to community c (via dst labels)
+    kic = (
+        sym.join(labels.withColumnRenamed("node", "dst").withColumnRenamed("comm", "c"), "dst")
+        .groupBy(F.col("src").alias("node"), "c")
+        .agg(F.count("*").alias("kic"))
+    )
+    # candidate scores: neighbor communities plus the stay option
+    # (stay has k_{i,own} from kic when i has intra edges, else 0 —
+    # covered by the left join + coalesce below)
+    own = labels.select("node", F.col("comm").alias("own"))
+    cand = (
+        kic.join(own, "node")
+        .unionByName(  # ensure the stay option exists even with no intra edge
+            own.select("node", F.col("own").alias("c"), F.lit(0).cast("bigint").alias("kic"), "own")
+            .select("node", "c", "kic", "own"),
+            allowMissingColumns=False,
+        )
+        .groupBy("node", "c", "own")
+        .agg(F.max("kic").alias("kic"))
+    )
+    scored = (
+        cand.join(deg, "node")
+        .join(tot.withColumnRenamed("comm", "c"), "c")
+        .crossJoin(m_row)
+        .withColumn(
+            "tot_adj", F.col("tot") - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0))
+        )
+        .withColumn("score", 2 * F.col("m") * F.col("kic") - F.col("tot_adj") * F.col("k"))
+    )
+    best = (
+        scored.groupBy("node", "own")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"))
+        .select("node", "own", F.col("b.score").alias("best_score"), (-F.col("b.negc")).cast("bigint").alias("best_c"))
+    )
+    stay = scored.filter(F.col("c") == F.col("own")).select(
+        "node", F.col("score").alias("stay_score")
+    )
+    moved = (
+        best.join(stay, "node")
+        .withColumn(
+            "new_comm",
+            F.when(F.col("best_score") > F.col("stay_score"), F.col("best_c")).otherwise(F.col("own")),
+        )
+        .select("node", "own", "new_comm")
+    )
+
+    def q_total(lbl: DataFrame) -> DataFrame:
+        lu = lbl.withColumnRenamed("node", "u").withColumnRenamed("lab", "cu")
+        lv = lbl.withColumnRenamed("node", "v").withColumnRenamed("lab", "cv")
+        le = edges.join(lu, "u").join(lv, "v")
+        intra = le.filter(F.col("cu") == F.col("cv")).agg(F.count("*").alias("intra"))
+        dc = (
+            le.select(F.col("u").alias("node"), F.col("cu").alias("c"))
+            .unionByName(le.select(F.col("v").alias("node"), F.col("cv").alias("c")))
+            .groupBy("c")
+            .agg(F.count("*").alias("dsum"))
+        )
+        sq = dc.crossJoin(m_row).agg(
+            F.sum(F.pow(F.col("dsum") / (2 * F.col("m")), 2)).alias("sumsq"),
+            F.count("*").cast("bigint").alias("n_comms"),
+        )
+        return (
+            intra.crossJoin(m_row)
+            .crossJoin(F.broadcast(sq))
+            .select(
+                (F.round(F.col("intra") / F.col("m") - F.col("sumsq"), 6) + F.lit(0.0)).alias("q"),
+                "n_comms",
+            )
+        )
+    before = q_total(labels.select("node", F.col("comm").alias("lab")))
+    after = q_total(moved.select("node", F.col("new_comm").alias("lab")))
+    n_moves = moved.filter(F.col("new_comm") != F.col("own")).agg(
+        F.count("*").cast("bigint").alias("n_moves")
+    )
+    return (
+        before.select(F.col("n_comms").alias("n_comms_before"), F.col("q").alias("q_before"))
+        .crossJoin(after.select(F.col("n_comms").alias("n_comms_after"), F.col("q").alias("q_after")))
+        .crossJoin(F.broadcast(n_moves))
+    )
+
+
+def _louvain_move_oracle_sql() -> str:
+    ladder_sql = _lpa_oracle_sql()
+    head, _, _ = ladder_sql.rpartition("SELECT label AS community")
+    head = head.rstrip().rstrip(",") + ","
+    return f"""{head}
+labels AS (SELECT node, label AS comm FROM l{LPA_ROUNDS}),
+m AS (SELECT COUNT(*) AS m FROM pair),
+deg AS (SELECT src AS node, COUNT(*) AS k FROM edges GROUP BY 1),
+tot AS (
+  SELECT comm, SUM(k) AS tot FROM labels JOIN deg USING (node) GROUP BY 1
+),
+kic AS (
+  SELECT e.src AS node, ld.comm AS c, COUNT(*) AS kic
+  FROM edges e JOIN labels ld ON ld.node = e.dst GROUP BY 1, 2
+),
+cand AS (
+  SELECT node, c, MAX(kic) AS kic, MAX(own) AS own FROM (
+    SELECT k.node, k.c, k.kic, o.comm AS own
+    FROM kic k JOIN labels o ON o.node = k.node
+    UNION ALL
+    SELECT node, comm AS c, 0, comm FROM labels
+  ) GROUP BY node, c
+),
+scored AS (
+  SELECT cd.node, cd.c, cd.own,
+         2 * m.m * cd.kic
+           - (t.tot - CASE WHEN cd.c = cd.own THEN d.k ELSE 0 END) * d.k AS score
+  FROM cand cd JOIN deg d ON d.node = cd.node
+  JOIN tot t ON t.comm = cd.c, m
+),
+best AS (
+  SELECT node, own, score AS best_score, c AS best_c FROM (
+    SELECT node, own, score, c,
+           row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+stay AS (SELECT node, score AS stay_score FROM scored WHERE c = own),
+moved AS (
+  SELECT b.node, b.own,
+         CASE WHEN b.best_score > s.stay_score THEN b.best_c ELSE b.own END AS new_comm
+  FROM best b JOIN stay s ON s.node = b.node
+),
+le_before AS (
+  SELECT p.u, p.v, cu.comm AS cu, cv.comm AS cv
+  FROM pair p JOIN labels cu ON cu.node = p.u JOIN labels cv ON cv.node = p.v
+),
+le_after AS (
+  SELECT p.u, p.v, cu.new_comm AS cu, cv.new_comm AS cv
+  FROM pair p JOIN moved cu ON cu.node = p.u JOIN moved cv ON cv.node = p.v
+),
+qb AS (
+  SELECT ROUND(
+           (SELECT COUNT(*) FROM le_before WHERE cu = cv) * 1.0 / m.m
+           - (SELECT SUM(POW(dsum * 1.0 / (2 * m.m), 2)) FROM (
+                SELECT c, COUNT(*) AS dsum FROM (
+                  SELECT u AS node, cu AS c FROM le_before
+                  UNION ALL SELECT v, cv FROM le_before
+                ) GROUP BY 1)), 6) + 0.0 AS q_before,
+         (SELECT CAST(COUNT(DISTINCT cu) AS BIGINT) FROM (
+            SELECT cu FROM le_before UNION ALL SELECT cv FROM le_before
+          )) AS n_comms_before
+  FROM m
+),
+qa AS (
+  SELECT ROUND(
+           (SELECT COUNT(*) FROM le_after WHERE cu = cv) * 1.0 / m.m
+           - (SELECT SUM(POW(dsum * 1.0 / (2 * m.m), 2)) FROM (
+                SELECT c, COUNT(*) AS dsum FROM (
+                  SELECT u AS node, cu AS c FROM le_after
+                  UNION ALL SELECT v, cv FROM le_after
+                ) GROUP BY 1)), 6) + 0.0 AS q_after,
+         (SELECT CAST(COUNT(DISTINCT cu) AS BIGINT) FROM (
+            SELECT cu FROM le_after UNION ALL SELECT cv FROM le_after
+          )) AS n_comms_after
+  FROM m
+)
+SELECT n_comms_before, q_before, n_comms_after, q_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM moved WHERE new_comm <> own) AS n_moves
+FROM qb, qa
+"""
+
+
+ORACLES["graph_louvain_move"] = _louvain_move_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
@@ -991,4 +1198,5 @@ QUERIES = {
     "graph_connected_components": graph_connected_components,
     "graph_label_propagation": graph_label_propagation,
     "graph_modularity": graph_modularity,
+    "graph_louvain_move": graph_louvain_move,
 }

@@ -1304,3 +1304,115 @@ def test_graph_modularity_reconciles_with_lpa(spark):
     assert sum(r.degree_sum for r in mod.values()) == 2 * m
     q = sum(r.q_contribution for r in mod.values())
     assert -1.0 <= q <= 1.0
+
+
+def test_louvain_move_gain_scores_vs_reference(spark):
+    """A94's integer gain score vs a pure-python reference on the
+    barbell graph: for every node and candidate community the score
+    2m*k_ic - tot'(c)*k_i must rank moves exactly as the float
+    DeltaQ formula does (the scaling constant 2m^2 is positive), and
+    the synchronous move outcome must match the reference."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    # initial labels: every node its own community (simplest start)
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    m = len(edges)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    lab = {n: n for n in adj}
+    tot = Counter()
+    for n in adj:
+        tot[lab[n]] += deg[n]
+
+    def ref_moves():
+        out = {}
+        for i in adj:
+            kic = Counter(lab[j] for j in adj[i])
+            cands = set(kic) | {lab[i]}
+            scored = []
+            for c in sorted(cands):
+                tot_adj = tot[c] - (deg[i] if c == lab[i] else 0)
+                score = 2 * m * kic.get(c, 0) - tot_adj * deg[i]
+                # float twin: DeltaQ * 2m^2 must order identically
+                fq = kic.get(c, 0) / m - tot_adj * deg[i] / (2 * m * m)
+                assert (score > 0) == (fq > 1e-12) or abs(fq) < 1e-12
+                scored.append((score, -c))
+            best_score, negc = max(scored)
+            stay = next(s for s, nc in scored if -nc == lab[i])
+            out[i] = -negc if best_score > stay else lab[i]
+        return out
+
+    expected = ref_moves()
+
+    # Spark twin of the scored/best/moved pipeline on the same graph
+    df = spark.createDataFrame(edges, "u long, v long")
+    sym = df.selectExpr("u as src", "v as dst").unionByName(
+        df.selectExpr("v as src", "u as dst")
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "comm", F.col("node")
+    )
+    deg_df = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("k"))
+    tot_df = labels.join(deg_df, "node").groupBy("comm").agg(F.sum("k").alias("tot"))
+    kic_df = (
+        sym.join(
+            labels.withColumnRenamed("node", "dst").withColumnRenamed("comm", "c"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "c")
+        .agg(F.count("*").alias("kic"))
+    )
+    own = labels.select("node", F.col("comm").alias("own"))
+    cand = (
+        kic_df.join(own, "node")
+        .unionByName(
+            own.select(
+                "node",
+                F.col("own").alias("c"),
+                F.lit(0).cast("bigint").alias("kic"),
+                "own",
+            )
+        )
+        .groupBy("node", "c", "own")
+        .agg(F.max("kic").alias("kic"))
+    )
+    scored = (
+        cand.join(deg_df, "node")
+        .join(tot_df.withColumnRenamed("comm", "c"), "c")
+        .withColumn(
+            "tot_adj",
+            F.col("tot")
+            - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0)),
+        )
+        .withColumn("score", 2 * m * F.col("kic") - F.col("tot_adj") * F.col("k"))
+    )
+    best = (
+        scored.groupBy("node", "own")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"))
+        .select(
+            "node",
+            "own",
+            F.col("b.score").alias("best_score"),
+            (-F.col("b.negc")).cast("bigint").alias("best_c"),
+        )
+    )
+    stay = scored.filter(F.col("c") == F.col("own")).select(
+        "node", F.col("score").alias("stay_score")
+    )
+    got = {
+        r.node: r.new_comm
+        for r in best.join(stay, "node")
+        .withColumn(
+            "new_comm",
+            F.when(
+                F.col("best_score") > F.col("stay_score"), F.col("best_c")
+            ).otherwise(F.col("own")),
+        )
+        .collect()
+    }
+    assert got == expected

@@ -660,3 +660,31 @@ def test_graph_family_skew_posture(spark):
             spark.conf.unset(k)
         if hub_left is not None:
             hub_left.unpersist()
+
+
+def test_r7_companions_stay_jvm_side(spark):
+    """The r7 pinned-geometry and community operators must stay
+    whole-stage-codegen territory: no Python UDF (the centroid
+    assignment is a literal-array expression), no CartesianProduct
+    (every join is keyed or an explicit tiny crossJoin of one-row
+    aggregates — those plan as BroadcastNestedLoopJoin over 1 row,
+    which is fine; an accidental CartesianProduct over corpus-sized
+    inputs is not)."""
+    from proceso_de_etl_spark.operators.dedup import semdedup_pairs
+    from proceso_de_etl_spark.operators.ml import (
+        graph_connected_components,
+        graph_louvain_move,
+        graph_modularity,
+    )
+    from proceso_de_etl_spark.operators.similarity import ann_ivf_pinned_topk
+
+    for fn in (
+        semdedup_pairs,
+        ann_ivf_pinned_topk,
+        graph_connected_components,
+        graph_modularity,
+        graph_louvain_move,
+    ):
+        plan = plan_of(fn(spark, SF_CORRECT))
+        assert "PythonUDF" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__

@@ -145,6 +145,7 @@ _PRIORITY = (
     #      the rows below are the front of the r8 gate queue) ----
     "graph_modularity",
     "graph_louvain_move",
+    "graph_coarsen",
     "etl_atomic_write",
     "events_retention_cohorts",
     # --- 5. never-gated, no oracle by design (cross-engine

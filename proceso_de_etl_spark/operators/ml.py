@@ -1189,6 +1189,56 @@ FROM qb, qa
 ORACLES["graph_louvain_move"] = _louvain_move_oracle_sql()
 
 
+
+
+def graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A95 — community-graph coarsening (Louvain phase 2, Blondel et
+    al. 2008): contract every A92 community into a supernode and
+    aggregate the original edges into the weighted community
+    multigraph — inter-community edges become (cu, cv, weight) with
+    cu < cv, intra-community edges fold into the supernode's
+    self-loop weight. This is the frame the NEXT local-move round
+    (A94) would run on one level up, and on its own it is the
+    community-interaction summary (which part clusters co-sell with
+    which). Exact integer arithmetic end to end; one edge⋈labels
+    join + one keyed count — linear in m, output is
+    communities², typically tiny. Self-loops are emitted with
+    cu = cv (weight = intra edge count), matching the standard
+    Louvain convention where they carry the contracted Σ_in."""
+    labels = lpa_labels(spark, sf_dir).select(
+        F.col("id").alias("node"), F.col("label").alias("comm")
+    )
+    edges = copurchase_edges_supported(spark, sf_dir)
+    lu = labels.withColumnRenamed("node", "u").withColumnRenamed("comm", "cu_raw")
+    lv = labels.withColumnRenamed("node", "v").withColumnRenamed("comm", "cv_raw")
+    return (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .select(
+            F.least("cu_raw", "cv_raw").alias("cu"),
+            F.greatest("cu_raw", "cv_raw").alias("cv"),
+        )
+        .groupBy("cu", "cv")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+
+
+def _coarsen_oracle_sql() -> str:
+    ladder_sql = _lpa_oracle_sql()
+    head, _, _ = ladder_sql.rpartition("SELECT label AS community")
+    head = head.rstrip().rstrip(",") + ","
+    return f"""{head}
+labels AS (SELECT node, label AS comm FROM l{LPA_ROUNDS})
+SELECT LEAST(cu.comm, cv.comm) AS cu, GREATEST(cu.comm, cv.comm) AS cv,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM pair p JOIN labels cu ON cu.node = p.u JOIN labels cv ON cv.node = p.v
+GROUP BY 1, 2
+"""
+
+
+ORACLES["graph_coarsen"] = _coarsen_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
@@ -1199,4 +1249,5 @@ QUERIES = {
     "graph_label_propagation": graph_label_propagation,
     "graph_modularity": graph_modularity,
     "graph_louvain_move": graph_louvain_move,
+    "graph_coarsen": graph_coarsen,
 }

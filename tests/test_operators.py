@@ -1416,3 +1416,28 @@ def test_louvain_move_gain_scores_vs_reference(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_graph_coarsen_conserves_edges_and_matches_modularity_inputs(spark):
+    """A95: total coarsened weight must equal m (every original edge
+    lands in exactly one supernode pair), self-loop weights must
+    equal A93's per-community intra_edges, and endpoints must be
+    ordered cu <= cv."""
+    from proceso_de_etl_spark.operators.ml import (
+        copurchase_edges_supported,
+        graph_coarsen,
+        graph_modularity,
+    )
+    from tests.conftest import SF_CORRECT
+
+    rows = graph_coarsen(spark, SF_CORRECT).collect()
+    m = copurchase_edges_supported(spark, SF_CORRECT).count()
+    assert sum(r.weight for r in rows) == m
+    assert all(r.cu <= r.cv for r in rows)
+    selfloops = {r.cu: r.weight for r in rows if r.cu == r.cv}
+    intra = {
+        r.community: r.intra_edges
+        for r in graph_modularity(spark, SF_CORRECT).collect()
+        if r.intra_edges > 0
+    }
+    assert selfloops == intra

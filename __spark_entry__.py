@@ -148,6 +148,9 @@ _PRIORITY = (
     "graph_coarsen",
     "etl_atomic_write",
     "events_retention_cohorts",
+    "sketch_kmv_setops",
+    "sketch_hll_portable",
+    "sketch_cms_portable",
     # --- 5. never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

@@ -151,6 +151,7 @@ _PRIORITY = (
     "sketch_kmv_setops",
     "sketch_hll_portable",
     "sketch_cms_portable",
+    "ann_pq_pinned_topk",
     # --- 5. never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

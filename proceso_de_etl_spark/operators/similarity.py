@@ -525,6 +525,237 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen PQ codebooks for the driver-verifiable ADC companion: fit
+# ONCE by ml.kmeans_fit (k=PQ_K, 3 iters, per 16-dim subspace of the
+# L2-NORMALIZED vectors — byte-identical recipe to ann_pq_topk) on
+# the sf0.01 embeddings, rounded to 6dp so the literals parse to the
+# same doubles in Spark and DuckDB. Same freeze-the-geometry move as
+# IVF_PINNED_CENTROIDS: the iterative FIT stays rows-only in the
+# parent key; this pins encode → asymmetric-distance scan → re-rank.
+PQ_PINNED_CODEBOOKS: list[list[list[float]]] = [
+    [  # subspace 0 (dims 1-16 of the normalized vector)
+        [0.001746, 0.053737, 0.004728, -0.13281, 0.072767, -0.027807, -0.011407, -0.006796, 0.106089, -0.008354, -0.050972, -0.009497, -0.069051, -0.02192, -0.035012, 0.006391],
+        [-0.086948, 0.011712, 0.093352, 0.011177, 0.020698, -0.008775, -0.082218, 0.02325, -0.076187, 0.00304, -0.094686, 0.036683, 0.069651, -0.084918, 0.074406, -0.001596],
+        [0.003991, -0.060242, -0.103657, 0.025016, -0.011961, -0.017806, 0.093257, 0.034835, -0.031186, -0.143079, -0.006852, 0.004164, -0.040062, 0.073271, -0.000995, 0.10647],
+        [-0.000636, 0.075384, 0.052599, 0.035119, 0.075325, -0.044773, 0.06242, 0.032393, -0.070679, 0.039598, -0.038888, 0.090106, 0.015724, 0.16255, -0.027673, 0.019382],
+        [-0.031505, -0.038038, 0.047492, 0.002591, -0.021181, -0.206522, 0.101939, 0.066237, -0.046739, 0.120134, 0.059713, -0.004864, 0.014926, -0.035714, 0.095425, 0.05855],
+        [0.009033, -0.107314, 0.059394, -0.002085, 0.05053, -0.000361, 0.002792, 0.078449, -0.037682, 0.06509, 0.128901, -0.064178, 0.037155, -0.022291, -0.058666, -0.059735],
+        [-0.118804, -0.026704, -0.017141, -0.092385, -0.077598, 0.078059, -0.007265, 0.028184, 0.028498, 0.127959, 0.106274, 0.050096, -0.058641, 0.122673, 0.016995, -0.016904],
+        [0.151062, 0.064442, -0.030095, 0.018865, -0.020362, 0.008819, -0.009799, 0.137072, -0.069639, -0.057058, -0.041732, -0.024065, -0.025998, -0.026108, 0.00476, -0.110916],
+        [0.028794, -0.074997, -0.011153, 0.024475, 0.010351, 0.070353, -0.163617, 0.027791, 0.040458, 0.101427, -0.085764, 0.065395, 0.09405, 0.007978, -0.060523, 0.155424],
+        [0.03202, -0.011293, 0.008841, 0.041589, -0.045078, 0.10295, 0.014437, -0.031585, -0.03903, 0.033336, -0.01718, 0.062877, -0.132429, -0.009215, -0.090271, -0.032355],
+        [0.0972, 0.019667, -0.144955, -0.050123, -0.009812, 0.050951, -0.000886, -0.037873, 0.002414, -0.075308, 0.085247, -0.008767, 0.107181, -0.031447, 0.090545, -0.084763],
+        [-0.063899, -0.012395, -0.063949, 0.041131, 0.067937, -0.00024, -0.093585, -0.165104, -0.017849, -0.011197, 0.072143, -0.025837, -0.03057, 0.068252, -0.023172, -0.0065],
+        [0.095939, 0.007754, 0.084871, -0.030193, 0.089299, 0.135426, -0.078741, 0.021406, 0.054086, -0.063984, 0.10719, 0.039031, 0.097861, -0.000197, 0.021411, 0.111643],
+        [0.03172, 0.052301, 0.026347, 0.088521, -0.021151, 0.020545, -0.084011, -0.012981, 0.008172, -0.106718, 0.048237, -0.081206, 0.000867, -0.152335, -0.031635, 0.07095],
+        [-0.012134, -0.010175, -0.02036, -0.039391, 0.024866, 0.067136, -0.002516, 0.01185, 0.119895, 0.10749, -0.065248, -0.002252, 0.010928, -0.037616, 0.162421, -0.002063],
+        [-0.062557, 0.001943, 0.021615, -0.023396, -0.140917, -0.11588, -0.074688, -0.027392, -0.002025, -0.113956, -0.022699, -0.068507, -0.028195, 0.05883, -0.046877, -0.115602],
+    ],
+    [  # subspace 1 (dims 17-32 of the normalized vector)
+        [-0.013071, 0.002013, 0.039929, 0.021624, -0.16151, -0.05442, -0.003663, -0.001183, 0.060983, 0.066973, 0.121364, -0.074521, 0.022896, 0.172923, 0.015038, 0.068471],
+        [-0.046382, 0.056881, -0.010139, -0.019659, 0.044254, 0.099596, 0.02316, -0.145831, 0.023523, 0.078708, -0.084974, -0.072598, -0.040296, 0.097998, -0.146139, 0.070578],
+        [-0.136209, -0.075124, -0.135273, -0.028259, 0.003142, 0.0452, 0.041055, 2.7e-05, -0.012312, -0.009858, -0.054964, -0.058698, 0.068765, 0.079499, -0.039561, -0.118546],
+        [-0.040131, 0.035314, 0.051227, 0.067145, 0.009286, 0.066715, -0.049146, 0.011191, -0.044448, -0.042632, -0.00528, -0.121538, -0.109667, -0.021359, -0.057177, 0.008162],
+        [0.047266, 0.071205, 0.046446, -0.034596, -0.060354, 0.121381, -0.009015, 0.054685, -0.018804, -0.026941, 0.08679, -0.020071, 0.105629, -0.056155, 0.034508, 0.047222],
+        [0.108455, -0.068361, -0.099866, 0.029014, 0.005794, -0.033319, -0.030216, -0.006184, 0.12023, 0.063994, 0.013812, 0.004347, 0.08797, 0.062534, 0.058784, -0.097604],
+        [-0.023056, 0.115084, -0.041215, 0.021605, 0.064899, -0.051561, -0.020607, -0.041453, -0.026149, -0.086927, 0.018704, 0.082278, 0.034637, 0.014242, 0.020823, -0.06504],
+        [0.063162, -0.022806, -0.050004, 0.07128, -0.056114, 0.019802, 0.091966, 0.077019, 0.027777, -0.06933, -0.058798, 0.078183, -0.022708, 0.04651, 0.109582, 0.052504],
+        [0.005936, -0.006409, 0.059237, 0.040316, 0.079218, -0.055881, 0.147731, -0.020142, -0.06902, 0.145966, 0.023212, -0.002372, 0.001024, -0.155898, -0.061617, 0.041197],
+        [0.034979, -0.010981, 0.058782, -0.076, -0.037758, -0.018567, 0.047798, 0.162413, 0.023957, -0.114605, -0.069499, 0.002099, -0.05568, -0.118635, 0.002367, -0.040657],
+        [-0.035388, 0.074211, 0.04197, -0.019136, -0.06782, 0.019845, 0.018367, -0.024398, 0.085044, 0.113617, -0.071055, 0.097861, -0.021084, 0.05205, -0.102046, -0.00233],
+        [0.12593, -0.006429, -0.048393, -0.07285, -0.021376, -0.043642, 0.06485, -0.088688, 0.065469, 0.05227, 0.091285, 0.006972, -0.103622, -0.003808, -0.074112, 0.072525],
+        [-0.00187, -0.092451, -0.096356, -0.070184, -0.021906, 0.067608, -0.014767, -0.022864, -0.058056, 0.146379, -0.005921, 0.009898, -0.010444, -0.089197, 0.122235, -0.092416],
+        [-0.010643, 0.027316, 0.078109, -0.120261, 0.125334, 0.030857, 0.067045, -0.189259, 0.014941, -0.049633, 0.008656, 0.001939, 0.004198, -0.061561, 0.024838, 0.014532],
+        [0.012406, -0.054858, 0.036901, 0.039374, 0.047837, -0.044833, -0.087492, 0.036734, -0.098041, 0.033935, -0.034135, 0.060435, 0.057659, 0.031467, -0.071172, 0.053119],
+        [-0.088104, 0.025891, 0.049798, 0.067316, -0.042977, -0.038463, -0.005547, -0.037717, -0.006705, 0.024875, -0.017739, -0.006868, -0.104512, -0.037404, 0.122276, -0.066536],
+    ],
+    [  # subspace 2 (dims 33-48 of the normalized vector)
+        [-0.062228, -0.080404, -0.02108, -0.02822, -0.022032, 0.002976, 0.087638, 0.004128, 0.072518, 0.028678, -0.066295, -0.030776, -0.028119, 0.09468, -0.002318, -0.090576],
+        [0.010628, -0.024488, -0.018235, 0.020516, -0.089793, -0.05025, 0.022111, -0.149036, -0.050336, -0.023975, 0.07113, 0.055718, 0.020268, 0.022378, -0.070508, -0.087924],
+        [-0.002157, -0.011708, 0.014508, 0.045332, 0.004832, 0.072861, -9.2e-05, 0.050911, -0.004365, 0.038523, 0.169119, 0.063856, -0.069598, 0.020413, 0.020379, -0.093843],
+        [0.127508, 0.025035, -0.026554, 0.033212, -0.021478, -0.033719, 0.048815, -0.086799, 0.013507, -0.07372, -0.16252, 0.034636, -0.008035, 0.031975, 0.039849, -0.00276],
+        [-0.082601, -0.015436, 0.049571, -0.085214, -0.051462, 0.011412, -0.091538, -0.09208, 0.030186, 0.019166, -0.083614, -0.013517, 0.038161, 0.029832, -0.064099, 0.100068],
+        [0.018179, -0.031307, -0.079545, 0.112398, 0.075891, 0.064651, -0.002382, 0.034272, -0.043229, 0.090538, -0.08964, 0.047096, -0.078824, -0.051824, 0.075768, 0.012223],
+        [-0.069742, -0.073168, -0.020357, 0.10535, 0.126276, 0.008829, 0.016539, 0.027137, 0.046688, -0.079242, 0.033105, -0.120218, 0.074651, 0.011941, 0.045477, 0.092838],
+        [-0.044755, -0.023727, -0.048087, -0.005507, -0.080923, -0.033211, 0.003034, 0.063042, -0.02775, -0.111848, 0.020756, 0.035168, -0.042792, 0.067624, 0.019637, 0.096085],
+        [-0.035961, 0.029536, 0.147752, -0.007501, 0.001203, 0.039022, 0.084033, -0.042936, -0.058207, -0.091577, 0.012979, -0.021337, 0.015514, -0.067662, 0.008879, -0.024838],
+        [-0.04691, 0.009686, 0.108176, 0.090889, -0.310234, -0.023796, -0.055889, 0.205168, -0.025989, 0.013811, 0.229611, 0.041929, -0.117286, 0.016668, -0.019098, -0.104584],
+        [0.128731, -0.020635, 0.037309, 0.006485, 0.041351, 0.075777, -0.065948, 0.092069, -0.101576, -0.107833, -0.075357, -0.026984, -0.006753, 0.022629, 0.071668, -0.096423],
+        [0.056906, -0.075309, -0.014756, 0.046857, 0.033139, -0.115306, -0.144519, -8e-05, 0.158313, -0.001298, 0.052176, -0.03257, 0.002594, -0.023265, -0.066249, -0.027837],
+        [0.059205, 0.074518, -0.027536, -0.055052, 0.019577, -0.035923, -0.046166, 0.106062, 0.029354, 0.00076, -0.020599, 0.123599, 0.032436, -0.068723, -0.070987, 0.061478],
+        [0.082084, 0.08336, 0.003425, -0.05652, -0.003369, 0.147624, 0.001238, -0.038232, -0.030154, -0.032644, -0.018955, -0.11147, -0.140371, 0.015254, -0.148759, 0.003923],
+        [0.075981, 0.197309, -0.008937, 0.027858, 0.05887, -0.091883, -0.040898, -0.074262, -0.034211, 0.023515, 0.083968, -0.067946, 0.040377, -0.045821, 0.08381, 0.067614],
+        [0.043998, -0.039828, 0.045997, -0.140164, -0.037749, -0.11, 0.078696, 0.039659, -0.013247, 0.129095, 0.057834, -0.065185, 0.02025, -0.021784, 0.03912, 0.050271],
+    ],
+    [  # subspace 3 (dims 49-64 of the normalized vector)
+        [0.073169, -0.015185, -0.036875, 0.045348, 0.069949, -0.042355, -0.009315, -0.025983, -0.009755, -0.094232, -0.154426, -0.041467, -0.025194, 0.020605, 0.000589, -0.137044],
+        [-0.086463, -0.083872, 0.019894, -0.016295, 0.026705, 0.060432, 0.013872, 0.05786, 0.093945, -0.01843, 0.009912, 0.050523, -0.085197, 0.012623, -0.083388, -0.05276],
+        [0.085134, -0.003595, 0.114835, -0.043724, 0.058974, -0.130881, 0.122446, 0.0995, -0.031517, -0.014326, 0.024603, 0.077693, 0.034731, 0.088339, 0.028582, 0.043411],
+        [0.189401, -0.239827, 0.00605, -0.035844, -0.031302, 0.127982, -0.06629, 0.009192, -0.058025, -0.117202, -0.017094, -0.015512, 0.036762, -0.008613, 0.04608, -0.063213],
+        [-0.024892, -0.022317, 0.007555, 0.058759, 0.057066, 0.02762, 0.07878, -0.029907, 0.091972, -0.091326, -0.00488, -0.092311, -0.01472, 0.085725, 0.045206, 0.093213],
+        [-0.03074, 0.043199, 0.051164, 0.010349, -0.014357, 0.103231, -0.185679, -0.167579, -0.005874, -0.112106, -0.019589, 0.058153, 0.020692, 0.047717, -0.020273, 0.01921],
+        [-0.001129, -0.011079, -0.095475, 0.096176, -0.006568, 0.026821, -0.034036, 0.115449, -0.036609, -0.012851, 0.006493, 0.045433, -0.040227, 0.019702, 0.084307, -0.024894],
+        [-0.066855, -0.042071, 0.077122, 0.046628, -0.046334, -0.086343, -0.040247, 0.081439, 0.047426, 0.125889, -0.144753, -0.078268, 0.0512, -0.121838, -0.023718, -0.038633],
+        [-0.084459, -0.057022, 0.005879, 0.062935, -0.07114, 0.044621, 0.052497, -0.091525, -0.075935, 0.083565, 0.03564, -0.121284, -0.012612, -0.044617, 0.014101, -0.029373],
+        [0.05824, -0.024361, -0.03665, -0.137151, -0.037722, -0.005397, -0.004196, 0.023148, 0.025436, 0.021235, 0.04801, -0.099071, 0.025222, 0.03745, 0.006661, -0.032385],
+        [0.069658, 0.11943, 0.089124, 0.000256, 0.041697, -0.000654, -0.027726, -0.005414, 0.12124, 0.04561, 0.018411, 0.050501, 0.119764, -0.058127, -0.019306, 0.028092],
+        [0.105214, -0.039095, -0.038407, -0.052642, 0.060527, 0.071822, 0.060841, 0.002155, -0.152423, 0.052867, -0.032071, -0.029562, -0.011061, -0.067811, 0.00785, 0.163804],
+        [-0.083139, 0.041903, 0.046711, 0.005175, 0.12275, 0.008088, 0.022053, 0.04707, -0.053007, -0.066049, 0.098627, -0.040603, 0.070341, 0.040075, -0.121076, -0.101705],
+        [-0.098342, -0.059353, 0.042136, 0.049939, -0.09438, -0.001118, -0.026024, 0.021589, -0.06215, -0.000692, -0.020751, 0.071476, 0.117832, 0.025479, -0.098968, 0.104113],
+        [-0.107619, 0.031041, -0.008692, -0.010073, 0.021552, -0.06485, 0.057833, -0.0248, -0.049122, 0.011013, -0.130465, 0.062103, -0.051429, -0.018071, 0.090828, 0.002536],
+        [0.034999, 0.019136, 0.030054, -0.034984, -0.019215, -0.082259, -0.029951, -0.1248, 0.028365, 0.022182, 0.084704, 0.061984, -0.096126, 0.000556, -0.035461, -0.091491],
+    ],
+]
+
+
+def ann_pq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7c companion — PQ/ADC made driver-verifiable: identical plan
+    to ``ann_pq_topk`` (normalize, per-subspace argmin encode against
+    the codebooks, per-query K x M distance table, candidates rank by
+    the M summed lookups, top PQ_RERANK re-rank by exact cosine) but
+    against ``PQ_PINNED_CODEBOOKS``, so DuckDB replays encoding, the
+    ADC ranking, and the re-rank value-for-value. Every float
+    decision this relies on is measured, not assumed
+    (tests/test_properties.py::test_float_margin_guards_for_pq_pinned):
+    per-(vector, subspace) argmin gap, the PQ_RERANK boundary gap per
+    query (identical-code ties are exact in both engines and break by
+    neighbor_id), and the TOP_K cosine boundary. The ADC sum is an
+    ordered 4-term add on BOTH engines (Spark folds m=0..3; the
+    oracle pivots the four lookups and adds left-to-right), so no
+    unordered SUM sits on a ranking boundary."""
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.operators.ml import _sq_dist
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = emb.withColumn(
+        "ne", F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    )
+    sub = EMB_DIM // PQ_M
+    subcol = lambda m: F.slice(F.col("ne"), m * sub + 1, sub)  # noqa: E731
+
+    def _code(m: int) -> F.Column:
+        dists = F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+        *[
+            F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]]).alias(f"qtab{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    adc = sum(
+        F.element_at(F.col(f"qtab{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M)
+    )
+    cand_w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    candidates = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+        .withColumn("cand_rk", F.row_number().over(cand_w))
+        .filter(F.col("cand_rk") <= PQ_RERANK)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn(
+            "cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _pq_pinned_oracle_sql() -> str:
+    sub = EMB_DIM // PQ_M
+    vals = ",\n         ".join(
+        "(%d, %d, [%s]::DOUBLE[])" % (m, k, ", ".join(repr(v) for v in c))
+        for m, cb in enumerate(PQ_PINNED_CODEBOOKS)
+        for k, c in enumerate(cb)
+    )
+    # ordered 4-term ADC add, matching Spark's m=0..3 fold
+    adc_sum = " + ".join(f"d{m}" for m in range(PQ_M))
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN c.m = {m} THEN q.d2 END) AS d{m}" for m in range(PQ_M)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+ne AS (
+  SELECT e.vec_id, e.i, e.x / n.norm AS xn
+  FROM elems e JOIN norms n ON n.vec_id = e.vec_id
+),
+cents(m, code, w) AS (
+  VALUES {vals}
+),
+centel AS (
+  SELECT m, code, unnest(range(1, len(w) + 1)) AS j, unnest(w) AS cx FROM cents
+),
+dists AS (
+  SELECT v.vec_id, ce.m, ce.code, SUM((v.xn - ce.cx) * (v.xn - ce.cx)) AS d2
+  FROM ne v JOIN centel ce
+    ON ce.m = (v.i - 1) // {sub} AND ce.j = ((v.i - 1) % {sub}) + 1
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {pivots}
+  FROM codes c
+  JOIN dists q ON q.m = c.m AND q.code = c.code
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY {adc_sum}, neighbor_id) AS cand_rk
+    FROM adc
+  ) WHERE cand_rk <= {PQ_RERANK}
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         SUM(q.x * c.x) / (nq.norm * nc.norm) AS cosine
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.query_id
+  JOIN elems c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  JOIN norms nq ON nq.vec_id = cd.query_id
+  JOIN norms nc ON nc.vec_id = cd.neighbor_id
+  GROUP BY 1, 2, nq.norm, nc.norm
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ORACLES["ann_pq_pinned_topk"] = _pq_pinned_oracle_sql()
+
+
 IVFPQ_N_PROBE = 6  # cells scanned per query (of N_LISTS; >T7b's 4 to offset PQ loss)
 IVFPQ_RERANK = 120  # deeper than T7c's 80: the cell-pruned ADC ranking is noisier
 
@@ -780,6 +1011,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pinned_topk": ann_ivf_pinned_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_pinned_topk": ann_pq_pinned_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_incremental": ann_ivf_incremental,
 }

@@ -401,3 +401,82 @@ def test_float_margin_guards_for_embedding_oracles():
     dq = di[vec_ids < N_QUERIES]
     probe_gap = ((dq[:, N_PROBE] - dq[:, N_PROBE - 1]) / dq[:, N_PROBE - 1]).min()
     assert probe_gap > 1e-5, f"IVF probe boundary gap {probe_gap:.2e}"
+
+
+def test_float_margin_guards_for_pq_pinned():
+    """ann_pq_pinned_topk's oracle replays encode → ADC rank → exact
+    re-rank; its discrete decisions are (1) the per-(vector, subspace)
+    nearest-code argmin, (2) the PQ_RERANK candidate boundary per
+    query, (3) the TOP_K cosine boundary. Measure all three on the
+    gate data (same discipline as the IVF/semdedup guards). Exact
+    ADC ties (identical code tuples) are SAFE — both engines compute
+    bit-equal sums and break by neighbor_id — so the boundary check
+    accepts either a real gap or an identical-code tie."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from proceso_de_etl_spark.operators.similarity import (
+        EMB_DIM,
+        N_QUERIES,
+        PQ_M,
+        PQ_PINNED_CODEBOOKS,
+        PQ_RERANK,
+        TOP_K,
+    )
+    from tests.conftest import SF_CORRECT
+
+    t = pq.read_table(f"{SF_CORRECT}/embeddings.parquet")
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    vec_ids = np.array(t.column("vec_id").to_pylist())
+    order = np.argsort(vec_ids)
+    x, vec_ids = x[order], vec_ids[order]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sub = EMB_DIM // PQ_M
+    n = len(x)
+
+    # (n, M, K) distance tables; codes and argmin gaps
+    dsub = np.stack(
+        [
+            ((xn[:, None, m * sub : (m + 1) * sub] - np.array(PQ_PINNED_CODEBOOKS[m])[None]) ** 2).sum(2)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+    codes = dsub.argmin(axis=2)  # (n, M)
+    ds = np.sort(dsub, axis=2)
+    rel_gap = ((ds[:, :, 1] - ds[:, :, 0]) / ds[:, :, 0]).min()
+    assert rel_gap > 1e-5, f"PQ code argmin relative gap {rel_gap:.2e}"
+
+    # ADC candidate boundary per query (rank PQ_RERANK vs +1)
+    qmask = vec_ids < N_QUERIES
+    lut = dsub[qmask]  # (q, M, K)
+    adc = np.stack(
+        [sum(lut[qi, m, codes[:, m]] for m in range(PQ_M)) for qi in range(qmask.sum())]
+    )  # (q, n)
+    qids = vec_ids[qmask]
+    for qi, qid in enumerate(qids):
+        others = vec_ids != qid
+        a = adc[qi][others]
+        cand_codes = codes[others]
+        srt = np.argsort(a, kind="stable")
+        lo, hi = a[srt[PQ_RERANK - 1]], a[srt[PQ_RERANK]]
+        if hi == lo:
+            assert (cand_codes[srt[PQ_RERANK - 1]] == cand_codes[srt[PQ_RERANK]]).all(), qid
+        else:
+            assert hi - lo > 1e-12, (qid, hi - lo)
+
+    # TOP_K cosine boundary inside each query's candidate set
+    norms = np.linalg.norm(x, axis=1)
+    for qi, qid in enumerate(qids):
+        others = np.where(vec_ids != qid)[0]
+        srt = np.argsort(adc[qi][others], kind="stable")
+        # replicate the (adc, neighbor_id) tie-break: stable sort on
+        # adc of vec_id-ordered rows IS that order
+        cand = others[srt[:PQ_RERANK]]
+        q_idx = np.where(vec_ids == qid)[0][0]
+        cos = (x[cand] @ x[q_idx]) / (norms[cand] * norms[q_idx])
+        cs = np.sort(cos)[::-1]
+        gap = cs[TOP_K - 1] - cs[TOP_K]
+        if gap == 0.0:
+            continue  # exact tie: neighbor_id order, engine-identical
+        assert gap > 1e-9, (qid, gap)

@@ -1239,6 +1239,142 @@ GROUP BY 1, 2
 ORACLES["graph_coarsen"] = _coarsen_oracle_sql()
 
 
+
+
+PRL_SCALE = 10**12  # integer rank unit: 1.0 of probability mass
+PRL_ITERS = 4  # unrolled in the DuckDB oracle — keep the two in sync
+
+
+def graph_pagerank_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44b — PageRank made driver-verifiable: a fixed PRL_ITERS-round
+    power iteration over the same customer→supplier purchase graph as
+    `ml_pagerank_bipartite`, but with ranks as SCALED BIGINTs
+    (PRL_SCALE = one unit of mass) and every division an integer
+    `div` — the graph_kcore unrolled-ladder discipline applied to the
+    one graph operator whose float iteration kept it rows-only. Both
+    engines then compute bit-identical ranks: contribution =
+    (r·weight) div out_weight, teleport = (15·SCALE) div (100·n),
+    damped inflow = (85·(inflow + dangling div n)) div 100.
+    Truncation drops < 1 unit (1e-12 of mass) per division —
+    bounded by (in-degree+2)/SCALE per node per round, measured
+    against the float twin in tests — while determinism becomes
+    exact. Iteration shape unchanged: one join + one keyed agg per
+    round, dangling mass as an in-plan broadcast 1-row aggregate,
+    per-round localCheckpoint. Returns the top-20 nodes by scaled
+    rank via TakeOrderedAndProject."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("weight"))
+        .persist()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ncnt = nodes.agg(F.count("*").alias("n"))  # in-plan scalar, no collect
+    weighted = edges.join(out_w, "src").persist()
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    ranks = (
+        nodes.join(F.broadcast(ncnt))
+        .select("node", F.expr(f"CAST({PRL_SCALE} AS BIGINT) div n").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(PRL_ITERS):
+            dang = ranks.join(dangling_nodes, "node").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dm")
+            )
+            contrib = (
+                ranks.join(weighted, ranks.node == weighted.src)
+                .groupBy("dst")
+                .agg(F.sum(F.expr("(r * weight) div ow")).alias("inflow"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .join(F.broadcast(dang))
+                .join(F.broadcast(ncnt))
+                .select(
+                    "node",
+                    F.expr(
+                        f"(15 * CAST({PRL_SCALE} AS BIGINT)) div (100 * n)"
+                        " + (85 * (coalesce(inflow, CAST(0 AS BIGINT)) + dm div n)) div 100"
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+        weighted.unpersist()
+        dangling_nodes.unpersist()
+        nodes.unpersist()
+    return ranked_topk(
+        ranks.select("node", F.col("r").alias("pr_scaled")),
+        [F.desc("pr_scaled"), F.asc("node")],
+        20,
+    ).select("rank", "node", "pr_scaled")
+
+
+def _pagerank_ladder_oracle_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, PRL_ITERS + 1):
+        rounds.append(f"""
+d{k} AS (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM {prev} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL
+),
+c{k} AS (
+  SELECT e.dst, SUM((r.r * e.weight) // o.ow) AS inflow
+  FROM {prev} r JOIN edges e ON e.src = r.node JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nd.node,
+         (15 * {PRL_SCALE}) // (100 * n)
+         + (85 * (COALESCE(c.inflow, 0) + dm // n)) // 100 AS r
+  FROM nodes nd LEFT JOIN c{k} c ON c.dst = nd.node, nn, d{k}
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH edges AS (
+  SELECT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst,
+         COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(weight) AS ow FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, {PRL_SCALE} // n AS r FROM nodes, nn),{",".join(rounds)}
+SELECT CAST(rank AS BIGINT) AS rank, node, CAST(pr_scaled AS BIGINT) AS pr_scaled
+FROM (
+  SELECT node, r AS pr_scaled,
+         row_number() OVER (ORDER BY r DESC, node ASC) AS rank
+  FROM {prev}
+) WHERE rank <= 20
+"""
+
+
+ORACLES["graph_pagerank_ladder"] = _pagerank_ladder_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
@@ -1250,4 +1386,5 @@ QUERIES = {
     "graph_modularity": graph_modularity,
     "graph_louvain_move": graph_louvain_move,
     "graph_coarsen": graph_coarsen,
+    "graph_pagerank_ladder": graph_pagerank_ladder,
 }

@@ -1441,3 +1441,60 @@ def test_graph_coarsen_conserves_edges_and_matches_modularity_inputs(spark):
         if r.intra_edges > 0
     }
     assert selfloops == intra
+
+
+def test_pagerank_ladder_tracks_float_twin_and_conserves_mass(spark):
+    """T44b: the scaled-integer ladder must track the float power
+    iteration run for the same PRL_ITERS rounds — per-division
+    truncation loses < 1 unit (1e-12 of mass), so after 4 rounds the
+    top-20 scaled ranks sit within a few in-degree·1e-12 of
+    float·SCALE — and total integer mass stays within n·(iters+1)
+    truncation units of SCALE (only ever BELOW: truncation never
+    adds). Also pins top-node agreement with the rows-only parent
+    discipline (same graph, same damping)."""
+    from proceso_de_etl_spark.operators.ml import (
+        PRL_ITERS,
+        PRL_SCALE,
+        graph_pagerank_ladder,
+        pagerank,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.node: r.pr_scaled for r in graph_pagerank_ladder(spark, sf).collect()}
+    assert len(got) == 20
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    flt = {r.node: r.rank for r in pagerank(edges, n_iter=PRL_ITERS).collect()}
+    n = len(flt)
+    # in-degree ≤ n edges feed a node; ladder truncation ≤ (deg+2)/SCALE
+    # per round — bound generously at 1e-6 absolute on the rank value
+    for node, scaled in got.items():
+        assert abs(scaled / PRL_SCALE - flt[node]) < 1e-6, (node, scaled, flt[node])
+    # integer mass: never above SCALE, within n·(iters+1) units below
+    # (full final rank vector read from the oracle replay, which the
+    # parity gate proves value-identical to the Spark ladder)
+    import duckdb
+
+    from proceso_de_etl_spark.operators.ml import ORACLES
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    head, _, _ = ORACLES["graph_pagerank_ladder"].rpartition("SELECT CAST(rank AS BIGINT)")
+    total = con.sql(head + f"SELECT SUM(r) FROM r{PRL_ITERS}").fetchone()[0]
+    con.close()
+    assert total <= PRL_SCALE
+    assert PRL_SCALE - total <= n * (PRL_ITERS + 1) * 3, (total, n)

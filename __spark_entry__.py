@@ -153,6 +153,7 @@ _PRIORITY = (
     "sketch_cms_portable",
     "ann_pq_pinned_topk",
     "graph_pagerank_ladder",
+    "graph_link_prediction",
     # --- 5. never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

@@ -1241,6 +1241,100 @@ ORACLES["graph_coarsen"] = _coarsen_oracle_sql()
 
 
 
+LP_MAX_DEG = 64  # wedge-center degree cap (see docstring)
+LP_RA_SCALE = 10**12  # resource-allocation unit: FLOOR(SCALE/deg) per neighbor
+LP_TOP = 30
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A95 — link prediction over the support-filtered co-purchase
+    graph: for every NON-adjacent part pair that shares at least one
+    common neighbor, score the missing edge by common-neighbor count
+    and the resource-allocation index (Zhou et al. 2009 — Σ 1/deg(w)
+    over shared neighbors w, the top performer of the local indices;
+    Adamic-Adar's 1/ln(deg) is irrational, RA is exactly
+    representable as the scaled integer Σ FLOOR(SCALE/deg(w)), so
+    both engines agree bit-for-bit). Candidates come from ONE wedge
+    join of the symmetric adjacency with itself on the shared center
+    (only pairs that DO share a neighbor ever materialize — never a
+    pairwise scan), existing edges drop by anti-join, and the top
+    LP_TOP predictions return via TakeOrderedAndProject.
+
+    Scale guards: wedge fan-out through a center w is deg(w)², so
+    centers above LP_MAX_DEG are excluded — at power-law hubs a
+    mega-degree center contributes deg² near-noise pairs (its RA
+    weight ≤ SCALE/deg is the smallest in the sum) while dominating
+    the shuffle; the cap bounds per-center work like the triangle
+    count's degree orientation bounds per-edge work. The cap is part
+    of the operator's semantics and the oracle applies it
+    identically."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    edges = copurchase_edges_supported(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    centers = (
+        sym.join(deg.filter(F.col("deg") <= LP_MAX_DEG), "node")
+        .select(F.col("node").alias("w"), "nbr", "deg")
+    )
+    a, b = centers.alias("a"), centers.alias("b")
+    wedges = a.join(
+        b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nbr") < F.col("b.nbr"))
+    ).select(
+        F.col("a.nbr").alias("pa"),
+        F.col("b.nbr").alias("pb"),
+        F.col("a.deg").alias("wdeg"),
+    )
+    scored = wedges.groupBy("pa", "pb").agg(
+        F.count("*").cast("bigint").alias("common_neighbors"),
+        F.sum(F.expr(f"CAST({LP_RA_SCALE} AS BIGINT) div wdeg"))
+        .cast("bigint")
+        .alias("ra_scaled"),
+    )
+    non_adjacent = scored.join(
+        edges, (scored.pa == edges.u) & (scored.pb == edges.v), "left_anti"
+    )
+    return ranked_topk(
+        non_adjacent,
+        [F.desc("ra_scaled"), F.desc("common_neighbors"), F.asc("pa"), F.asc("pb")],
+        LP_TOP,
+    ).select("rank", "pa", "pb", "common_neighbors", "ra_scaled")
+
+
+ORACLES["graph_link_prediction"] = f"""
+WITH {_supported_edges_sql()},
+sym AS (SELECT u AS node, v AS nbr FROM pair UNION ALL SELECT v, u FROM pair),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY node),
+centers AS (
+  SELECT s.node AS w, s.nbr, d.deg
+  FROM sym s JOIN deg d ON d.node = s.node WHERE d.deg <= {LP_MAX_DEG}
+),
+wedges AS (
+  SELECT a.nbr AS pa, b.nbr AS pb, a.deg AS wdeg
+  FROM centers a JOIN centers b ON a.w = b.w AND a.nbr < b.nbr
+),
+scored AS (
+  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM({LP_RA_SCALE} // wdeg) AS BIGINT) AS ra_scaled
+  FROM wedges GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN pair p ON p.u = s.pa AND p.v = s.pb
+  WHERE p.u IS NULL
+)
+SELECT CAST(rank AS BIGINT) AS rank, pa, pb, common_neighbors, ra_scaled
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY ra_scaled DESC, common_neighbors DESC, pa ASC, pb ASC
+  ) AS rank
+  FROM non_adj
+) WHERE rank <= {LP_TOP}
+"""
+
+
 PRL_SCALE = 10**12  # integer rank unit: 1.0 of probability mass
 PRL_ITERS = 4  # unrolled in the DuckDB oracle — keep the two in sync
 
@@ -1387,4 +1481,5 @@ QUERIES = {
     "graph_louvain_move": graph_louvain_move,
     "graph_coarsen": graph_coarsen,
     "graph_pagerank_ladder": graph_pagerank_ladder,
+    "graph_link_prediction": graph_link_prediction,
 }

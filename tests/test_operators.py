@@ -1498,3 +1498,51 @@ def test_pagerank_ladder_tracks_float_twin_and_conserves_mass(spark):
     con.close()
     assert total <= PRL_SCALE
     assert PRL_SCALE - total <= n * (PRL_ITERS + 1) * 3, (total, n)
+
+
+def test_link_prediction_matches_python_replay(spark):
+    """A95: replay the whole pipeline (cap, wedges, RA scaled-integer
+    sum, anti-join, ordering) in pure Python on the smoke graph and
+    pin the top-30 frame exactly; also asserts no predicted pair is
+    an existing edge and pa < pb throughout."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.ml import (
+        LP_MAX_DEG,
+        LP_RA_SCALE,
+        LP_TOP,
+        copurchase_edges_supported,
+        graph_link_prediction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = graph_link_prediction(spark, sf).collect()
+    edges = {
+        (r.u, r.v) for r in copurchase_edges_supported(spark, sf).collect()
+    }
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    scores = defaultdict(lambda: [0, 0])
+    for w, nbrs in adj.items():
+        if len(nbrs) > LP_MAX_DEG:
+            continue
+        ns = sorted(nbrs)
+        for i, pa in enumerate(ns):
+            for pb in ns[i + 1 :]:
+                s = scores[(pa, pb)]
+                s[0] += 1
+                s[1] += LP_RA_SCALE // len(nbrs)
+    preds = [
+        (pa, pb, cn, ra)
+        for (pa, pb), (cn, ra) in scores.items()
+        if (pa, pb) not in edges
+    ]
+    preds.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+    want = preds[:LP_TOP]
+    assert len(got) == min(LP_TOP, len(preds))
+    for r, (pa, pb, cn, ra) in zip(sorted(got, key=lambda r: r.rank), want):
+        assert r.pa < r.pb
+        assert (r.pa, r.pb) not in edges
+        assert (r.pa, r.pb, r.common_neighbors, r.ra_scaled) == (pa, pb, cn, ra), r

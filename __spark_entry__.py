@@ -133,7 +133,24 @@ _PRIORITY = (
     "graph_connected_components",
     "graph_label_propagation",
     "ann_ivf_pinned_topk",
-    # --- 4. oldest r1-pass keys as freshness re-checks (fill to 50) ---
+    # --- 4. oracle-paired keys born later in r7 (first driver row
+    #     now; a key with NO row outranks a freshness re-check of a
+    #     passing one, so these took the fill slots the r6 verdict
+    #     earmarked for r1 re-checks) ---
+    "graph_modularity",
+    "graph_louvain_move",
+    "graph_coarsen",
+    "etl_atomic_write",
+    "sketch_kmv_setops",
+    "sketch_hll_portable",
+    "sketch_cms_portable",
+    # ---- 50-row gate cap lands here (37 backlog + 6 new + 7 late-r7;
+    #      the rows below are the front of the r8 gate queue) ----
+    "ann_pq_pinned_topk",
+    "graph_pagerank_ladder",
+    "graph_link_prediction",
+    "events_retention_cohorts",
+    # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",
     "events_funnel",
     "events_asof_join",
@@ -141,19 +158,6 @@ _PRIORITY = (
     "events_json_extract",
     "events_rolling_window",
     "events_value_band_join",
-    # ---- 50-row gate cap lands here (37 backlog + 6 new + 7 r1;
-    #      the rows below are the front of the r8 gate queue) ----
-    "graph_modularity",
-    "graph_louvain_move",
-    "graph_coarsen",
-    "etl_atomic_write",
-    "events_retention_cohorts",
-    "sketch_kmv_setops",
-    "sketch_hll_portable",
-    "sketch_cms_portable",
-    "ann_pq_pinned_topk",
-    "graph_pagerank_ladder",
-    "graph_link_prediction",
     # --- 5. never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

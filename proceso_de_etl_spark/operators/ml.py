@@ -1247,7 +1247,7 @@ LP_TOP = 30
 
 
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A95 — link prediction over the support-filtered co-purchase
+    """A96 — link prediction over the support-filtered co-purchase
     graph: for every NON-adjacent part pair that shares at least one
     common neighbor, score the missing edge by common-neighbor count
     and the resource-allocation index (Zhou et al. 2009 — Σ 1/deg(w)

@@ -149,6 +149,7 @@ _PRIORITY = (
     "ann_pq_pinned_topk",
     "graph_pagerank_ladder",
     "graph_link_prediction",
+    "graph_louvain_ladder",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

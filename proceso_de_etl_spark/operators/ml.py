@@ -1469,6 +1469,328 @@ FROM (
 ORACLES["graph_pagerank_ladder"] = _pagerank_ladder_oracle_sql()
 
 
+def _weighted_louvain_move(labels: DataFrame, wedges: DataFrame, m_row: DataFrame) -> DataFrame:
+    """One synchronous integer-exact Louvain local-move round on a
+    weighted multigraph — the A94 logic generalized so it can run on
+    graph_coarsen's output one level up. ``wedges`` is (u, v, w) with
+    u <= v and self-loops allowed; ``labels`` is (node, comm);
+    ``m_row`` a broadcastable 1-row frame with total weight m.
+    Self-loops contribute 2w to their node's weighted degree and w to
+    m, and are EXCLUDED from k_{i,c} (they move with the node, so
+    they cancel in every gain comparison). Score, tie-break, and
+    strict-improvement rule are byte-identical to A94 (which this
+    reproduces exactly at w = 1, test-pinned). Returns
+    (node, own, new_comm)."""
+    loops = (
+        wedges.filter(F.col("u") == F.col("v"))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").alias("lw"))
+    )
+    nonloop = wedges.filter(F.col("u") < F.col("v"))
+    sym = nonloop.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(nonloop.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+    deg = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("w").alias("sw"))
+        .join(loops, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("sw"), F.lit(0).cast("bigint"))
+                + 2 * F.coalesce(F.col("lw"), F.lit(0).cast("bigint"))
+            ).alias("k"),
+        )
+    )
+    tot = labels.join(deg, "node").groupBy("comm").agg(F.sum("k").alias("tot"))
+    kic = (
+        sym.join(
+            labels.withColumnRenamed("node", "dst").withColumnRenamed("comm", "c"),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "c")
+        .agg(F.sum("w").alias("kic"))
+    )
+    own = labels.select("node", F.col("comm").alias("own"))
+    cand = (
+        kic.join(own, "node")
+        .unionByName(
+            own.select(
+                "node", F.col("own").alias("c"), F.lit(0).cast("bigint").alias("kic"), "own"
+            )
+        )
+        .groupBy("node", "c", "own")
+        .agg(F.max("kic").alias("kic"))
+    )
+    scored = (
+        cand.join(deg, "node")
+        .join(tot.withColumnRenamed("comm", "c"), "c")
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "tot_adj",
+            F.col("tot") - F.when(F.col("c") == F.col("own"), F.col("k")).otherwise(F.lit(0)),
+        )
+        .withColumn("score", 2 * F.col("m") * F.col("kic") - F.col("tot_adj") * F.col("k"))
+    )
+    best = (
+        scored.groupBy("node", "own")
+        .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"))
+        .select(
+            "node",
+            "own",
+            F.col("b.score").alias("best_score"),
+            (-F.col("b.negc")).cast("bigint").alias("best_c"),
+        )
+    )
+    stay = scored.filter(F.col("c") == F.col("own")).select(
+        "node", F.col("score").alias("stay_score")
+    )
+    return (
+        best.join(stay, "node")
+        .withColumn(
+            "new_comm",
+            F.when(F.col("best_score") > F.col("stay_score"), F.col("best_c")).otherwise(
+                F.col("own")
+            ),
+        )
+        .select("node", "own", "new_comm")
+    )
+
+
+def graph_louvain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A97 — the full two-level Louvain cycle, end to end and
+    value-oracled: LPA seed → synchronous local-move round (A94) →
+    phase-2 contraction of the MOVED labels (A95's convention:
+    intra edges become supernode self-loops) → a second local-move
+    round on the weighted community multigraph (the generalized
+    weighted move, singleton init — the standard phase-2 start) →
+    labels projected back to the original nodes. Every gain
+    comparison is integer-exact at both levels, so the whole ladder
+    replays bit-for-bit in DuckDB.
+
+    Output is the quality ledger on the ORIGINAL graph, one row per
+    stage (lpa / move / ladder): community count, intra-edge count,
+    Σ degree², and Newman Q both as the EXACT integer numerator
+    q_num = 4m·intra − ΣD_c² (Q scaled by 4m² — no float anywhere in
+    the comparison chain) and 6dp-rounded. Synchronous rounds can
+    lower Q (A94's documented swap oscillation); the ledger reports,
+    the oracle pins it either way. Plan shape per stage: one
+    edge⋈labels join + keyed aggregates, linear in m; level-1 frames
+    are communities², typically tiny. Integer headroom: scores are
+    bounded by 2m·max(k) ≤ 4m² — BIGINT-safe while 2m < 3e9."""
+    labels0 = lpa_labels(spark, sf_dir).select(
+        F.col("id").alias("node"), F.col("label").alias("comm")
+    )
+    edges = copurchase_edges_supported(spark, sf_dir)
+    w1 = edges.select("u", "v", F.lit(1).cast("bigint").alias("w"))
+    m_row = edges.agg(F.count("*").cast("bigint").alias("m"))
+
+    # each stage ends in a node-sized frame; eager localCheckpoints
+    # truncate the lineage so the three q_row consumers and the
+    # level-1 build don't each re-analyze the whole upstream ladder
+    moved0 = _weighted_louvain_move(labels0, w1, m_row).select("node", "new_comm")
+    lvl0 = moved0.select("node", F.col("new_comm").alias("comm")).localCheckpoint(
+        eager=True
+    )
+
+    cu = lvl0.withColumnRenamed("node", "u").withColumnRenamed("comm", "cu")
+    cv = lvl0.withColumnRenamed("node", "v").withColumnRenamed("comm", "cv")
+    contracted = (
+        edges.join(cu, "u")
+        .join(cv, "v")
+        .select(
+            F.least("cu", "cv").alias("u"),
+            F.greatest("cu", "cv").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    singles = contracted.select(F.col("u").alias("node")).unionByName(
+        contracted.select(F.col("v").alias("node"))
+    ).distinct()
+    labels1 = singles.select("node", F.col("node").alias("comm"))
+    moved1 = _weighted_louvain_move(labels1, contracted, m_row).select(
+        F.col("node").alias("comm0"), F.col("new_comm").alias("comm1")
+    )
+    composed = (
+        lvl0.join(moved1, lvl0.comm == moved1.comm0)
+        .select("node", F.col("comm1").alias("comm"))
+        .localCheckpoint(eager=True)
+    )
+
+    def q_row(lbl: DataFrame, stage: str) -> DataFrame:
+        lu = lbl.withColumnRenamed("node", "u").withColumnRenamed("comm", "cu")
+        lv = lbl.withColumnRenamed("node", "v").withColumnRenamed("comm", "cv")
+        le = edges.join(lu, "u").join(lv, "v")
+        intra = le.filter(F.col("cu") == F.col("cv")).agg(
+            F.count("*").cast("bigint").alias("intra_edges")
+        )
+        percomm = (
+            le.select(F.col("cu").alias("c"))
+            .unionByName(le.select(F.col("cv").alias("c")))
+            .groupBy("c")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+        agg = percomm.agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sum_deg_sq"),
+        )
+        return (
+            agg.crossJoin(intra)
+            .crossJoin(F.broadcast(m_row))
+            .select(
+                F.lit(stage).alias("stage"),
+                "n_communities",
+                "intra_edges",
+                "sum_deg_sq",
+                (4 * F.col("m") * F.col("intra_edges") - F.col("sum_deg_sq"))
+                .cast("bigint")
+                .alias("q_num"),
+                (
+                    F.round(
+                        (4 * F.col("m") * F.col("intra_edges") - F.col("sum_deg_sq"))
+                        / (4.0 * F.col("m") * F.col("m")),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("q"),
+            )
+        )
+
+    return (
+        q_row(labels0, "lpa")
+        .unionByName(q_row(lvl0, "move"))
+        .unionByName(q_row(composed, "ladder"))
+    )
+
+
+def _wmove_sql(p: str, edges_cte: str, labels_cte: str, m_cte: str) -> str:
+    """CTE block for one weighted local-move round (prefix ``p``):
+    consumes {edges_cte}(u, v, w) / {labels_cte}(node, comm) /
+    {m_cte}(m); defines {p}moved(node, own, new_comm)."""
+    return f"""{p}loops AS MATERIALIZED (
+  SELECT u AS node, SUM(w) AS lw FROM {edges_cte} WHERE u = v GROUP BY 1
+),
+{p}sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM {edges_cte} WHERE u < v
+  UNION ALL SELECT v, u, w FROM {edges_cte} WHERE u < v
+),
+{p}deg AS MATERIALIZED (
+  SELECT COALESCE(s.node, l.node) AS node,
+         COALESCE(s.sw, 0) + 2 * COALESCE(l.lw, 0) AS k
+  FROM (SELECT src AS node, SUM(w) AS sw FROM {p}sym GROUP BY 1) s
+  FULL OUTER JOIN {p}loops l ON l.node = s.node
+),
+{p}tot AS MATERIALIZED (
+  SELECT comm, SUM(k) AS tot FROM {labels_cte} JOIN {p}deg USING (node) GROUP BY 1
+),
+{p}kic AS MATERIALIZED (
+  SELECT e.src AS node, ld.comm AS c, SUM(e.w) AS kic
+  FROM {p}sym e JOIN {labels_cte} ld ON ld.node = e.dst GROUP BY 1, 2
+),
+{p}cand AS MATERIALIZED (
+  SELECT node, c, MAX(kic) AS kic, MAX(own) AS own FROM (
+    SELECT k.node, k.c, k.kic, o.comm AS own
+    FROM {p}kic k JOIN {labels_cte} o ON o.node = k.node
+    UNION ALL
+    SELECT node, comm AS c, 0, comm FROM {labels_cte}
+  ) GROUP BY node, c
+),
+{p}scored AS MATERIALIZED (
+  SELECT cd.node, cd.c, cd.own,
+         2 * m.m * cd.kic
+           - (t.tot - CASE WHEN cd.c = cd.own THEN d.k ELSE 0 END) * d.k AS score
+  FROM {p}cand cd JOIN {p}deg d ON d.node = cd.node
+  JOIN {p}tot t ON t.comm = cd.c, {m_cte} m
+),
+{p}best AS MATERIALIZED (
+  SELECT node, own, score AS best_score, c AS best_c FROM (
+    SELECT node, own, score, c,
+           row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn
+    FROM {p}scored
+  ) WHERE rn = 1
+),
+{p}stay AS MATERIALIZED (SELECT node, score AS stay_score FROM {p}scored WHERE c = own),
+{p}moved AS MATERIALIZED (
+  SELECT b.node, b.own,
+         CASE WHEN b.best_score > s.stay_score THEN b.best_c ELSE b.own END AS new_comm
+  FROM {p}best b JOIN {p}stay s ON s.node = b.node
+)"""
+
+
+def _louvain_ladder_oracle_sql() -> str:
+    ladder_sql = _lpa_oracle_sql()
+    head, _, _ = ladder_sql.rpartition("SELECT label AS community")
+    head = head.rstrip().rstrip(",") + ","
+
+    def q_block(p: str, lbl: str) -> str:
+        return f"""{p}le AS MATERIALIZED (
+  SELECT p.u, p.v, cu.comm AS cu, cv.comm AS cv
+  FROM pair p JOIN {lbl} cu ON cu.node = p.u JOIN {lbl} cv ON cv.node = p.v
+),
+{p}deg AS MATERIALIZED (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node, cu AS c FROM {p}le UNION ALL SELECT v, cv FROM {p}le
+  ) GROUP BY c
+),
+{p}agg AS (
+  SELECT CAST((SELECT COUNT(*) FROM {p}deg) AS BIGINT) AS n_communities,
+         CAST((SELECT COUNT(*) FROM {p}le WHERE cu = cv) AS BIGINT) AS intra_edges,
+         CAST((SELECT SUM(d * d) FROM {p}deg) AS BIGINT) AS sum_deg_sq
+)"""
+
+    stage_row = (
+        lambda p, name: f"""SELECT '{name}' AS stage, n_communities, intra_edges, sum_deg_sq,
+       CAST(4 * m.m * intra_edges - sum_deg_sq AS BIGINT) AS q_num,
+       ROUND(CAST(4 * m.m * intra_edges - sum_deg_sq AS BIGINT)
+             / (4e0 * m.m * m.m), 6) + 0.0 AS q
+FROM {p}agg, mr m"""
+    )
+    # DuckDB inlines plain CTEs; this oracle nests two move rounds on
+    # top of the LPA ladder and three Q blocks on top of those, so
+    # uncontrolled inlining expands the scan tree exponentially
+    # (observed: >20k open file handles). MATERIALIZED pins each
+    # stage to one evaluation.
+    for cte in ("op", "pair", "edges", "l0",
+                *[f"r{i}" for i in range(1, LPA_ROUNDS + 1)],
+                *[f"l{i}" for i in range(1, LPA_ROUNDS + 1)]):
+        head = head.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (")
+    return f"""{head}
+labels0 AS MATERIALIZED (SELECT node, label AS comm FROM l{LPA_ROUNDS}),
+mr AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pair),
+w1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w FROM pair),
+{_wmove_sql("a_", "w1", "labels0", "mr")},
+lvl0 AS MATERIALIZED (SELECT node, new_comm AS comm FROM a_moved),
+contracted AS MATERIALIZED (
+  SELECT LEAST(cu.comm, cv.comm) AS u, GREATEST(cu.comm, cv.comm) AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM pair p JOIN lvl0 cu ON cu.node = p.u JOIN lvl0 cv ON cv.node = p.v
+  GROUP BY 1, 2
+),
+labels1 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS comm FROM (
+    SELECT u AS node FROM contracted UNION ALL SELECT v FROM contracted
+  )
+),
+{_wmove_sql("b_", "contracted", "labels1", "mr")},
+composed AS MATERIALIZED (
+  SELECT l.node, m1.new_comm AS comm
+  FROM lvl0 l JOIN b_moved m1 ON m1.node = l.comm
+),
+{q_block("s0", "labels0")},
+{q_block("s1", "lvl0")},
+{q_block("s2", "composed")}
+{stage_row("s0", "lpa")}
+UNION ALL
+{stage_row("s1", "move")}
+UNION ALL
+{stage_row("s2", "ladder")}
+"""
+
+
+ORACLES["graph_louvain_ladder"] = _louvain_ladder_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
@@ -1482,4 +1804,5 @@ QUERIES = {
     "graph_coarsen": graph_coarsen,
     "graph_pagerank_ladder": graph_pagerank_ladder,
     "graph_link_prediction": graph_link_prediction,
+    "graph_louvain_ladder": graph_louvain_ladder,
 }

@@ -1546,3 +1546,34 @@ def test_link_prediction_matches_python_replay(spark):
         assert r.pa < r.pb
         assert (r.pa, r.pb) not in edges
         assert (r.pa, r.pb, r.common_neighbors, r.ra_scaled) == (pa, pb, cn, ra), r
+
+
+def test_louvain_ladder_consistent_with_move_and_modularity(spark):
+    """A97 cross-key consistency: the ladder's 'move' stage must
+    report exactly the Q and community count graph_louvain_move's
+    ledger reports after its (identical, w=1) round — pinning that
+    the generalized weighted move reproduces A94 at weight 1 — and
+    the 'lpa' stage Q must match the sum of graph_modularity's
+    per-community contributions (global 6dp round vs per-row rounds:
+    tolerance = one ulp of 6dp per community row)."""
+    from proceso_de_etl_spark.operators.ml import (
+        graph_louvain_ladder,
+        graph_louvain_move,
+        graph_modularity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ladder = {r.stage: r for r in graph_louvain_ladder(spark, sf).collect()}
+    assert set(ladder) == {"lpa", "move", "ladder"}
+    move = graph_louvain_move(spark, sf).collect()[0]
+    assert ladder["move"].q == move.q_after
+    assert ladder["move"].n_communities == move.n_comms_after
+    assert ladder["lpa"].q == move.q_before
+    assert ladder["lpa"].n_communities == move.n_comms_before
+
+    contribs = [r.q_contribution for r in graph_modularity(spark, sf).collect()]
+    assert abs(ladder["lpa"].q - sum(contribs)) <= 1e-6 * (len(contribs) + 1)
+
+    # exact-integer channel agrees in sign with the rounded one
+    for r in ladder.values():
+        assert (r.q_num > 0) == (r.q > 0) or r.q == 0.0

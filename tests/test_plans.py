@@ -673,17 +673,35 @@ def test_r7_companions_stay_jvm_side(spark):
     from proceso_de_etl_spark.operators.dedup import semdedup_pairs
     from proceso_de_etl_spark.operators.ml import (
         graph_connected_components,
+        graph_link_prediction,
+        graph_louvain_ladder,
         graph_louvain_move,
         graph_modularity,
+        graph_pagerank_ladder,
     )
-    from proceso_de_etl_spark.operators.similarity import ann_ivf_pinned_topk
+    from proceso_de_etl_spark.operators.similarity import (
+        ann_ivf_pinned_topk,
+        ann_pq_pinned_topk,
+    )
+    from proceso_de_etl_spark.operators.sketches import (
+        sketch_cms_portable,
+        sketch_hll_portable,
+        sketch_kmv_setops,
+    )
 
     for fn in (
         semdedup_pairs,
         ann_ivf_pinned_topk,
+        ann_pq_pinned_topk,
         graph_connected_components,
         graph_modularity,
         graph_louvain_move,
+        graph_louvain_ladder,
+        graph_pagerank_ladder,
+        graph_link_prediction,
+        sketch_kmv_setops,
+        sketch_hll_portable,
+        sketch_cms_portable,
     ):
         plan = plan_of(fn(spark, SF_CORRECT))
         assert "PythonUDF" not in plan, fn.__name__

@@ -150,6 +150,7 @@ _PRIORITY = (
     "graph_pagerank_ladder",
     "graph_link_prediction",
     "graph_louvain_ladder",
+    "ml_logreg_pinned_score",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1791,6 +1791,104 @@ UNION ALL
 ORACLES["graph_louvain_ladder"] = _louvain_ladder_oracle_sql()
 
 
+# Frozen scorer for the driver-verifiable logreg companion: feature
+# standardization constants and weights from ONE logreg_fit run on
+# the sf0.01 documents (the T46 recipe), rounded to 6dp so the
+# literals parse to identical doubles in both engines. x3's std is 0
+# on this corpus (the non-English-marker ratio is constant — the
+# planted-rule caveat in ml_logreg_quality's docstring), so the fit
+# fell back to s=1 and learned w3=0; the scorer carries the term
+# anyway because the CONTRACT is the full feature vector.
+LOGREG_PINNED = {
+    "w": [-0.25799, -0.057844, 0.099365, 0.0],
+    "mean": [5.564248, 0.06017, 0.0],
+    "std": [0.568118, 0.03552, 1.0],
+}
+
+
+def ml_logreg_pinned_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T46b — the scoring half of the quality classifier made
+    driver-verifiable (the SemDeDup/IVF/PQ freeze-the-geometry split
+    applied to a trained MODEL): the iterative GD fit stays rows-only
+    in ml_logreg_quality; this scores every document against the
+    FROZEN standardization constants + weights, so DuckDB replays
+    featurize → standardize → linear score value-for-value. The
+    logit z is an ordered 4-term add on both engines; the only
+    libm-dependent input is ln(1 + n_chars) (written as ln of the
+    same exact double on both sides — cross-engine drift ≤ 1 ulp),
+    and tests measure every decision margin (|z| floor for the
+    pred_en flag, 6dp rounding boundary for the score column) at
+    1e5× that drift. One scan, all JVM expressions, no model state
+    at runtime."""
+    from proceso_de_etl_spark.functions.text import STOPWORDS, stop_hits, tokens
+
+    w = LOGREG_PINNED["w"]
+    mu = LOGREG_PINNED["mean"]
+    sd = LOGREG_PINNED["std"]
+    docs = load_table(spark, sf_dir, "documents")
+    other = tuple(t for lang, ws in STOPWORDS.items() if lang != "en" for t in ws)
+    staged = docs.select(
+        "doc_id", "lang", "n_chars", tokens(F.col("text")).alias("toks")
+    )
+    t = F.col("toks")
+    ntok = F.size(t).cast("double") + F.lit(1.0)
+    x1 = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    x2 = stop_hits(t, STOPWORDS["en"]).cast("double") / ntok
+    x3 = stop_hits(t, other).cast("double") / ntok
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * ((x1 - F.lit(mu[0])) / F.lit(sd[0]))
+        + F.lit(w[2]) * ((x2 - F.lit(mu[1])) / F.lit(sd[1]))
+        + F.lit(w[3]) * ((x3 - F.lit(mu[2])) / F.lit(sd[2]))
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        (F.round(z, 6) + F.lit(0.0)).alias("score"),
+        (z > F.lit(0.0)).alias("pred_en"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+
+
+def _logreg_pinned_oracle_sql() -> str:
+    from proceso_de_etl_spark.functions.text import STOPWORDS, tokens_sql
+
+    w = LOGREG_PINNED["w"]
+    mu = LOGREG_PINNED["mean"]
+    sd = LOGREG_PINNED["std"]
+    en = ", ".join(f"'{t}'" for t in STOPWORDS["en"])
+    other = ", ".join(
+        f"'{t}'" for lang, ws in STOPWORDS.items() if lang != "en" for t in ws
+    )
+    toks = tokens_sql("text")
+    d = lambda v: f"CAST({v!r} AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         ln(CAST(1.0 AS DOUBLE) + CAST(n_chars AS DOUBLE)) AS x1,
+         CAST(len(list_filter(toks, x -> list_contains([{en}], x))) AS DOUBLE)
+           / (CAST(len(toks) AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS x2,
+         CAST(len(list_filter(toks, x -> list_contains([{other}], x))) AS DOUBLE)
+           / (CAST(len(toks) AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS x3
+  FROM (SELECT doc_id, lang, n_chars, {toks} AS toks FROM documents)
+),
+scored AS (
+  SELECT doc_id, lang,
+         {d(w[0])}
+         + {d(w[1])} * ((x1 - {d(mu[0])}) / {d(sd[0])})
+         + {d(w[2])} * ((x2 - {d(mu[1])}) / {d(sd[1])})
+         + {d(w[3])} * ((x3 - {d(mu[2])}) / {d(sd[2])}) AS z
+  FROM feat
+)
+SELECT doc_id, lang, ROUND(z, 6) + 0.0 AS score, z > 0 AS pred_en,
+       lang = 'en' AS is_en
+FROM scored
+"""
+
+
+ORACLES["ml_logreg_pinned_score"] = _logreg_pinned_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
@@ -1805,4 +1903,5 @@ QUERIES = {
     "graph_pagerank_ladder": graph_pagerank_ladder,
     "graph_link_prediction": graph_link_prediction,
     "graph_louvain_ladder": graph_louvain_ladder,
+    "ml_logreg_pinned_score": ml_logreg_pinned_score,
 }

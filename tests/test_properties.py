@@ -480,3 +480,42 @@ def test_float_margin_guards_for_pq_pinned():
         if gap == 0.0:
             continue  # exact tie: neighbor_id order, engine-identical
         assert gap > 1e-9, (qid, gap)
+
+
+def test_float_margin_guards_for_logreg_pinned():
+    """ml_logreg_pinned_score's discrete decisions are the pred_en
+    sign (z > 0) and the 6dp round of the score; the one
+    libm-dependent input is ln(1 + n_chars) (cross-engine drift
+    ≤ 1 ulp ≈ 1e-15 relative). Replay the scorer in pure Python on
+    both gate SFs and assert every margin ≥ 1e5× that drift."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from proceso_de_etl_spark.functions.text import STOPWORDS, TOKEN_SPLIT
+    from proceso_de_etl_spark.operators.ml import LOGREG_PINNED
+    from tests.conftest import SF_CORRECT, SF_SMOKE
+
+    w, mu, sd = LOGREG_PINNED["w"], LOGREG_PINNED["mean"], LOGREG_PINNED["std"]
+    en = set(STOPWORDS["en"])
+    other = {t for lang, ws in STOPWORDS.items() if lang != "en" for t in ws}
+    for sf in (SF_SMOKE, SF_CORRECT):
+        t = pq.read_table(f"{sf}/documents.parquet")
+        for text, n_chars in zip(
+            t.column("text").to_pylist(), t.column("n_chars").to_pylist()
+        ):
+            toks = [x for x in re.split(TOKEN_SPLIT, text.lower()) if x]
+            ntok = len(toks) + 1.0
+            x1 = math.log(1.0 + n_chars)
+            x2 = sum(1 for x in toks if x in en) / ntok
+            x3 = sum(1 for x in toks if x in other) / ntok
+            z = (
+                w[0]
+                + w[1] * ((x1 - mu[0]) / sd[0])
+                + w[2] * ((x2 - mu[1]) / sd[1])
+                + w[3] * ((x3 - mu[2]) / sd[2])
+            )
+            assert abs(z) > 1e-10, (sf, n_chars, z)
+            frac = abs((z * 1e6) % 1 - 0.5)
+            assert frac > 1e-8, (sf, z)

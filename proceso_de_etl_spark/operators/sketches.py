@@ -200,10 +200,14 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     w_flag = Window.partitionBy("l_returnflag").orderBy("h")
+    # ≤ 2K rows after the top-k, but FOUR consumers fan out below
+    # (ka/kr/union/hit counts) — persist so the distinct+hash+window
+    # pipeline over the fact table runs once, not per branch
     kept = (
         stage1.withColumn("rn", F.row_number().over(w_flag))
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
+        .persist()
     )
     ka = kept.filter(F.col("l_returnflag") == "A").select("h")
     kr = kept.filter(F.col("l_returnflag") == "R").select("h")

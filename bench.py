@@ -92,6 +92,16 @@ HEADLINE = (
     "graph_modularity",
     "semdedup_pairs",
     "ann_ivf_pinned_topk",
+    # r7 second-half additions: the two integer ladders (iterative
+    # discipline — per-round checkpoint cost is the thing to watch),
+    # the frozen-codebook ADC scan (the expression-heavy encode must
+    # not silently grow), and the two portable sketch twins whose
+    # whole point is fixed-size state from one corpus pass
+    "graph_pagerank_ladder",
+    "graph_louvain_ladder",
+    "ann_pq_pinned_topk",
+    "sketch_cms_portable",
+    "sketch_kmv_setops",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -169,6 +179,15 @@ BASELINE = {
     "graph_modularity": 1.847,
     "semdedup_pairs": 2.653,
     "ann_ivf_pinned_topk": 2.771,
+    # --- r7 second-half floors: median-of-5 idle-box runs at add
+    #     time, replaying the bench pass order (supported edges warm
+    #     behind graph_connected_components; pagerank_ladder builds
+    #     and releases its own purchase-graph edges per run) ---
+    "graph_pagerank_ladder": 8.203,
+    "graph_louvain_ladder": 8.531,
+    "ann_pq_pinned_topk": 7.059,
+    "sketch_cms_portable": 1.602,
+    "sketch_kmv_setops": 1.43,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -151,6 +151,7 @@ _PRIORITY = (
     "graph_link_prediction",
     "graph_louvain_ladder",
     "ml_logreg_pinned_score",
+    "ml_kmeans_ladder",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1889,6 +1889,229 @@ FROM scored
 ORACLES["ml_logreg_pinned_score"] = _logreg_pinned_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# T18b ml_kmeans_ladder — one full Lloyd UPDATE step, integer-exact
+# ---------------------------------------------------------------------------
+
+KML_SCALE = 10**6  # 6dp quantization unit — same precision family as the
+# pinned-literal centroids/codebooks. Overflow headroom (BIGINT):
+# per-pair quantized d² ≤ dim·(2·max|x|·SCALE)² ≈ 1e13 at dim 64, so the
+# per-cluster inertia sum overflows only past ~9e5 MEMBERS PER CLUSTER —
+# at 100 TB, either drop KML_SCALE a decade per 100× rows-per-cluster
+# (the PR_SCALE rule) or cast the inertia accumulator to DECIMAL(38,0)
+# at zero plan change. k ∝ n (the SemDeDup knob law) keeps cluster
+# sizes flat anyway.
+
+
+def _kml_quantize(emb_col) -> Column:
+    """float32 embedding → exact 6dp-scaled BIGINT array. x is a
+    float32 read as double (exact); x·1e6 is ONE IEEE rounding —
+    deterministic and identical on any engine — and FLOOR lands on an
+    integer, so downstream arithmetic is exact with no float order
+    sensitivity at all (stronger than the measured-margin oracles)."""
+    return F.transform(
+        emb_col, lambda x: F.floor(x.cast("double") * KML_SCALE).cast("bigint")
+    )
+
+
+def _kml_d2(xq_col, cq_col) -> Column:
+    """exact squared distance between two scaled-integer arrays."""
+    return F.aggregate(
+        F.zip_with(xq_col, cq_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _kml_digest(cq_col, dim: int) -> Column:
+    """position-weighted centroid checksum Σ (i+1)·cq[i] — one BIGINT
+    per centroid so the output stays k rows, not k×dim."""
+    return F.aggregate(
+        F.zip_with(cq_col, F.sequence(F.lit(1), F.lit(dim)), lambda v, i: v * i),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ml_kmeans_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18b — the k-means TRAINING step made driver-verifiable, the
+    ladder discipline (graph_pagerank_ladder, graph_louvain_ladder)
+    applied to Lloyd's update: assignment → centroid mean →
+    reassignment, entirely in scaled-integer arithmetic so both
+    engines compute bit-identical results with NO float-margin
+    assumption anywhere:
+
+    - embeddings quantize to 6dp BIGINTs (`_kml_quantize`); the
+      frozen coarse centroids (IVF_PINNED_CENTROIDS, already 6dp
+      literals) scale to exact integers — step-1 assignment is an
+      exact-integer argmin, ties to the lower cluster id;
+    - the centroid UPDATE is a floor-div mean in quantized space:
+      (s − ((s % n) + n) % n) div n — the explicit floored-division
+      form, because Spark's `div` truncates toward zero while
+      DuckDB's `//` floors and per-dim sums CAN be negative; empty
+      clusters keep their step-1 centroid (kmeans_fit's rule);
+    - step-2 reassigns against the updated centroids — again exact.
+
+    Per (step, cluster) the ledger reports membership, quantized
+    inertia, and a position-weighted centroid digest. The float
+    production fit (`ml_kmeans_embeddings`, exact-DECIMAL
+    accumulation) stays rows-only; this key pins the Lloyd mechanics
+    the way the PageRank ladder pins power iteration. Plan shape is
+    the fit's own: centroids as a broadcast k-row TABLE (plan
+    invariant, codegen cached), one scan + one groupBy per stage, no
+    driver round-trip (the update is in-plan, not collected).
+    Ref: reference has no ML surface; extends main.py:117-169's
+    derived-column discipline to iterative training."""
+    from proceso_de_etl_spark.operators.similarity import IVF_PINNED_CENTROIDS
+
+    cq0 = [[int(round(v * KML_SCALE)) for v in c] for c in IVF_PINNED_CENTROIDS]
+    k, dim = len(cq0), len(cq0[0])
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select("vec_id", _kml_quantize(F.col("embedding")).alias("xq"))
+    c0 = spark.createDataFrame(
+        [(i, cq0[i]) for i in range(k)], "cluster bigint, cq array<bigint>"
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        return (
+            vecs.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "xq",
+                F.struct(
+                    _kml_d2(F.col("xq"), F.col("cq")).alias("d"),
+                    F.col("cluster").alias("c"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"), F.first("xq").alias("xq"))
+            .select(
+                "vec_id", "xq", F.col("m.c").alias("cluster"), F.col("m.d").alias("d2")
+            )
+        )
+
+    a1 = assign(xq, c0).persist()
+    try:
+        # floor-div mean per (cluster, dim); empty clusters inherit c0
+        sums = (
+            a1.selectExpr("cluster", "posexplode(xq) AS (pos, v)")
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cluster", "pos", F.expr("(s - ((s % n) + n) % n) div n").alias("cu")
+            )
+        )
+        c2 = (
+            c0.selectExpr("cluster", "posexplode(cq) AS (pos, cq0)")
+            .join(sums, ["cluster", "pos"], "left")
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", F.coalesce("cu", "cq0").alias("v"))
+                        )
+                    ),
+                    lambda st: st["v"],
+                ).alias("cq")
+            )
+        )
+        a2 = assign(a1.select("vec_id", "xq"), c2)
+
+        def ledger(assigned: DataFrame, cents: DataFrame, step: int) -> DataFrame:
+            g = assigned.groupBy("cluster").agg(
+                F.count("*").alias("nm"), F.sum("d2").alias("iner")
+            )
+            return (
+                cents.join(g, "cluster", "left")
+                .select(
+                    F.lit(step).cast("bigint").alias("step"),
+                    "cluster",
+                    F.coalesce("nm", F.lit(0)).cast("bigint").alias("n_members"),
+                    F.coalesce("iner", F.lit(0)).cast("bigint").alias("inertia_scaled"),
+                    _kml_digest(F.col("cq"), dim).alias("centroid_digest"),
+                )
+            )
+
+        out = ledger(a1, c0, 1).unionByName(ledger(a2, c2, 2))
+        out = out.localCheckpoint(eager=True)  # free a1 before returning
+    finally:
+        a1.unpersist()
+    return out
+
+
+def _kmeans_ladder_oracle_sql() -> str:
+    from proceso_de_etl_spark.operators.similarity import IVF_PINNED_CENTROIDS
+
+    cq0 = [
+        [int(round(v * KML_SCALE)) for v in c] for c in IVF_PINNED_CENTROIDS
+    ]
+    vals = ",\n         ".join(
+        "(%d, [%s]::BIGINT[])" % (i, ", ".join(str(v) for v in c))
+        for i, c in enumerate(cq0)
+    )
+    return f"""
+WITH xq AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {KML_SCALE}) AS BIGINT) AS v
+  FROM embeddings
+),
+cents(cluster, w) AS (
+  VALUES {vals}
+),
+c0 AS (SELECT cluster, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS cq FROM cents),
+d1 AS (
+  SELECT x.vec_id, c.cluster, SUM((x.v - c.cq) * (x.v - c.cq)) AS d2
+  FROM xq x JOIN c0 c ON c.i = x.i GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a.cluster, x.i, SUM(x.v) AS s, COUNT(*) AS n
+  FROM a1 a JOIN xq x ON x.vec_id = a.vec_id GROUP BY 1, 2
+),
+c2 AS (
+  SELECT c.cluster, c.i,
+         COALESCE((s.s - ((s.s % s.n) + s.n) % s.n) // s.n, c.cq) AS cq
+  FROM c0 c LEFT JOIN sums s ON s.cluster = c.cluster AND s.i = c.i
+),
+d2r AS (
+  SELECT x.vec_id, c.cluster, SUM((x.v - c.cq) * (x.v - c.cq)) AS d2
+  FROM xq x JOIN c2 c ON c.i = x.i GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d2r
+  ) WHERE rn = 1
+),
+dig1 AS (SELECT cluster, CAST(SUM(i * cq) AS BIGINT) AS digest FROM c0 GROUP BY cluster),
+dig2 AS (SELECT cluster, CAST(SUM(i * cq) AS BIGINT) AS digest FROM c2 GROUP BY cluster),
+g1 AS (SELECT cluster, COUNT(*) AS nm, SUM(d2) AS iner FROM a1 GROUP BY cluster),
+g2 AS (SELECT cluster, COUNT(*) AS nm, SUM(d2) AS iner FROM a2 GROUP BY cluster)
+SELECT CAST(1 AS BIGINT) AS step, d.cluster,
+       CAST(COALESCE(g.nm, 0) AS BIGINT) AS n_members,
+       CAST(COALESCE(g.iner, 0) AS BIGINT) AS inertia_scaled,
+       d.digest AS centroid_digest
+FROM dig1 d LEFT JOIN g1 g USING (cluster)
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS step, d.cluster,
+       CAST(COALESCE(g.nm, 0) AS BIGINT) AS n_members,
+       CAST(COALESCE(g.iner, 0) AS BIGINT) AS inertia_scaled,
+       d.digest AS centroid_digest
+FROM dig2 d LEFT JOIN g2 g USING (cluster)
+"""
+
+
+ORACLES["ml_kmeans_ladder"] = _kmeans_ladder_oracle_sql()
+
+
 QUERIES = {
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
@@ -1904,4 +2127,5 @@ QUERIES = {
     "graph_link_prediction": graph_link_prediction,
     "graph_louvain_ladder": graph_louvain_ladder,
     "ml_logreg_pinned_score": ml_logreg_pinned_score,
+    "ml_kmeans_ladder": ml_kmeans_ladder,
 }

@@ -1577,3 +1577,53 @@ def test_louvain_ladder_consistent_with_move_and_modularity(spark):
     # exact-integer channel agrees in sign with the rounded one
     for r in ladder.values():
         assert (r.q_num > 0) == (r.q > 0) or r.q == 0.0
+
+
+def test_kmeans_ladder_descends_conserves_and_floors_negatives(spark):
+    """T18b semantics: (1) membership is conserved across both steps
+    (every vector assigned exactly once); (2) the Lloyd update
+    descends — quantized step-2 inertia may exceed step-1 only by the
+    quantization slack n·dim (the floor-div mean sits within 1 unit
+    per dim of the real minimizer, so SSE(c_q) ≤ SSE(mean) + n·dim ≤
+    SSE(c_1) + n·dim); (3) the step-1 digest equals the constant
+    computed from the pinned literals; (4) the floored-division form
+    agrees with true floor for NEGATIVE sums on the Spark engine —
+    plain `div` truncates toward zero and would diverge from DuckDB's
+    `//`, which is exactly why the operator spells out the pmod form."""
+    from proceso_de_etl_spark.operators.ml import KML_SCALE, ml_kmeans_ladder
+    from proceso_de_etl_spark.operators.similarity import IVF_PINNED_CENTROIDS
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = ml_kmeans_ladder(spark, sf).collect()
+    assert len(rows) == 2 * len(IVF_PINNED_CENTROIDS)
+    n_vecs = load_table(spark, sf, "embeddings").count()
+    by_step: dict[int, list] = {}
+    for r in rows:
+        by_step.setdefault(r.step, []).append(r)
+    dim = len(IVF_PINNED_CENTROIDS[0])
+    for step, rs in by_step.items():
+        assert sum(r.n_members for r in rs) == n_vecs, step
+    i1 = sum(r.inertia_scaled for r in by_step[1])
+    i2 = sum(r.inertia_scaled for r in by_step[2])
+    assert i2 <= i1 + n_vecs * dim
+
+    expected_digests = {
+        sum((i + 1) * int(round(v * KML_SCALE)) for i, v in enumerate(c))
+        for c in IVF_PINNED_CENTROIDS
+    }
+    assert {r.centroid_digest for r in by_step[1]} == expected_digests
+
+    # the pmod floored-division form vs math.floor, negatives included
+    import math
+
+    cases = [(-7, 3), (-6, 3), (-1, 4), (7, 3), (-1000001, 7), (5, 5)]
+    exprs = ", ".join(
+        f"(({s}) - ((({s}) % {n}) + {n}) % {n}) div {n} AS c{i}"
+        for i, (s, n) in enumerate(cases)
+    )
+    got = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, (s, n) in enumerate(cases):
+        assert got[i] == math.floor(s / n), (s, n)
+    # and the naive truncating div really would diverge (why pmod exists)
+    assert spark.sql("SELECT (-7) div 3 AS t").collect()[0].t == -2

@@ -678,6 +678,7 @@ def test_r7_companions_stay_jvm_side(spark):
         graph_louvain_move,
         graph_modularity,
         graph_pagerank_ladder,
+        ml_kmeans_ladder,
     )
     from proceso_de_etl_spark.operators.similarity import (
         ann_ivf_pinned_topk,
@@ -699,6 +700,7 @@ def test_r7_companions_stay_jvm_side(spark):
         graph_louvain_ladder,
         graph_pagerank_ladder,
         graph_link_prediction,
+        ml_kmeans_ladder,
         sketch_kmv_setops,
         sketch_hll_portable,
         sketch_cms_portable,

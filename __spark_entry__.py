@@ -152,6 +152,7 @@ _PRIORITY = (
     "graph_louvain_ladder",
     "ml_logreg_pinned_score",
     "ml_kmeans_ladder",
+    "ann_recall_eval",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

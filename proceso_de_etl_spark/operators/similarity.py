@@ -393,6 +393,183 @@ FROM ranked WHERE rank <= {TOP_K}
 ORACLES["ann_ivf_pinned_topk"] = _ivf_pinned_oracle_sql()
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7e — ANN quality evaluation: recall@k of the pinned-IVF
+    search (``ann_ivf_pinned_topk``) against the exact brute-force
+    ground truth (``ann_cosine_topk``), per query, next to the cost
+    that bought it — candidates scanned vs corpus size. This is the
+    recall-vs-scan-fraction curve an operator of a 100 TB index reads
+    before touching N_PROBE: recall too low at acceptable scan_frac →
+    probe more cells (linear cost); scan_frac drifting up at fixed
+    probes → lists have gone lopsided, schedule the quantizer refit
+    (T50's report says why).
+
+    Integer-exact by construction: n_hits is the cardinality of a
+    set intersection of two top-k frames that each already replay
+    value-for-value in the oracle (their k-boundary float margins are
+    MEASURED in tests/test_properties.py); n_candidates counts the
+    probe equi-join's rows. The only derived floats are the two
+    ratios, computed from identical integers on both engines.
+
+    Scale shape: two scans of the corpus (assignment + exact twin's
+    broadcast-queries pass) and one N_QUERIES-bounded join — the
+    evaluation never exceeds the cost of the searches it audits; at
+    100 TB you run it on a sampled query set, not sampled corpus
+    (ground truth must be exact, queries are the free knob).
+    Ref: reference has no ANN surface; evaluation discipline follows
+    the recall tests pinning T7/T7b since r3."""
+    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters
+
+    exact_top = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf_top = ann_ivf_pinned_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ivf_top.join(exact_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("nh"))
+    )
+
+    # candidate-scan cost: replay the probe fan-out (same expressions
+    # as ivf_search) and count the list_id equi-join's rows per query
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = assign_clusters(emb, IVF_PINNED_CENTROIDS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("list_id")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("embedding"), c).alias("d"),
+                F.lit(i).cast("bigint").alias("c"),
+            )
+            for i, c in enumerate(IVF_PINNED_CENTROIDS)
+        ]
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice(F.array_sort(cells), 1, N_PROBE)).alias("p"),
+    ).select("query_id", F.col("p.c").alias("list_id"))
+    cand_counts = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("nc"))
+    )
+    total = emb.agg(F.count("*").alias("n_corpus"))
+
+    base = exact_top.select("query_id").distinct()
+    return (
+        base.crossJoin(F.broadcast(total))
+        .join(hits, "query_id", "left")
+        .join(cand_counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("nh", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("nh", F.lit(0)) / F.lit(float(TOP_K)), 6).alias(
+                "recall_at_k"
+            ),
+            F.coalesce("nc", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.round(
+                F.coalesce("nc", F.lit(0)) / (F.col("n_corpus") - F.lit(1.0)), 6
+            ).alias("scan_frac"),
+        )
+    )
+
+
+def _recall_eval_oracle_sql() -> str:
+    vals = ",\n         ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+xscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         SUM(q.x * c.x) / (nq.norm * nc.norm) AS cosine
+  FROM elems q
+  JOIN elems c ON q.i = c.i AND q.vec_id <> c.vec_id
+  JOIN norms nq ON nq.vec_id = q.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id, nq.norm, nc.norm
+),
+xtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM xscored
+  ) WHERE rank <= {TOP_K}
+),
+cents(list_id, w) AS (
+  VALUES {vals}
+),
+centel AS (SELECT list_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS cx FROM cents),
+dists AS (
+  SELECT e.vec_id, ce.list_id, SUM((e.x - ce.cx) * (e.x - ce.cx)) AS d2
+  FROM elems e JOIN centel ce ON ce.i = e.i GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, CAST(list_id AS BIGINT) AS list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+iscored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         SUM(q.x * c.x) / (nq.norm * nc.norm) AS cosine
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.query_id
+  JOIN elems c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  JOIN norms nq ON nq.vec_id = cd.query_id
+  JOIN norms nc ON nc.vec_id = cd.neighbor_id
+  GROUP BY 1, 2, nq.norm, nc.norm
+),
+itop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM iscored
+  ) WHERE rank <= {TOP_K}
+),
+hits AS (
+  SELECT t.query_id, COUNT(*) AS nh
+  FROM itop t JOIN xtop x USING (query_id, neighbor_id) GROUP BY 1
+),
+candn AS (SELECT query_id, COUNT(*) AS nc FROM cand GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+base AS (SELECT DISTINCT query_id FROM xtop)
+SELECT b.query_id,
+       CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.nh, 0) / {float(TOP_K)!r}, 6) AS recall_at_k,
+       CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_candidates,
+       ROUND(COALESCE(c.nc, 0) / (t.n_corpus - 1.0), 6) AS scan_frac
+FROM base b CROSS JOIN total t
+LEFT JOIN hits h ON h.query_id = b.query_id
+LEFT JOIN candn c ON c.query_id = b.query_id
+"""
+
+
+ORACLES["ann_recall_eval"] = _recall_eval_oracle_sql()
+
+
 def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T50 — incremental IVF index maintenance: a new embedding batch
     (odd vec_ids) joins an index whose coarse quantizer was fitted on
@@ -1010,6 +1187,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pinned_topk": ann_ivf_pinned_topk,
+    "ann_recall_eval": ann_recall_eval,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_pinned_topk": ann_pq_pinned_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,

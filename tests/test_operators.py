@@ -556,6 +556,31 @@ def test_ann_pq_recall_vs_exact(spark):
     assert len(pq & exact) / len(exact) >= 0.8, len(pq & exact) / len(exact)
 
 
+def test_ann_recall_eval_matches_independent_intersection(spark):
+    """T7e: the evaluation key must report exactly the intersection
+    cardinality of its two audited frames (recomputed independently
+    here), ratios must derive from the integers, and the scan cost
+    must show real pruning (candidates well under the corpus)."""
+    from proceso_de_etl_spark.operators import similarity
+    from proceso_de_etl_spark.operators.similarity import N_QUERIES, TOP_K
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.ann_cosine_topk(spark, SF_CORRECT).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in similarity.ann_ivf_pinned_topk(spark, SF_CORRECT).collect()}
+    rows = {r.query_id: r for r in similarity.ann_recall_eval(spark, SF_CORRECT).collect()}
+    assert len(rows) == N_QUERIES
+    corpus_n = load_table(spark, SF_CORRECT, "embeddings").count()
+    for q, r in rows.items():
+        want_hits = len({p for p in ivf & exact if p[0] == q})
+        assert r.n_hits == want_hits, (q, r.n_hits, want_hits)
+        assert r.recall_at_k == round(r.n_hits / TOP_K, 6)
+        assert 0 < r.n_candidates < corpus_n - 1  # pruned, non-empty
+        assert r.scan_frac == round(r.n_candidates / (corpus_n - 1.0), 6)
+    # aggregate quality bar: pinned IVF at N_PROBE=4/16 holds ≥0.8
+    assert sum(r.n_hits for r in rows.values()) / (N_QUERIES * TOP_K) >= 0.8
+
+
 def test_ivfpq_recall_and_cell_pruned_scan(spark):
     """T7d: composing IVF cells with PQ codes must (a) keep recall
     ≥0.85 vs the exact twin — the quality bar — and (b) actually

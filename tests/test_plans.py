@@ -683,6 +683,7 @@ def test_r7_companions_stay_jvm_side(spark):
     from proceso_de_etl_spark.operators.similarity import (
         ann_ivf_pinned_topk,
         ann_pq_pinned_topk,
+        ann_recall_eval,
     )
     from proceso_de_etl_spark.operators.sketches import (
         sketch_cms_portable,
@@ -694,6 +695,7 @@ def test_r7_companions_stay_jvm_side(spark):
         semdedup_pairs,
         ann_ivf_pinned_topk,
         ann_pq_pinned_topk,
+        ann_recall_eval,
         graph_connected_components,
         graph_modularity,
         graph_louvain_move,

@@ -153,6 +153,8 @@ _PRIORITY = (
     "ml_logreg_pinned_score",
     "ml_kmeans_ladder",
     "ann_recall_eval",
+    "ab_mann_whitney",
+    "ab_ks_test",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1070,6 +1070,281 @@ FROM agg
 """
 
 
+def _pair_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared frame for the nonparametric pair tests (A98/A99): for
+    every ordered event-type pair and every distinct `value` present
+    in either side, the two per-side occurrence counts (0 where the
+    value is absent). One scan → per-(type, value) counts → the
+    #types²-bounded pair fan-out is a broadcast join; the full-outer
+    on (pair, value) shuffles on the pair+value key only. Exact
+    integers throughout — ranks and ECDFs derive from these counts,
+    never from per-row windows over the raw events."""
+    # NULL values excluded explicitly: the engines disagree on NULL
+    # sort position (Spark nulls-first vs DuckDB nulls-last), and a
+    # rank/ECDF over "no measurement" is meaningless anyway
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cnt = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    types = ev.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        types.select(F.col("event_type").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    av = cnt.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_a")
+    ).select("type_a", "type_b", "value", F.col("c").alias("ca"))
+    bv = cnt.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_b")
+    ).select("type_a", "type_b", "value", F.col("c").alias("cb"))
+    return (
+        av.join(bv, ["type_a", "type_b", "value"], "full_outer")
+        .select(
+            "type_a",
+            "type_b",
+            "value",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+
+
+def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A98 — Mann-Whitney U (Wilcoxon rank-sum) matrix: for every
+    ordered event-type pair, the U statistic of side A computed
+    EXACTLY from doubled average ranks — with ties, the average rank
+    of value v in the pair's union is (2·c_less(v) + c_eq(v) + 1)/2,
+    so the DOUBLED statistic 2·U_A = Σ_v ca(v)·(2·cumB_less(v) +
+    cb(v)) stays a BIGINT with no float anywhere; the tie-corrected
+    normal z follows from those integers in one engine-identical
+    expression chain (the A74 discipline). The nonparametric
+    complement to ab_welch_ttest: same experimentation surface, no
+    normality assumption, immune to the heavy tails A79 screens for.
+
+    Scale: ranks are NEVER assigned per row — the whole test runs on
+    the per-(pair, distinct value) count frame, so the windowed pass
+    is over |values|·|pairs| rows, and the window key is the pair
+    (types² partitions, each sorted once). The per-pair cumsum is
+    sequential over DISTINCT values — bounded by the metric's domain
+    cardinality, not the row count; for an unbounded-domain metric at
+    100 TB, quantize the value first (e.g. 6dp) — the test is already
+    tie-aware, so binning only coarsens it, never breaks it.
+    Degenerate pairs (all values tied → σ=0) yield NULL z on both
+    engines.
+    Ref: reference has no testing surface; extends main.py:117-169's
+    derived-measure discipline to inference."""
+    pv = _pair_value_counts(spark, sf_dir)
+    w = (
+        W.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = pv.select(
+        "type_a",
+        "type_b",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w), F.lit(0)).alias("cum_less_b"),
+    )
+    g = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cum_less_b") + F.col("cb")))
+        .cast("bigint")
+        .alias("u_a_x2"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    n = F.col("na") + F.col("nb")
+    var12 = (F.col("na") * F.col("nb")) * (
+        (n + 1) - F.col("tie_term") / (n * (n - 1))
+    )
+    z = F.when(
+        var12 > 0,
+        (F.col("u_a_x2") - F.col("na") * F.col("nb"))
+        / (F.lit(2.0) * F.sqrt(var12 / F.lit(12.0))),
+    )
+    return g.select(
+        "type_a",
+        "type_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "u_a_x2",
+        "tie_term",
+        F.round(z, 6).alias("z_stat"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLES["ab_mann_whitney"] = """
+WITH cnt AS (
+  SELECT event_type, value, COUNT(*) AS c FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+pv AS (
+  SELECT COALESCE(av.type_a, bv.type_a) AS type_a,
+         COALESCE(av.type_b, bv.type_b) AS type_b,
+         COALESCE(av.value, bv.value) AS value,
+         COALESCE(av.ca, 0) AS ca, COALESCE(bv.cb, 0) AS cb
+  FROM (SELECT p.type_a, p.type_b, c.value, c.c AS ca
+        FROM cnt c JOIN pairs p ON c.event_type = p.type_a) av
+  FULL OUTER JOIN
+       (SELECT p.type_a, p.type_b, c.value, c.c AS cb
+        FROM cnt c JOIN pairs p ON c.event_type = p.type_b) bv
+  ON av.type_a = bv.type_a AND av.type_b = bv.type_b AND av.value = bv.value
+),
+ranked AS (
+  SELECT type_a, type_b, ca, cb,
+         COALESCE(SUM(cb) OVER (PARTITION BY type_a, type_b ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less_b
+  FROM pv
+),
+g AS (
+  SELECT type_a, type_b,
+         CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(SUM(ca * (2 * cum_less_b + cb)) AS BIGINT) AS u_a_x2,
+         CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie_term
+  FROM ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b, na AS n_a, nb AS n_b, u_a_x2, tie_term,
+       CASE WHEN (na * nb) * ((na + nb + 1) - tie_term / ((na + nb) * (na + nb - 1))) > 0
+            THEN ROUND((u_a_x2 - na * nb)
+                 / (2.0 * SQRT((na * nb) * ((na + nb + 1)
+                      - tie_term / ((na + nb) * (na + nb - 1))) / 12.0)), 6)
+       END AS z_stat
+FROM g ORDER BY type_a, type_b
+"""
+
+
+def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A99 — two-sample Kolmogorov-Smirnov matrix: per event-type
+    pair, the supremum ECDF distance D, its INTEGER numerator
+    d_num = max_v |nb·cumA≤(v) − na·cumB≤(v)| (BIGINT — the ECDF
+    difference over the common denominator na·nb, so the max and the
+    argmax comparison are exact with no float ordering anywhere),
+    and the α=0.05 decision against the large-sample critical value
+    1.358·√((na+nb)/(na·nb)). The decision compares the 6dp-ROUNDED
+    statistic to the 6dp-ROUNDED critical value — both already
+    gate-compared outputs — so the boolean replays exactly on any
+    engine. Distribution-shape complement to A98's location shift:
+    KS sees variance/shape changes a rank test misses.
+
+    Scale: same per-(pair, distinct value) count frame as A98 — one
+    windowed cumsum per pair partition, max-aggregated; no per-row
+    ranks, no all-pairs row join; same distinct-value quantization
+    knob as A98 when the metric domain is unbounded."""
+    pv = _pair_value_counts(spark, sf_dir)
+    w = (
+        W.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = pv.select(
+        "type_a",
+        "type_b",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = cum.groupBy("type_a", "type_b").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    d = (
+        cum.join(F.broadcast(tot), ["type_a", "type_b"])
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.max(
+                F.abs(F.col("nb") * F.col("cum_a") - F.col("na") * F.col("cum_b"))
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+    )
+    d_stat = F.round(
+        F.col("d_num") / (F.col("na") * F.col("nb")).cast("double"), 6
+    )
+    crit = F.round(
+        F.lit(1.358)
+        * F.sqrt(
+            (F.col("na") + F.col("nb"))
+            / (F.col("na") * F.col("nb")).cast("double")
+        ),
+        6,
+    )
+    return d.select(
+        "type_a",
+        "type_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "d_num",
+        d_stat.alias("d_stat"),
+        crit.alias("crit_95"),
+        (d_stat > crit).alias("reject_95"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLES["ab_ks_test"] = """
+WITH cnt AS (
+  SELECT event_type, value, COUNT(*) AS c FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+pv AS (
+  SELECT COALESCE(av.type_a, bv.type_a) AS type_a,
+         COALESCE(av.type_b, bv.type_b) AS type_b,
+         COALESCE(av.value, bv.value) AS value,
+         COALESCE(av.ca, 0) AS ca, COALESCE(bv.cb, 0) AS cb
+  FROM (SELECT p.type_a, p.type_b, c.value, c.c AS ca
+        FROM cnt c JOIN pairs p ON c.event_type = p.type_a) av
+  FULL OUTER JOIN
+       (SELECT p.type_a, p.type_b, c.value, c.c AS cb
+        FROM cnt c JOIN pairs p ON c.event_type = p.type_b) bv
+  ON av.type_a = bv.type_a AND av.type_b = bv.type_b AND av.value = bv.value
+),
+cum AS (
+  SELECT type_a, type_b, ca, cb,
+         SUM(ca) OVER (PARTITION BY type_a, type_b ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY type_a, type_b ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM pv
+),
+tot AS (
+  SELECT type_a, type_b,
+         CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM pv GROUP BY 1, 2
+),
+d AS (
+  SELECT c.type_a, c.type_b, t.na, t.nb,
+         CAST(MAX(ABS(t.nb * c.cum_a - t.na * c.cum_b)) AS BIGINT) AS d_num
+  FROM cum c JOIN tot t ON t.type_a = c.type_a AND t.type_b = c.type_b
+  GROUP BY 1, 2, t.na, t.nb
+)
+SELECT type_a, type_b, na AS n_a, nb AS n_b, d_num,
+       ROUND(d_num / CAST(na * nb AS DOUBLE), 6) AS d_stat,
+       ROUND(1.358 * SQRT((na + nb) / CAST(na * nb AS DOUBLE)), 6) AS crit_95,
+       ROUND(d_num / CAST(na * nb AS DOUBLE), 6)
+         > ROUND(1.358 * SQRT((na + nb) / CAST(na * nb AS DOUBLE)), 6) AS reject_95
+FROM d ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
     "agg_weighted_quantiles": agg_weighted_quantiles,
     "revenue_gini_index": revenue_gini_index,
@@ -1084,4 +1359,6 @@ QUERIES = {
     "pareto_abc_classes": pareto_abc_classes,
     "sales_growth_report": sales_growth_report,
     "ab_welch_ttest": ab_welch_ttest,
+    "ab_mann_whitney": ab_mann_whitney,
+    "ab_ks_test": ab_ks_test,
 }

@@ -1652,3 +1652,68 @@ def test_kmeans_ladder_descends_conserves_and_floors_negatives(spark):
         assert got[i] == math.floor(s / n), (s, n)
     # and the naive truncating div really would diverge (why pmod exists)
     assert spark.sql("SELECT (-7) div 3 AS t").collect()[0].t == -2
+
+
+def test_mann_whitney_and_ks_match_pure_python_replay(spark):
+    """A98/A99 independent check: both engines could share a
+    conceptual error the oracle gate can't see, so replay the doubled
+    average-rank U, the tie term, the tie-corrected z, and the exact
+    KS numerator from the raw rows in pure Python (per pair, sorted
+    lists — fine at smoke SF) and demand exact integers and identical
+    6dp-rounded z / D."""
+    import math
+    from bisect import bisect_left, bisect_right
+
+    from proceso_de_etl_spark.operators.insights import ab_ks_test, ab_mann_whitney
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(r.value)
+    for vs in by_type.values():
+        vs.sort()
+
+    mwu = {(r.type_a, r.type_b): r for r in ab_mann_whitney(spark, SF_SMOKE).collect()}
+    ks = {(r.type_a, r.type_b): r for r in ab_ks_test(spark, SF_SMOKE).collect()}
+    assert set(mwu) == set(ks)
+    assert len(mwu) == len(by_type) * (len(by_type) - 1) // 2
+
+    for (ta, tb), r in mwu.items():
+        a, b = by_type[ta], by_type[tb]
+        na, nb = len(a), len(b)
+        assert (r.n_a, r.n_b) == (na, nb)
+        # doubled U via per-element counts against the other side
+        u2 = sum(
+            2 * bisect_left(b, x) + (bisect_right(b, x) - bisect_left(b, x))
+            for x in a
+        )
+        assert r.u_a_x2 == u2, (ta, tb)
+        # tie term over the union
+        union = sorted(a + b)
+        tie = 0
+        i = 0
+        while i < len(union):
+            j = i
+            while j < len(union) and union[j] == union[i]:
+                j += 1
+            t = j - i
+            tie += t * t * t - t
+            i = j
+        assert r.tie_term == tie, (ta, tb)
+        n = na + nb
+        var12 = (na * nb) * ((n + 1) - tie / (n * (n - 1)))
+        want_z = round((u2 - na * nb) / (2.0 * math.sqrt(var12 / 12.0)), 6)
+        assert r.z_stat == want_z, (ta, tb, r.z_stat, want_z)
+
+        # KS numerator: max |nb*cumA - na*cumB| over union values
+        kr = ks[(ta, tb)]
+        d_num = max(
+            abs(nb * bisect_right(a, v) - na * bisect_right(b, v)) for v in union
+        )
+        assert kr.d_num == d_num, (ta, tb)
+        assert kr.d_stat == round(d_num / (na * nb), 6)
+        crit = round(1.358 * math.sqrt((na + nb) / (na * nb)), 6)
+        assert kr.crit_95 == crit and kr.reject_95 == (kr.d_stat > crit)

@@ -155,6 +155,7 @@ _PRIORITY = (
     "ann_recall_eval",
     "ab_mann_whitney",
     "ab_ks_test",
+    "graph_hits_ladder",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

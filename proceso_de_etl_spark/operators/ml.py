@@ -1469,6 +1469,145 @@ FROM (
 ORACLES["graph_pagerank_ladder"] = _pagerank_ladder_oracle_sql()
 
 
+HITS_SCALE = 10**6  # integer score unit: the per-round L∞ maximum.
+# Overflow headroom (BIGINT): after each normalization max(score) =
+# HITS_SCALE, so raw(v) = Σ h(u)·w ≤ Σh·max_w and the rescale product
+# raw·SCALE ≤ (n·SCALE)·max_w·SCALE — at 1e6 nodes and max edge
+# weight 1e3 that is ~1e21/1e3 ≈ 1e18, inside BIGINT; past ~100× the
+# node count drop HITS_SCALE a decade (the PRL_SCALE rule).
+HITS_ITERS = 3  # unrolled in the DuckDB oracle — keep the two in sync
+HITS_TOPK = 10
+
+
+def graph_hits_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44c — HITS hubs & authorities made driver-verifiable, the
+    unrolled-ladder discipline (graph_pagerank_ladder) applied to the
+    OTHER classic eigenvector ranking: on the directed customer→
+    supplier purchase graph, authority(v) = Σ_{u→v} hub(u)·w and
+    hub(u) = Σ_{u→v} auth(v)·w, alternating for HITS_ITERS rounds
+    with SCALED-BIGINT scores and the per-round normalization as an
+    integer rescale against the L∞ maximum: score′ = (raw·SCALE) div
+    max(raw) — L∞ instead of the float L2 norm keeps every step in
+    exact integer arithmetic (and gives the best dynamic range: the
+    top node sits at exactly HITS_SCALE each round). Both engines
+    compute bit-identical scores; ties rank by node id.
+
+    Iteration shape: per round ONE src-keyed join + agg (authorities
+    inherit hub mass) and ONE dst-keyed join + agg (hubs inherit
+    authority mass), each normalized via an in-plan broadcast 1-row
+    max — no driver round-trip, per-round localCheckpoint to cut the
+    lineage exactly like the PageRank ladder. Returns the top
+    HITS_TOPK per side as one (side, rank, node, score_scaled)
+    ledger via TakeOrderedAndProject — never a global window.
+    Ref: reference has no graph surface; Kleinberg's HITS (JACM 46(5))
+    re-expressed for the §2.2 graph family."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("weight"))
+        .persist()
+    )
+    hubs = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(HITS_SCALE).cast("bigint").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    auth = None
+    try:
+        for _ in range(HITS_ITERS):
+            araw = (
+                hubs.join(edges, hubs.node == edges.src)
+                .groupBy("dst")
+                .agg(F.sum(F.col("h") * F.col("weight")).alias("raw"))
+            )
+            amax = araw.agg(F.max("raw").alias("mx"))
+            auth = (
+                araw.join(F.broadcast(amax))
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"(raw * CAST({HITS_SCALE} AS BIGINT)) div mx").alias("a"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            hraw = (
+                auth.join(edges, auth.node == edges.dst)
+                .groupBy("src")
+                .agg(F.sum(F.col("a") * F.col("weight")).alias("raw"))
+            )
+            hmax = hraw.agg(F.max("raw").alias("mx"))
+            hubs = (
+                hraw.join(F.broadcast(hmax))
+                .select(
+                    F.col("src").alias("node"),
+                    F.expr(f"(raw * CAST({HITS_SCALE} AS BIGINT)) div mx").alias("h"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        edges.unpersist()
+    top_auth = ranked_topk(
+        auth.select(F.lit("authority").alias("side"), "node", F.col("a").alias("score_scaled")),
+        [F.desc("score_scaled"), F.asc("node")],
+        HITS_TOPK,
+    ).select("side", "rank", "node", "score_scaled")
+    top_hub = ranked_topk(
+        hubs.select(F.lit("hub").alias("side"), "node", F.col("h").alias("score_scaled")),
+        [F.desc("score_scaled"), F.asc("node")],
+        HITS_TOPK,
+    ).select("side", "rank", "node", "score_scaled")
+    return top_auth.unionByName(top_hub)
+
+
+def _hits_ladder_oracle_sql() -> str:
+    rounds = []
+    prev = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        rounds.append(f"""
+ar{k} AS (
+  SELECT e.dst, SUM(h.h * e.weight) AS raw
+  FROM {prev} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+),
+am{k} AS (SELECT MAX(raw) AS mx FROM ar{k}),
+a{k} AS (SELECT dst AS node, (raw * {HITS_SCALE}) // mx AS a FROM ar{k}, am{k}),
+hr{k} AS (
+  SELECT e.src, SUM(a.a * e.weight) AS raw
+  FROM a{k} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+),
+hm{k} AS (SELECT MAX(raw) AS mx FROM hr{k}),
+h{k} AS (SELECT src AS node, (raw * {HITS_SCALE}) // mx AS h FROM hr{k}, hm{k})""")
+        prev = f"h{k}"
+    return f"""
+WITH edges AS (
+  SELECT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst,
+         COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+h0 AS (SELECT DISTINCT src AS node, {HITS_SCALE} AS h FROM edges),{",".join(rounds)}
+SELECT side, CAST(rank AS BIGINT) AS rank, node, CAST(score_scaled AS BIGINT) AS score_scaled
+FROM (
+  SELECT 'authority' AS side, node, a AS score_scaled,
+         row_number() OVER (ORDER BY a DESC, node ASC) AS rank
+  FROM a{HITS_ITERS}
+  UNION ALL
+  SELECT 'hub' AS side, node, h AS score_scaled,
+         row_number() OVER (ORDER BY h DESC, node ASC) AS rank
+  FROM h{HITS_ITERS}
+) WHERE rank <= {HITS_TOPK}
+"""
+
+
+ORACLES["graph_hits_ladder"] = _hits_ladder_oracle_sql()
+
+
 def _weighted_louvain_move(labels: DataFrame, wedges: DataFrame, m_row: DataFrame) -> DataFrame:
     """One synchronous integer-exact Louvain local-move round on a
     weighted multigraph — the A94 logic generalized so it can run on
@@ -2128,4 +2267,5 @@ QUERIES = {
     "graph_louvain_ladder": graph_louvain_ladder,
     "ml_logreg_pinned_score": ml_logreg_pinned_score,
     "ml_kmeans_ladder": ml_kmeans_ladder,
+    "graph_hits_ladder": graph_hits_ladder,
 }

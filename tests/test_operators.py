@@ -1717,3 +1717,52 @@ def test_mann_whitney_and_ks_match_pure_python_replay(spark):
         assert kr.d_stat == round(d_num / (na * nb), 6)
         crit = round(1.358 * math.sqrt((na + nb) / (na * nb)), 6)
         assert kr.crit_95 == crit and kr.reject_95 == (kr.d_stat > crit)
+
+
+def test_hits_ladder_matches_pure_python_replay(spark):
+    """T44c: replay the full integer HITS ladder (L∞ rescale, floor
+    div) from the raw edges in pure Python and demand bit-identical
+    top-k scores; also the structural invariants — 2×HITS_TOPK rows,
+    each side's rank-1 score exactly HITS_SCALE (the L∞ pivot)."""
+    from proceso_de_etl_spark.operators.ml import (
+        HITS_ITERS,
+        HITS_SCALE,
+        HITS_TOPK,
+        graph_hits_ladder,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    edges: dict[tuple[str, str], int] = {}
+    okey = {r.o_orderkey: r.o_custkey for r in orders.collect()}
+    for r in li.collect():
+        k = (f"c{okey[r.l_orderkey]}", f"s{r.l_suppkey}")
+        edges[k] = edges.get(k, 0) + 1
+
+    h = {u: HITS_SCALE for u, _ in edges}
+    a: dict[str, int] = {}
+    for _ in range(HITS_ITERS):
+        araw: dict[str, int] = {}
+        for (u, v), w in edges.items():
+            araw[v] = araw.get(v, 0) + h[u] * w
+        mx = max(araw.values())
+        a = {v: (r * HITS_SCALE) // mx for v, r in araw.items()}
+        hraw: dict[str, int] = {}
+        for (u, v), w in edges.items():
+            hraw[u] = hraw.get(u, 0) + a[v] * w
+        mx = max(hraw.values())
+        h = {u: (r * HITS_SCALE) // mx for u, r in hraw.items()}
+
+    rows = graph_hits_ladder(spark, SF_SMOKE).collect()
+    assert len(rows) == 2 * HITS_TOPK
+    want = {
+        "authority": sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK],
+        "hub": sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK],
+    }
+    for r in rows:
+        wn, ws = want[r.side][r.rank - 1]
+        assert (r.node, r.score_scaled) == (wn, ws), (r.side, r.rank)
+        if r.rank == 1:
+            assert r.score_scaled == HITS_SCALE

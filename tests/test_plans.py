@@ -673,6 +673,7 @@ def test_r7_companions_stay_jvm_side(spark):
     from proceso_de_etl_spark.operators.dedup import semdedup_pairs
     from proceso_de_etl_spark.operators.ml import (
         graph_connected_components,
+        graph_hits_ladder,
         graph_link_prediction,
         graph_louvain_ladder,
         graph_louvain_move,
@@ -702,6 +703,7 @@ def test_r7_companions_stay_jvm_side(spark):
         graph_louvain_ladder,
         graph_pagerank_ladder,
         graph_link_prediction,
+        graph_hits_ladder,
         ml_kmeans_ladder,
         sketch_kmv_setops,
         sketch_hll_portable,

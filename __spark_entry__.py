@@ -156,6 +156,7 @@ _PRIORITY = (
     "ab_mann_whitney",
     "ab_ks_test",
     "graph_hits_ladder",
+    "events_chi2_independence",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1345,6 +1345,124 @@ FROM d ORDER BY type_a, type_b
 """
 
 
+CHI2_SCALE = 10**9  # per-cell term unit. Exactness window: the
+# int128 intermediate d²·SCALE (d = O·n − r·c ≤ n²) must stay inside
+# DECIMAL(38,0)/HUGEINT, i.e. n ≤ ~2e7 rows at SCALE 1e9; past that
+# drop CHI2_SCALE a decade per 100× rows (the PRL_SCALE rule).
+
+
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A100 — χ² test of independence (event_type × day-of-week):
+    the categorical member of the testing battery (A74 location /
+    A98 rank / A99 shape / A100 association). The statistic is
+    EXACT-integer: with d = O·n − r·c per cell (including the
+    structural-zero cells — margins cross-joined, observed
+    left-joined), χ²·SCALE = Σ FLOOR(d²·SCALE / (n·r·c)), each floor
+    term computed in 128-bit integer arithmetic (Spark DECIMAL(38,0)
+    `div` == DuckDB HUGEINT `//`, equality property-tested — d² ≥ 0
+    so truncation IS floor) — an unordered BIGINT sum, bit-identical
+    on any engine at any parallelism, where the textbook Σ(O−E)²/E
+    over doubles would be addition-order-dependent. Cramér's V and
+    the 6dp χ² derive from that one integer. Day-of-week is the
+    portable epoch-day mod 7 (Spark's dayofweek() is 1-7
+    Sunday-first, DuckDB's 0-6 — neither matches the other).
+
+    Scale: one scan → two tiny margin aggregates → an R×C-row
+    broadcast cross join; nothing data-sized past the first groupBy.
+    Ref: reference has no testing surface."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("pmod(datediff(to_date(ts), to_date('1970-01-01')), 7)").alias("dow"),
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    rowm = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    colm = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rowm.crossJoin(F.broadcast(colm))
+        .join(obs, ["event_type", "dow"], "left")
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "r",
+            "c",
+            "n",
+            (F.coalesce("o", F.lit(0)) * F.col("n") - F.col("r") * F.col("c")).alias("d"),
+        )
+    )
+    terms = cells.select(
+        "n",
+        "event_type",
+        "dow",
+        F.expr(
+            f"(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) * {CHI2_SCALE})"
+            " div (CAST(n AS DECIMAL(38,0)) * r * c)"
+        ).alias("t"),
+    )
+    g = terms.agg(
+        F.first("n").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+        F.sum("t").cast("bigint").alias("chi2_scaled"),
+    )
+    minrc = F.least(F.col("nr") - 1, F.col("nc") - 1)
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nr").cast("bigint").alias("n_rows"),
+        F.col("nc").cast("bigint").alias("n_cols"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("df"),
+        "chi2_scaled",
+        F.round(F.col("chi2_scaled") / F.lit(float(CHI2_SCALE)), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                (F.col("chi2_scaled") / F.lit(float(CHI2_SCALE)))
+                / (F.col("n") * minrc)
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+ORACLES["events_chi2_independence"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         ((CAST(ts AS DATE) - DATE '1970-01-01') % 7 + 7) % 7 AS dow
+  FROM events
+),
+obs AS (SELECT event_type, dow, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+rowm AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+colm AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT rm.event_type, cm.dow, rm.r, cm.c, t.n,
+         COALESCE(ob.o, 0) * t.n - rm.r * cm.c AS d
+  FROM rowm rm CROSS JOIN colm cm
+  LEFT JOIN obs ob ON ob.event_type = rm.event_type AND ob.dow = cm.dow
+  CROSS JOIN tot t
+),
+terms AS (
+  SELECT n, event_type, dow,
+         CAST(d AS HUGEINT) * CAST(d AS HUGEINT) * {CHI2_SCALE}
+           // (CAST(n AS HUGEINT) * r * c) AS t
+  FROM cells
+),
+g AS (
+  SELECT MAX(n) AS n, COUNT(DISTINCT event_type) AS nr,
+         COUNT(DISTINCT dow) AS nc, CAST(SUM(t) AS BIGINT) AS chi2_scaled
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
+       CAST(nc AS BIGINT) AS n_cols,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+       chi2_scaled,
+       ROUND(chi2_scaled / {float(CHI2_SCALE)!r}, 6) AS chi2,
+       ROUND(SQRT((chi2_scaled / {float(CHI2_SCALE)!r})
+            / (n * LEAST(nr - 1, nc - 1))), 6) AS cramers_v
+FROM g
+"""
+
+
 QUERIES = {
     "agg_weighted_quantiles": agg_weighted_quantiles,
     "revenue_gini_index": revenue_gini_index,
@@ -1361,4 +1479,5 @@ QUERIES = {
     "ab_welch_ttest": ab_welch_ttest,
     "ab_mann_whitney": ab_mann_whitney,
     "ab_ks_test": ab_ks_test,
+    "events_chi2_independence": events_chi2_independence,
 }

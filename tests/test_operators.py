@@ -1766,3 +1766,52 @@ def test_hits_ladder_matches_pure_python_replay(spark):
         assert (r.node, r.score_scaled) == (wn, ws), (r.side, r.rank)
         if r.rank == 1:
             assert r.score_scaled == HITS_SCALE
+
+
+def test_chi2_independence_matches_pure_python_replay(spark):
+    """A100: replay the exact scaled-floor χ² (structural zeros
+    included) from the raw rows in pure Python — integers must match
+    bit-for-bit and the derived 6dp chi2 / Cramér's V must follow."""
+    import math
+    from datetime import date
+
+    from proceso_de_etl_spark.operators.insights import (
+        CHI2_SCALE,
+        events_chi2_independence,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "to_date(ts) AS d"
+    ).collect()
+    epoch = date(1970, 1, 1)
+    obs: dict[tuple[str, int], int] = {}
+    for r in ev:
+        k = (r.event_type, (r.d - epoch).days % 7)
+        obs[k] = obs.get(k, 0) + 1
+    rows = sorted({k[0] for k in obs})
+    cols = sorted({k[1] for k in obs})
+    rm = {t: sum(v for (a, _), v in obs.items() if a == t) for t in rows}
+    cm = {w: sum(v for (_, b), v in obs.items() if b == w) for w in cols}
+    n = sum(obs.values())
+    chi2_scaled = 0
+    for t in rows:
+        for w in cols:
+            d = obs.get((t, w), 0) * n - rm[t] * cm[w]
+            chi2_scaled += (d * d * CHI2_SCALE) // (n * rm[t] * cm[w])
+
+    got = events_chi2_independence(spark, SF_SMOKE).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g.n, g.n_rows, g.n_cols) == (n, len(rows), len(cols))
+    assert g.df == (len(rows) - 1) * (len(cols) - 1)
+    assert g.chi2_scaled == chi2_scaled
+    assert g.chi2 == round(chi2_scaled / float(CHI2_SCALE), 6)
+    assert g.cramers_v == round(
+        math.sqrt(
+            (chi2_scaled / float(CHI2_SCALE))
+            / (n * min(len(rows) - 1, len(cols) - 1))
+        ),
+        6,
+    )

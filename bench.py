@@ -102,6 +102,20 @@ HEADLINE = (
     "ann_pq_pinned_topk",
     "sketch_cms_portable",
     "sketch_kmv_setops",
+    # r7 third-pass additions. graph_hits_ladder sits right after
+    # graph_pagerank_ladder on purpose: both ride the shared
+    # purchase_edges persist (pagerank pays the build cold each pass,
+    # HITS warm — same attribution pattern as triangle/kcore on
+    # copurchase_edges). ann_recall_eval runs BOTH audited searches
+    # (exact + pinned IVF) per pass, so its floor is intrinsically
+    # the sum of the pair; the stat battery and chi2 are one-scan
+    # events aggregates benched to keep the count-frame shape honest
+    "graph_hits_ladder",
+    "ml_kmeans_ladder",
+    "ann_recall_eval",
+    "ab_mann_whitney",
+    "ab_ks_test",
+    "events_chi2_independence",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -188,6 +202,15 @@ BASELINE = {
     "ann_pq_pinned_topk": 7.059,
     "sketch_cms_portable": 1.602,
     "sketch_kmv_setops": 1.43,
+    # --- r7 third-pass floors: median-of-5 idle-box runs at add time
+    #     (hits measured in bench order, warm behind pagerank_ladder
+    #     on the shared purchase_edges persist) ---
+    "graph_hits_ladder": 9.001,
+    "ml_kmeans_ladder": 3.846,
+    "ann_recall_eval": 7.596,
+    "ab_mann_whitney": 2.163,
+    "ab_ks_test": 2.226,
+    "events_chi2_independence": 1.02,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -157,6 +157,7 @@ _PRIORITY = (
     "ab_ks_test",
     "graph_hits_ladder",
     "events_chi2_independence",
+    "ab_bootstrap_se",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1345,6 +1345,163 @@ FROM d ORDER BY type_a, type_b
 """
 
 
+import math as _math
+
+BOOT_REPS = 20
+# Poisson(1) inverse-CDF thresholds over the md5-60-bit uniform:
+# replicate weight w = #{k : u60 >= floor(CDF(k-1)·2^60)}, capped at 7
+# (tail mass past w=7 is ~1e-6 and lands on 7 — same rule on both
+# engines). The constants are Python-float CDF values scaled once at
+# import and injected as identical literals into the Spark expression
+# and the oracle SQL, so there is no float boundary to disagree on.
+_POIS_THRESH: list[int] = []
+_cum = 0.0
+for _k in range(7):
+    _cum += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_THRESH.append(int(_cum * (1 << 60)))
+
+
+def ab_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A101 — deterministic Poisson bootstrap: per event type, the
+    bootstrap standard error (and normal-approx CI) of the mean of
+    `value`, from BOOT_REPS resampling replicates whose weights are
+    Poisson(1) draws seeded by md5(event_id, replicate) — the
+    streaming-friendly online bootstrap (each row's weight needs no
+    global state), made REPLAYABLE: the md5-60-bit uniform and the
+    scaled integer CDF thresholds reproduce the exact same weights on
+    any engine, any partitioning, any run. Replicate means round to
+    6dp and are then accumulated as exact DECIMAL(18,6) sums (the
+    dsum discipline), so the SE derives from engine-identical
+    numbers; σ=point±1.96·se closes the report.
+
+    Scale: the explode is events × BOOT_REPS rows feeding a partial
+    (map-side-combined) aggregation to types × BOOT_REPS rows — the
+    standard online-bootstrap cost (B hashes per row), no shuffle
+    wider than the replicate ledger. At 100 TB the B knob trades CI
+    resolution for compute linearly.
+    Ref: reference has no inference surface; Owen & Eckles (2012)
+    pattern, portable-hash discipline from dedup.py:167-190."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("boot:"), F.col("event_id"), F.lit(":"), F.col("b"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = sum(
+        (u60 >= F.lit(t)).cast("bigint") for t in _POIS_THRESH
+    )
+    rep = (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b"),
+        )
+        .select("event_type", "b", w.alias("w"), "value")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("w").alias("nw"),
+            F.sum(
+                (F.col("w") * F.col("value")).cast("decimal(18,6)")
+            ).alias("ws"),
+        )
+    )
+    # nw=0 (a replicate zero-weighting an entire type) is impossible
+    # past a handful of rows, but Spark's x/0 -> NULL vs DuckDB's
+    # IEEE inf would diverge — pin the degenerate case to 0 on both
+    means = rep.select(
+        "event_type",
+        F.when(
+            F.col("nw") > 0, F.round(F.col("ws").cast("double") / F.col("nw"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+        .alias("m"),
+    )
+    summ = means.groupBy("event_type").agg(
+        F.sum("m").alias("s1"), F.sum(F.col("m") * F.col("m")).alias("s2")
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("vs"),
+    )
+    j = base.join(summ, "event_type")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    b = F.lit(float(BOOT_REPS))
+    se = F.sqrt(
+        F.greatest((s2 - s1 * s1 / b) / (b - F.lit(1.0)), F.lit(0.0))
+    )
+    point = F.col("vs").cast("double") / F.col("n_events")
+    return j.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lit(BOOT_REPS).cast("bigint").alias("boot_reps"),
+        F.round(point, 6).alias("point_mean"),
+        F.round(se, 6).alias("boot_se"),
+        F.round(point - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(point + F.lit(1.96) * se, 6).alias("ci_hi"),
+    ).orderBy("event_type")
+
+
+def _bootstrap_se_oracle_sql() -> str:
+    thresh = " + ".join(
+        f"CASE WHEN u60 >= {t} THEN 1 ELSE 0 END" for t in _POIS_THRESH
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+expl AS (
+  SELECT event_type, event_id, value, unnest(range(0, {BOOT_REPS})) AS b
+  FROM ev
+),
+wts AS (
+  SELECT event_type, b, value,
+         {thresh} AS w
+  FROM (
+    SELECT event_type, b, value,
+           CAST(CAST(concat('0x', substr(md5(concat('boot:', event_id, ':', b)), 1, 15)) AS UBIGINT) AS BIGINT) AS u60
+    FROM expl
+  )
+),
+rep AS (
+  SELECT event_type, b, SUM(w) AS nw,
+         SUM(CAST(w * value AS DECIMAL(18,6))) AS ws
+  FROM wts GROUP BY 1, 2
+),
+means AS (
+  SELECT event_type,
+         CAST(CASE WHEN nw > 0 THEN ROUND(CAST(ws AS DOUBLE) / nw, 6)
+              ELSE 0.0 END AS DECIMAL(18,6)) AS m
+  FROM rep
+),
+summ AS (
+  SELECT event_type, SUM(m) AS s1, SUM(m * m) AS s2 FROM means GROUP BY 1
+),
+base AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS vs
+  FROM ev GROUP BY 1
+)
+SELECT b.event_type, CAST(b.n_events AS BIGINT) AS n_events,
+       CAST({BOOT_REPS} AS BIGINT) AS boot_reps,
+       ROUND(CAST(b.vs AS DOUBLE) / b.n_events, 6) AS point_mean,
+       ROUND(SQRT(GREATEST((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / {float(BOOT_REPS)!r}) / ({float(BOOT_REPS)!r} - 1.0), 0.0)), 6) AS boot_se,
+       ROUND(CAST(b.vs AS DOUBLE) / b.n_events - 1.96 * SQRT(GREATEST((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / {float(BOOT_REPS)!r}) / ({float(BOOT_REPS)!r} - 1.0), 0.0)), 6) AS ci_lo,
+       ROUND(CAST(b.vs AS DOUBLE) / b.n_events + 1.96 * SQRT(GREATEST((CAST(s.s2 AS DOUBLE) - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / {float(BOOT_REPS)!r}) / ({float(BOOT_REPS)!r} - 1.0), 0.0)), 6) AS ci_hi
+FROM base b JOIN summ s ON s.event_type = b.event_type
+ORDER BY b.event_type
+"""
+
+
+ORACLES["ab_bootstrap_se"] = _bootstrap_se_oracle_sql()
+
+
 CHI2_SCALE = 10**9  # per-cell term unit. Exactness window: the
 # int128 intermediate d²·SCALE (d = O·n − r·c ≤ n²) must stay inside
 # DECIMAL(38,0)/HUGEINT, i.e. n ≤ ~2e7 rows at SCALE 1e9; past that
@@ -1480,4 +1637,5 @@ QUERIES = {
     "ab_mann_whitney": ab_mann_whitney,
     "ab_ks_test": ab_ks_test,
     "events_chi2_independence": events_chi2_independence,
+    "ab_bootstrap_se": ab_bootstrap_se,
 }

@@ -1815,3 +1815,69 @@ def test_chi2_independence_matches_pure_python_replay(spark):
         ),
         6,
     )
+
+
+def test_bootstrap_se_matches_pure_python_replay_and_classical_se(spark):
+    """A101: (1) exact determinism — replay the md5-seeded Poisson
+    weights, the 6dp replicate means, and the SE chain in pure Python
+    hashlib and demand bit-equality; (2) statistical validity — each
+    type's bootstrap SE must land within [0.5x, 2x] of the classical
+    sd/sqrt(n) (B=20 chi-square noise is ~±30%, so 2x is a loose but
+    real sanity bound that catches e.g. a weight-scale bug)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from proceso_de_etl_spark.operators.insights import (
+        BOOT_REPS,
+        _POIS_THRESH,
+        ab_bootstrap_se,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = [
+        r
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "event_id", "value")
+        .collect()
+        if r.value is not None
+    ]
+    d6 = lambda x: Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+
+    got = {r.event_type: r for r in ab_bootstrap_se(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_type)
+    for t, rows in by_type.items():
+        means = []
+        for b in range(BOOT_REPS):
+            nw, ws = 0, Decimal(0)
+            for r in rows:
+                u = int(
+                    hashlib.md5(f"boot:{r.event_id}:{b}".encode()).hexdigest()[:15],
+                    16,
+                )
+                w = sum(1 for th in _POIS_THRESH if u >= th)
+                nw += w
+                ws += d6(w * r.value)
+            means.append(d6(round(float(ws) / nw, 6)) if nw else Decimal(0))
+        s1, s2 = sum(means), sum(m * m for m in means)
+        se = math.sqrt(
+            max((float(s2) - float(s1) * float(s1) / BOOT_REPS) / (BOOT_REPS - 1), 0.0)
+        )
+        n = len(rows)
+        vs = sum(d6(r.value) for r in rows)
+        point = float(vs) / n
+        g = got[t]
+        assert g.n_events == n and g.boot_reps == BOOT_REPS
+        assert g.point_mean == round(point, 6), t
+        assert g.boot_se == round(se, 6), (t, g.boot_se, se)
+        assert g.ci_lo == round(point - 1.96 * se, 6)
+        assert g.ci_hi == round(point + 1.96 * se, 6)
+        # statistical sanity vs classical SE
+        mu = sum(r.value for r in rows) / n
+        sd = math.sqrt(sum((r.value - mu) ** 2 for r in rows) / (n - 1))
+        classical = sd / math.sqrt(n)
+        assert 0.5 * classical <= g.boot_se <= 2.0 * classical, (t, g.boot_se, classical)

@@ -158,6 +158,7 @@ _PRIORITY = (
     "graph_hits_ladder",
     "events_chi2_independence",
     "ab_bootstrap_se",
+    "events_attribution_models",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1481,7 +1481,146 @@ FROM cus GROUP BY event_type
 """
 
 
+ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, in µs
+ATTR_SCALE = 10**6  # linear-credit unit: one conversion = 1e6
+
+
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A102 — multi-touch attribution: for every purchase, the
+    non-purchase events ("touches") by the same user in the
+    ATTR_WINDOW lookback, credited to their channel (event_type)
+    under the three standard models at once — first-touch (1
+    conversion to the earliest touch), last-touch (1 to the latest),
+    and linear (each touch channel gets its share of ATTR_SCALE:
+    (n_channel_touches·SCALE) div k — ONE floor per (purchase,
+    channel), so per-purchase credit loss is < #channels units and
+    BOTH engines floor the same integers; the float 1/k would be
+    neither exact nor order-safe). Purchases with no in-window touch
+    report under channel '(unattributed)' with full credit in all
+    three models. Window arithmetic in epoch-µs integers (portable
+    across engines and DST-free). Tie-breaks: equal-timestamp touches
+    order by (ts, event_type, event_id) — deterministic everywhere.
+
+    Scale: the purchase×touch join is user_id-keyed with a time-band
+    predicate — fan-out bounded by per-user activity in a 7-day
+    window, never all-pairs; beyond that, bucketize time like A32's
+    interval join. The per-purchase window partitions by purchase id
+    (millions of tiny partitions — the healthy direction).
+    Ref: reference has no attribution surface; standard first/last/
+    linear credit models over the A23-A26 event machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("uid"),
+        F.unix_micros("ts").alias("pt"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("tt"),
+        F.col("event_id").alias("tid"),
+    )
+    joined = purchases.join(touches, purchases.uid == touches.user_id).filter(
+        (F.col("tt") < F.col("pt")) & (F.col("tt") >= F.col("pt") - ATTR_WINDOW_US)
+    )
+    w = W.partitionBy("pid").orderBy(F.asc("tt"), F.asc("channel"), F.asc("tid"))
+    ranked = joined.select(
+        "pid",
+        "channel",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("pid")).alias("k"),
+    )
+    per_pc = ranked.groupBy("pid", "channel").agg(
+        F.max((F.col("rn") == 1).cast("bigint")).alias("is_first"),
+        F.max((F.col("rn") == F.col("k")).cast("bigint")).alias("is_last"),
+        F.count("*").alias("nc"),
+        F.min("k").alias("k"),
+    )
+    attributed = per_pc.groupBy("channel").agg(
+        F.sum("is_first").cast("bigint").alias("first_touch"),
+        F.sum("is_last").cast("bigint").alias("last_touch"),
+        F.sum(F.expr(f"(nc * CAST({ATTR_SCALE} AS BIGINT)) div k"))
+        .cast("bigint")
+        .alias("linear_scaled"),
+    )
+    orphans = (
+        purchases.join(
+            joined.select("pid").distinct(), "pid", "left_anti"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("(unattributed)").alias("channel"),
+            F.col("n").cast("bigint").alias("first_touch"),
+            F.col("n").cast("bigint").alias("last_touch"),
+            (F.col("n") * ATTR_SCALE).cast("bigint").alias("linear_scaled"),
+        )
+    )
+    return (
+        attributed.unionByName(orphans)
+        .select(
+            "channel",
+            "first_touch",
+            "last_touch",
+            "linear_scaled",
+            F.round(F.col("linear_scaled") / F.lit(float(ATTR_SCALE)), 6).alias(
+                "linear_credit"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLES["events_attribution_models"] = f"""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id AS uid, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_type AS channel, epoch_us(ts) AS tt, event_id AS tid
+  FROM events WHERE event_type <> 'purchase'
+),
+joined AS (
+  SELECT p.pid, t.channel, t.tt, t.tid
+  FROM purchases p JOIN touches t ON t.user_id = p.uid
+  WHERE t.tt < p.pt AND t.tt >= p.pt - {ATTR_WINDOW_US}
+),
+ranked AS (
+  SELECT pid, channel,
+         row_number() OVER (PARTITION BY pid ORDER BY tt, channel, tid) AS rn,
+         COUNT(*) OVER (PARTITION BY pid) AS k
+  FROM joined
+),
+per_pc AS (
+  SELECT pid, channel,
+         MAX(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS is_first,
+         MAX(CASE WHEN rn = k THEN 1 ELSE 0 END) AS is_last,
+         COUNT(*) AS nc, MIN(k) AS k
+  FROM ranked GROUP BY 1, 2
+),
+attributed AS (
+  SELECT channel,
+         CAST(SUM(is_first) AS BIGINT) AS first_touch,
+         CAST(SUM(is_last) AS BIGINT) AS last_touch,
+         CAST(SUM((nc * {ATTR_SCALE}) // k) AS BIGINT) AS linear_scaled
+  FROM per_pc GROUP BY 1
+),
+orphans AS (
+  SELECT '(unattributed)' AS channel,
+         CAST(COUNT(*) AS BIGINT) AS first_touch,
+         CAST(COUNT(*) AS BIGINT) AS last_touch,
+         CAST(COUNT(*) * {ATTR_SCALE} AS BIGINT) AS linear_scaled
+  FROM purchases p
+  WHERE NOT EXISTS (SELECT 1 FROM joined j WHERE j.pid = p.pid)
+)
+SELECT channel, first_touch, last_touch, linear_scaled,
+       ROUND(linear_scaled / {float(ATTR_SCALE)!r}, 6) AS linear_credit
+FROM (SELECT * FROM attributed UNION ALL SELECT * FROM orphans)
+ORDER BY channel
+"""
+
+
 QUERIES = {
+    "events_attribution_models": events_attribution_models,
     "events_cusum_changepoint": events_cusum_changepoint,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "events_sequence_match": events_sequence_match,

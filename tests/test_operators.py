@@ -1881,3 +1881,68 @@ def test_bootstrap_se_matches_pure_python_replay_and_classical_se(spark):
         sd = math.sqrt(sum((r.value - mu) ** 2 for r in rows) / (n - 1))
         classical = sd / math.sqrt(n)
         assert 0.5 * classical <= g.boot_se <= 2.0 * classical, (t, g.boot_se, classical)
+
+
+def test_attribution_models_match_pure_python_replay(spark):
+    """A102: replay first/last/linear credit from the raw rows in
+    pure Python (same 7-day µs window, same tie-break, same per-
+    channel floor) and demand exact equality; plus the conservation
+    invariants — first and last totals equal the purchase count, and
+    the linear total is within #channels truncation units per
+    purchase of n_purchases·SCALE."""
+    from proceso_de_etl_spark.operators.events import (
+        ATTR_SCALE,
+        ATTR_WINDOW_US,
+        events_attribution_models,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_id", "user_id", "event_type", "unix_micros(ts) AS t"
+    ).collect()
+    purchases = [r for r in rows if r.event_type == "purchase"]
+    by_user: dict[int, list] = {}
+    for r in rows:
+        if r.event_type != "purchase":
+            by_user.setdefault(r.user_id, []).append(r)
+
+    want: dict[str, list[int]] = {}
+
+    def add(ch, f, l, lin):
+        e = want.setdefault(ch, [0, 0, 0])
+        e[0] += f
+        e[1] += l
+        e[2] += lin
+
+    for p in purchases:
+        ts = [
+            t
+            for t in by_user.get(p.user_id, [])
+            if p.t - ATTR_WINDOW_US <= t.t < p.t
+        ]
+        if not ts:
+            add("(unattributed)", 1, 1, ATTR_SCALE)
+            continue
+        ts.sort(key=lambda t: (t.t, t.event_type, t.event_id))
+        add(ts[0].event_type, 1, 0, 0)
+        add(ts[-1].event_type, 0, 1, 0)
+        k = len(ts)
+        per_ch: dict[str, int] = {}
+        for t in ts:
+            per_ch[t.event_type] = per_ch.get(t.event_type, 0) + 1
+        for ch, nc in per_ch.items():
+            add(ch, 0, 0, (nc * ATTR_SCALE) // k)
+
+    got = {r.channel: r for r in events_attribution_models(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for ch, (f, l, lin) in want.items():
+        g = got[ch]
+        assert (g.first_touch, g.last_touch, g.linear_scaled) == (f, l, lin), ch
+        assert g.linear_credit == round(lin / float(ATTR_SCALE), 6)
+    n_p = len(purchases)
+    assert sum(v[0] for v in want.values()) == n_p
+    assert sum(v[1] for v in want.values()) == n_p
+    total_lin = sum(v[2] for v in want.values())
+    n_channels = len({r.event_type for r in rows}) - 1
+    assert n_p * ATTR_SCALE - n_p * n_channels <= total_lin <= n_p * ATTR_SCALE

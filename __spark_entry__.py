@@ -159,6 +159,7 @@ _PRIORITY = (
     "events_chi2_independence",
     "ab_bootstrap_se",
     "events_attribution_models",
+    "events_cohort_ltv",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1481,6 +1481,96 @@ FROM cus GROUP BY event_type
 """
 
 
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A103 — cohort LTV curve: the revenue twin of
+    events_retention_cohorts — per first-seen-week cohort, purchase
+    revenue attributed to each week-of-age (0..3) and the cumulative
+    LTV per cohort member, answering "how much is a week-N user
+    worth" next to retention's "do they come back". Same two-
+    aggregation shape over one scan (cohort assignment joins back on
+    user_id, the key both sides aggregated on); revenue sums are
+    exact DECIMAL (the dsum discipline) pivoted by age via
+    conditional aggregation — no pivot shuffle, no per-age scans;
+    cohorts without purchases keep explicit 0 rows (left join +
+    coalesce on BOTH engines).
+    Ref: reference consumption layer (README §2.3) asks exactly this
+    class of question of the star; machinery shared with A84/A71."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", week.alias("pweek"), "value")
+    rev = (
+        purch.join(firsts, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.datediff("pweek", "cohort_week") == 7 * k,
+                        F.col("value").cast("decimal(18,6)"),
+                    )
+                ).alias(f"r{k}")
+                for k in range(4)
+            ]
+        )
+    )
+    z = F.lit(0).cast("decimal(18,6)")
+    rs = [F.coalesce(F.col(f"r{k}"), z) for k in range(4)]
+    total = rs[0] + rs[1] + rs[2] + rs[3]
+    return (
+        sizes.join(rev, "cohort_week", "left")
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            *[
+                F.round(rs[k].cast("double"), 6).alias(f"rev_w{k}")
+                for k in range(4)
+            ],
+            F.round(total.cast("double") / F.col("cohort_size"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week_us")
+    )
+
+
+ORACLES["events_cohort_ltv"] = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_week,
+         SUM(CASE WHEN datediff('day', f.cohort_week, date_trunc('week', e.ts)) = 0
+             THEN CAST(e.value AS DECIMAL(18,6)) END) AS r0,
+         SUM(CASE WHEN datediff('day', f.cohort_week, date_trunc('week', e.ts)) = 7
+             THEN CAST(e.value AS DECIMAL(18,6)) END) AS r1,
+         SUM(CASE WHEN datediff('day', f.cohort_week, date_trunc('week', e.ts)) = 14
+             THEN CAST(e.value AS DECIMAL(18,6)) END) AS r2,
+         SUM(CASE WHEN datediff('day', f.cohort_week, date_trunc('week', e.ts)) = 21
+             THEN CAST(e.value AS DECIMAL(18,6)) END) AS r3
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+  GROUP BY 1
+)
+SELECT epoch_us(s.cohort_week) AS cohort_week_us,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(CAST(COALESCE(r.r0, 0) AS DOUBLE), 6) AS rev_w0,
+       ROUND(CAST(COALESCE(r.r1, 0) AS DOUBLE), 6) AS rev_w1,
+       ROUND(CAST(COALESCE(r.r2, 0) AS DOUBLE), 6) AS rev_w2,
+       ROUND(CAST(COALESCE(r.r3, 0) AS DOUBLE), 6) AS rev_w3,
+       ROUND(CAST(COALESCE(r.r0, 0) + COALESCE(r.r1, 0) + COALESCE(r.r2, 0)
+             + COALESCE(r.r3, 0) AS DOUBLE) / s.cohort_size, 6) AS ltv_per_user
+FROM sizes s LEFT JOIN rev r ON r.cohort_week = s.cohort_week
+ORDER BY cohort_week_us
+"""
+
+
 ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback, in µs
 ATTR_SCALE = 10**6  # linear-credit unit: one conversion = 1e6
 
@@ -1621,6 +1711,7 @@ ORDER BY channel
 
 QUERIES = {
     "events_attribution_models": events_attribution_models,
+    "events_cohort_ltv": events_cohort_ltv,
     "events_cusum_changepoint": events_cusum_changepoint,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "events_sequence_match": events_sequence_match,

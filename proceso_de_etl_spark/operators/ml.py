@@ -1127,17 +1127,17 @@ def _louvain_move_oracle_sql() -> str:
     head, _, _ = ladder_sql.rpartition("SELECT label AS community")
     head = head.rstrip().rstrip(",") + ","
     return f"""{head}
-labels AS (SELECT node, label AS comm FROM l{LPA_ROUNDS}),
+labels AS MATERIALIZED (SELECT node, label AS comm FROM l{LPA_ROUNDS}),
 m AS (SELECT COUNT(*) AS m FROM pair),
-deg AS (SELECT src AS node, COUNT(*) AS k FROM edges GROUP BY 1),
-tot AS (
+deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS k FROM edges GROUP BY 1),
+tot AS MATERIALIZED (
   SELECT comm, SUM(k) AS tot FROM labels JOIN deg USING (node) GROUP BY 1
 ),
-kic AS (
+kic AS MATERIALIZED (
   SELECT e.src AS node, ld.comm AS c, COUNT(*) AS kic
   FROM edges e JOIN labels ld ON ld.node = e.dst GROUP BY 1, 2
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT node, c, MAX(kic) AS kic, MAX(own) AS own FROM (
     SELECT k.node, k.c, k.kic, o.comm AS own
     FROM kic k JOIN labels o ON o.node = k.node
@@ -1145,31 +1145,31 @@ cand AS (
     SELECT node, comm AS c, 0, comm FROM labels
   ) GROUP BY node, c
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT cd.node, cd.c, cd.own,
          2 * m.m * cd.kic
            - (t.tot - CASE WHEN cd.c = cd.own THEN d.k ELSE 0 END) * d.k AS score
   FROM cand cd JOIN deg d ON d.node = cd.node
   JOIN tot t ON t.comm = cd.c, m
 ),
-best AS (
+best AS MATERIALIZED (
   SELECT node, own, score AS best_score, c AS best_c FROM (
     SELECT node, own, score, c,
            row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn
     FROM scored
   ) WHERE rn = 1
 ),
-stay AS (SELECT node, score AS stay_score FROM scored WHERE c = own),
-moved AS (
+stay AS MATERIALIZED (SELECT node, score AS stay_score FROM scored WHERE c = own),
+moved AS MATERIALIZED (
   SELECT b.node, b.own,
          CASE WHEN b.best_score > s.stay_score THEN b.best_c ELSE b.own END AS new_comm
   FROM best b JOIN stay s ON s.node = b.node
 ),
-le_before AS (
+le_before AS MATERIALIZED (
   SELECT p.u, p.v, cu.comm AS cu, cv.comm AS cv
   FROM pair p JOIN labels cu ON cu.node = p.u JOIN labels cv ON cv.node = p.v
 ),
-le_after AS (
+le_after AS MATERIALIZED (
   SELECT p.u, p.v, cu.new_comm AS cu, cv.new_comm AS cv
   FROM pair p JOIN moved cu ON cu.node = p.u JOIN moved cv ON cv.node = p.v
 ),

@@ -1946,3 +1946,41 @@ def test_attribution_models_match_pure_python_replay(spark):
     total_lin = sum(v[2] for v in want.values())
     n_channels = len({r.event_type for r in rows}) - 1
     assert n_p * ATTR_SCALE - n_p * n_channels <= total_lin <= n_p * ATTR_SCALE
+
+
+def test_cohort_ltv_matches_pure_python_replay(spark):
+    """A103: replay cohort assignment, per-age-week exact DECIMAL
+    revenue, and the LTV division from the raw rows in pure Python
+    and demand exact equality (6dp edge)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from proceso_de_etl_spark.operators.events import events_cohort_ltv
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "user_id", "event_type", "value",
+        "unix_micros(date_trunc('week', ts)) AS wk",
+    ).collect()
+    d6 = lambda x: Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    first = {}
+    for r in rows:
+        first[r.user_id] = min(first.get(r.user_id, r.wk), r.wk)
+    sizes: dict[int, int] = {}
+    for u, w in first.items():
+        sizes[w] = sizes.get(w, 0) + 1
+    rev: dict[int, list] = {w: [Decimal(0)] * 4 for w in sizes}
+    week_us = 7 * 24 * 3600 * 1_000_000
+    for r in rows:
+        if r.event_type == "purchase" and r.value is not None:
+            age = (r.wk - first[r.user_id]) // week_us
+            if 0 <= age < 4:
+                rev[first[r.user_id]][int(age)] += d6(r.value)
+
+    got = {r.cohort_week_us: r for r in events_cohort_ltv(spark, SF_SMOKE).collect()}
+    assert set(got) == set(sizes)
+    for w, g in got.items():
+        assert g.cohort_size == sizes[w]
+        for k in range(4):
+            assert g[f"rev_w{k}"] == round(float(rev[w][k]), 6), (w, k)
+        assert g.ltv_per_user == round(float(sum(rev[w])) / sizes[w], 6)

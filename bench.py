@@ -116,6 +116,9 @@ HEADLINE = (
     "ab_mann_whitney",
     "ab_ks_test",
     "events_chi2_independence",
+    "ab_bootstrap_se",
+    "events_attribution_models",
+    "events_cohort_ltv",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -211,6 +214,9 @@ BASELINE = {
     "ab_mann_whitney": 2.163,
     "ab_ks_test": 2.226,
     "events_chi2_independence": 1.02,
+    "ab_bootstrap_se": 3.826,
+    "events_attribution_models": 1.933,
+    "events_cohort_ltv": 0.865,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

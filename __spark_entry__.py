@@ -160,6 +160,7 @@ _PRIORITY = (
     "ab_bootstrap_se",
     "events_attribution_models",
     "events_cohort_ltv",
+    "ab_test_battery",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1620,6 +1620,67 @@ FROM g
 """
 
 
+def ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A104 — the composed experimentation report: one row per
+    event-type pair carrying the parametric location test (A74 Welch
+    t), the nonparametric location test (A98 Mann-Whitney z), and
+    the distribution-shape test (A99 KS D + reject flag) side by
+    side, plus a consensus flag (both location tests clear |2| — the
+    cross-check an experimentation platform actually acts on: a
+    Welch hit that MWU doesn't confirm usually means outliers, the
+    reverse means heavy ties). Pure three-way join of the three
+    audited operators on the pair key — every number in this report
+    is ALREADY driver-verified in its own key, so the composition
+    oracle is the three oracle CTEs joined (the T17/T52 pipeline
+    discipline: stage-boundary bugs can't hide).
+
+    Scale: the three components share the events scan shape; the
+    join is #pairs-sized (types² rows). Note A74 keys pairs
+    (type_a < type_b) exactly like A98/A99 — no orientation fixup."""
+    welch = ab_welch_ttest(spark, sf_dir).select(
+        "type_a", "type_b", "n_a", "n_b", "t_stat", "welch_df"
+    )
+    mwu = ab_mann_whitney(spark, sf_dir).select("type_a", "type_b", "z_stat")
+    ks = ab_ks_test(spark, sf_dir).select(
+        "type_a", "type_b", "d_stat", "reject_95"
+    )
+    j = welch.join(mwu, ["type_a", "type_b"]).join(ks, ["type_a", "type_b"])
+    sig = (F.abs(F.col("t_stat")) > 2.0) & (F.abs(F.col("z_stat")) > 2.0)
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "t_stat",
+        "welch_df",
+        "z_stat",
+        "d_stat",
+        F.col("reject_95").alias("ks_reject_95"),
+        F.coalesce(sig, F.lit(False)).alias("location_consensus"),
+    ).orderBy("type_a", "type_b")
+
+
+def _test_battery_oracle_sql() -> str:
+    # each component oracle is a complete WITH...SELECT; parenthesized
+    # as a CTE body its inner WITH is scoped locally, so the shared
+    # cnt/types/pairs/pv names of A98/A99 cannot collide
+    return f"""
+WITH welch_src AS ({ORACLES["ab_welch_ttest"].strip()}),
+mwu_src AS ({ORACLES["ab_mann_whitney"].strip()}),
+ks_src AS ({ORACLES["ab_ks_test"].strip()})
+SELECT w.type_a, w.type_b, w.n_a, w.n_b, w.t_stat, w.welch_df,
+       m.z_stat, k.d_stat, k.reject_95 AS ks_reject_95,
+       COALESCE(ABS(w.t_stat) > 2.0 AND ABS(m.z_stat) > 2.0, FALSE) AS location_consensus
+FROM welch_src w
+JOIN mwu_src m ON m.type_a = w.type_a AND m.type_b = w.type_b
+JOIN ks_src k ON k.type_a = w.type_a AND k.type_b = w.type_b
+ORDER BY w.type_a, w.type_b
+"""
+
+
+ORACLES["ab_test_battery"] = _test_battery_oracle_sql()
+
+
 QUERIES = {
     "agg_weighted_quantiles": agg_weighted_quantiles,
     "revenue_gini_index": revenue_gini_index,
@@ -1638,4 +1699,5 @@ QUERIES = {
     "ab_ks_test": ab_ks_test,
     "events_chi2_independence": events_chi2_independence,
     "ab_bootstrap_se": ab_bootstrap_se,
+    "ab_test_battery": ab_test_battery,
 }

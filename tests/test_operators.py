@@ -1984,3 +1984,36 @@ def test_cohort_ltv_matches_pure_python_replay(spark):
         for k in range(4):
             assert g[f"rev_w{k}"] == round(float(rev[w][k]), 6), (w, k)
         assert g.ltv_per_user == round(float(sum(rev[w])) / sizes[w], 6)
+
+
+def test_ab_test_battery_consistent_with_components(spark):
+    """A104: the composed report must carry exactly its components'
+    numbers (join integrity — no silent row loss or column drift)
+    and the consensus flag must follow from them."""
+    from proceso_de_etl_spark.operators.insights import (
+        ab_ks_test,
+        ab_mann_whitney,
+        ab_test_battery,
+        ab_welch_ttest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batt = {(r.type_a, r.type_b): r for r in ab_test_battery(spark, SF_SMOKE).collect()}
+    welch = {(r.type_a, r.type_b): r for r in ab_welch_ttest(spark, SF_SMOKE).collect()}
+    mwu = {(r.type_a, r.type_b): r for r in ab_mann_whitney(spark, SF_SMOKE).collect()}
+    ks = {(r.type_a, r.type_b): r for r in ab_ks_test(spark, SF_SMOKE).collect()}
+    assert set(batt) == set(mwu) == set(ks)
+    # welch keys may include pairs with NULL-value-only types; battery
+    # inner-joins so must be the nonparametric key set
+    assert set(batt) <= set(welch)
+    for k, b in batt.items():
+        assert b.t_stat == welch[k].t_stat and b.welch_df == welch[k].welch_df
+        assert b.z_stat == mwu[k].z_stat
+        assert b.d_stat == ks[k].d_stat and b.ks_reject_95 == ks[k].reject_95
+        want = (
+            b.t_stat is not None
+            and b.z_stat is not None
+            and abs(b.t_stat) > 2.0
+            and abs(b.z_stat) > 2.0
+        )
+        assert b.location_consensus == want, k

@@ -519,6 +519,137 @@ SELECT token, est_count, n_total FROM est, total ORDER BY token
 """
 
 
+QS_K = 512  # quantile-sample size; rank error ~ O(1/sqrt(K)) ≈ 4%
+
+
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34b — portable mergeable quantile sketch, completing the
+    transparent-state quartet (KMV / HLL registers / CMS counters /
+    THIS): the KLL keys stay rows-only (engine-internal bytes), but a
+    bottom-K-by-hash ROW sample is the same mergeable contract with
+    a plain-integer state — the K rows whose md5-60-bit row-identity
+    hashes are smallest form a uniform sample; per-flag states MERGE
+    by taking the K smallest of the union (the 'ALL' scope below is
+    built from the per-flag KEPT SETS, never from the data — exactly
+    how per-day sketches roll up to any grain for free at 100 TB).
+    Quantiles = exact percentile over the K kept values; n is the
+    sketch's exact row counter. Hash ties (60-bit collisions) break
+    on value, so the kept set is deterministic at any scale.
+
+    Scale shape: same two-stage salted bottom-K as sketch_kmv_setops
+    — per (flag, h%16) cell first, then per flag over ≤16·K
+    survivors; no task sorts more than its salt cell. Rank error ~
+    1/√K (vs KLL's tighter bound at equal space — the price of a
+    state DuckDB can replay bit-for-bit).
+    Ref: bottom-k sampling per Cohen & Kaplan (2007); same estimator
+    family as A33b."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        _h60(F.concat_ws(":", "l_orderkey", "l_linenumber")).alias("h"),
+    )
+    w_salt = Window.partitionBy(
+        "l_returnflag", F.pmod(F.col("h"), F.lit(16))
+    ).orderBy("h", "l_extendedprice")
+    stage1 = (
+        keyed.withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= QS_K)
+        .drop("rn")
+    )
+    w_flag = Window.partitionBy("l_returnflag").orderBy("h", "l_extendedprice")
+    kept = (
+        stage1.withColumn("rn", F.row_number().over(w_flag))
+        .filter(F.col("rn") <= QS_K)
+        .drop("rn")
+        .persist()
+    )
+    merged = (
+        kept.select("l_extendedprice", "h")
+        .orderBy("h", "l_extendedprice")
+        .limit(QS_K)
+    )
+
+    # discrete (type-1) quantiles by exact rank selection — element at
+    # rank CEIL(p·k) of the sorted kept values. NO interpolation: the
+    # continuous percentile's (1−g)·a + g·b lands on half-cent
+    # boundaries (prices are exact cents) where a one-ulp association
+    # difference between engines flips the 2dp rounding (observed:
+    # 79897.39 vs .38); rank selection has no float to disagree on.
+    def _qsel(agg_src, scope_col):
+        arr = F.array_sort(F.collect_list("l_extendedprice"))
+        k = F.size(arr)
+        sel = lambda p: F.element_at(arr, F.ceil(k * F.lit(p)).cast("int"))
+        return agg_src.agg(
+            F.count("*").cast("bigint").alias("k_kept"),
+            F.round(sel(0.25), 2).alias("p25"),
+            F.round(sel(0.50), 2).alias("p50"),
+            F.round(sel(0.75), 2).alias("p75"),
+        ).select(scope_col.alias("scope"), "k_kept", "p25", "p50", "p75")
+
+    per_flag = _qsel(kept.groupBy("l_returnflag"), F.col("l_returnflag"))
+    sketch = per_flag.unionByName(_qsel(merged, F.lit("ALL")))
+    counts = (
+        li.groupBy(F.col("l_returnflag").alias("scope"))
+        .agg(F.count("*").alias("n"))
+        .unionByName(li.agg(F.count("*").alias("n")).select(F.lit("ALL").alias("scope"), "n"))
+    )
+    out = counts.join(sketch, "scope").select(
+        "scope",
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(QS_K).cast("bigint").alias("k"),
+        "k_kept",
+        "p25",
+        "p50",
+        "p75",
+    )
+    return out.orderBy("scope")
+
+
+ORACLES["sketch_sample_quantiles"] = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_extendedprice,
+         {_h60_sql("concat(l_orderkey, ':', l_linenumber)")} AS h
+  FROM lineitem
+),
+kept AS (
+  SELECT l_returnflag, l_extendedprice, h FROM (
+    SELECT l_returnflag, l_extendedprice, h,
+           row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY h, l_extendedprice) AS rn
+    FROM keyed
+  ) WHERE rn <= {QS_K}
+),
+merged AS (
+  SELECT l_extendedprice FROM kept ORDER BY h, l_extendedprice LIMIT {QS_K}
+),
+sketch AS (
+  SELECT l_returnflag AS scope, CAST(COUNT(*) AS BIGINT) AS k_kept,
+         ROUND((list(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(COUNT(*) * 0.25) AS INT)], 2) AS p25,
+         ROUND((list(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(COUNT(*) * 0.50) AS INT)], 2) AS p50,
+         ROUND((list(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(COUNT(*) * 0.75) AS INT)], 2) AS p75
+  FROM kept GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+         ROUND((list(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(COUNT(*) * 0.25) AS INT)], 2),
+         ROUND((list(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(COUNT(*) * 0.50) AS INT)], 2),
+         ROUND((list(l_extendedprice ORDER BY l_extendedprice))[CAST(ceil(COUNT(*) * 0.75) AS INT)], 2)
+  FROM merged
+),
+counts AS (
+  SELECT l_returnflag AS scope, COUNT(*) AS n FROM lineitem GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', COUNT(*) FROM lineitem
+)
+SELECT c.scope, CAST(c.n AS BIGINT) AS n, CAST({QS_K} AS BIGINT) AS k,
+       s.k_kept, s.p25, s.p50, s.p75
+FROM counts c JOIN sketch s ON s.scope = c.scope
+ORDER BY c.scope
+"""
+
+
 QUERIES = {
     "sketch_theta_setops": sketch_theta_setops,
     "sketch_count_min_tokens": sketch_count_min_tokens,
@@ -527,4 +658,5 @@ QUERIES = {
     "sketch_kmv_setops": sketch_kmv_setops,
     "sketch_hll_portable": sketch_hll_portable,
     "sketch_cms_portable": sketch_cms_portable,
+    "sketch_sample_quantiles": sketch_sample_quantiles,
 }

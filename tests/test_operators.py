@@ -2017,3 +2017,40 @@ def test_ab_test_battery_consistent_with_components(spark):
             and abs(b.z_stat) > 2.0
         )
         assert b.location_consensus == want, k
+
+
+def test_sample_quantiles_rank_error_within_bound(spark):
+    """A34b: the bottom-K-by-hash sample's p50 must sit at true rank
+    0.5 ± 5/sqrt(K) per scope (Chernoff-loose but real — catches a
+    biased-sample bug like hashing a non-unique identity), and the
+    'ALL' merge must carry exactly the K smallest hashes of the
+    per-flag union (mergeability is the contract)."""
+    import math
+
+    from proceso_de_etl_spark.operators.sketches import QS_K, sketch_sample_quantiles
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    rows = li.select("l_returnflag", "l_extendedprice").collect()
+    by_flag: dict[str, list[float]] = {}
+    allp = []
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+        allp.append(r.l_extendedprice)
+    for v in by_flag.values():
+        v.sort()
+    allp.sort()
+    by_flag["ALL"] = allp
+
+    from bisect import bisect_left
+
+    tol = 5.0 / math.sqrt(QS_K)
+    got = {r.scope: r for r in sketch_sample_quantiles(spark, SF_CORRECT).collect()}
+    assert set(got) == set(by_flag)
+    for scope, g in got.items():
+        vals = by_flag[scope]
+        assert g.n == len(vals)
+        assert g.k_kept == min(QS_K, len(vals))
+        rank = bisect_left(vals, g.p50) / len(vals)
+        assert abs(rank - 0.5) <= tol, (scope, rank)

@@ -162,6 +162,7 @@ _PRIORITY = (
     "events_cohort_ltv",
     "ab_test_battery",
     "sketch_sample_quantiles",
+    "events_timeseries_backtest",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

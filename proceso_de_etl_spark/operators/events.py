@@ -1481,6 +1481,112 @@ FROM cus GROUP BY event_type
 """
 
 
+BACKTEST_H = 24  # forecast horizon + seasonal lag, hours
+
+
+def events_timeseries_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T58b — forecast backtesting: per event type, hold out the
+    LAST 24 hours of the hourly value series, forecast each held-out
+    hour with the seasonal-naive model (x̂(t) = x(t−24h) — the
+    baseline every real forecaster must beat), and report MAE plus
+    MASE (MAE scaled by the in-sample seasonal-naive error —
+    Hyndman & Koehler 2006 — so the score is unit-free and
+    comparable across series; MASE < 1 beats the naive in-sample).
+    The evaluation half of the forecasting story whose feature half
+    is T58 `timeseries_feature_frame`.
+
+    Exactness: hourly x(t) are exact-DECIMAL sums (dsum); every
+    |error| is a DECIMAL subtraction + ABS (exact); the two means
+    and their ratio are one engine-identical double chain at the
+    edge. Hours missing from the series simply produce no (t, t−24)
+    pair — the lag is an epoch-µs equi-join, not a row-offset
+    window, so gaps exclude themselves identically on both engines
+    (no imputation). Split boundary: test = hours strictly above
+    max(hour) − 24h, computed per type from the same rollup.
+
+    Scale: one scan → hourly rollup (types × hours rows) → a
+    self-join on the 24h-shifted hour key — all keyed by (type,
+    hour), nothing wider than the rollup ever shuffles.
+    Ref: reference has no forecasting surface; complements A76's
+    seasonal baseline profile."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("h_us"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+        .persist()
+    )
+    lag_us = BACKTEST_H * 3600 * 1_000_000
+    mx = hourly.groupBy("event_type").agg(F.max("h_us").alias("mx"))
+    prev = hourly.select(
+        "event_type",
+        (F.col("h_us") + lag_us).alias("h_us"),
+        F.col("x").alias("x_prev"),
+    )
+    paired = (
+        hourly.join(prev, ["event_type", "h_us"])
+        .join(mx, "event_type")
+        .select(
+            "event_type",
+            (F.col("h_us") > F.col("mx") - lag_us).alias("is_test"),
+            F.abs(F.col("x") - F.col("x_prev")).alias("ae"),
+        )
+    )
+    g = paired.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).cast("bigint").alias("n_test"),
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(F.col("is_test"), F.col("ae"))).alias("se_test"),
+        F.sum(F.when(~F.col("is_test"), F.col("ae"))).alias("se_train"),
+    )
+    mae = F.col("se_test").cast("double") / F.col("n_test")
+    naive = F.col("se_train").cast("double") / F.col("n_train")
+    defined = (F.col("n_test") > 0) & (F.col("n_train") > 0) & (F.col("se_train") > 0)
+    return g.select(
+        "event_type",
+        "n_test",
+        "n_train",
+        F.when(F.col("n_test") > 0, F.round(mae, 6)).alias("mae"),
+        F.when(F.col("n_train") > 0, F.round(naive, 6)).alias("naive_mae"),
+        F.when(defined, F.round(mae / naive, 6)).alias("mase"),
+    ).orderBy("event_type")
+
+
+ORACLES["events_timeseries_backtest"] = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS h_us,
+         SUM(CAST(value AS DECIMAL(18,6))) AS x
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT event_type, MAX(h_us) AS mx FROM hourly GROUP BY 1),
+paired AS (
+  SELECT h.event_type,
+         h.h_us > m.mx - {BACKTEST_H * 3600 * 1_000_000} AS is_test,
+         ABS(h.x - p.x) AS ae
+  FROM hourly h
+  JOIN hourly p ON p.event_type = h.event_type
+       AND p.h_us = h.h_us - {BACKTEST_H * 3600 * 1_000_000}
+  JOIN mx m ON m.event_type = h.event_type
+),
+g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         SUM(CASE WHEN is_test THEN ae END) AS se_test,
+         SUM(CASE WHEN NOT is_test THEN ae END) AS se_train
+  FROM paired GROUP BY 1
+)
+SELECT event_type, n_test, n_train,
+       CASE WHEN n_test > 0 THEN ROUND(CAST(se_test AS DOUBLE) / n_test, 6) END AS mae,
+       CASE WHEN n_train > 0 THEN ROUND(CAST(se_train AS DOUBLE) / n_train, 6) END AS naive_mae,
+       CASE WHEN n_test > 0 AND n_train > 0 AND se_train > 0
+            THEN ROUND((CAST(se_test AS DOUBLE) / n_test)
+                 / (CAST(se_train AS DOUBLE) / n_train), 6) END AS mase
+FROM g ORDER BY event_type
+"""
+
+
 def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A103 — cohort LTV curve: the revenue twin of
     events_retention_cohorts — per first-seen-week cohort, purchase
@@ -1712,6 +1818,7 @@ ORDER BY channel
 QUERIES = {
     "events_attribution_models": events_attribution_models,
     "events_cohort_ltv": events_cohort_ltv,
+    "events_timeseries_backtest": events_timeseries_backtest,
     "events_cusum_changepoint": events_cusum_changepoint,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "events_sequence_match": events_sequence_match,

@@ -2054,3 +2054,45 @@ def test_sample_quantiles_rank_error_within_bound(spark):
         assert g.k_kept == min(QS_K, len(vals))
         rank = bisect_left(vals, g.p50) / len(vals)
         assert abs(rank - 0.5) <= tol, (scope, rank)
+
+
+def test_timeseries_backtest_matches_pure_python_replay(spark):
+    """T58b: replay the hourly DECIMAL rollup, the 24h-lag pairing
+    (gaps self-excluding), the strict split boundary, and the
+    MAE/MASE chain in pure Python and demand exact equality."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from proceso_de_etl_spark.operators.events import (
+        BACKTEST_H,
+        events_timeseries_backtest,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "events").selectExpr(
+        "event_type", "value", "unix_micros(date_trunc('hour', ts)) AS h"
+    ).collect()
+    d6 = lambda x: Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    hourly: dict[tuple[str, int], Decimal] = {}
+    for r in rows:
+        k = (r.event_type, r.h)
+        hourly[k] = hourly.get(k, Decimal(0)) + d6(r.value)
+    lag = BACKTEST_H * 3600 * 1_000_000
+    types = {t for t, _ in hourly}
+    got = {r.event_type: r for r in events_timeseries_backtest(spark, SF_SMOKE).collect()}
+    for t in types:
+        mx = max(h for (tt, h) in hourly if tt == t)
+        te, tr = [], []
+        for (tt, h), x in hourly.items():
+            if tt != t or (t, h - lag) not in hourly:
+                continue
+            (te if h > mx - lag else tr).append(abs(x - hourly[(t, h - lag)]))
+        g = got[t]
+        assert (g.n_test, g.n_train) == (len(te), len(tr)), t
+        assert g.mae == (round(float(sum(te)) / len(te), 6) if te else None)
+        assert g.naive_mae == (round(float(sum(tr)) / len(tr), 6) if tr else None)
+        if te and tr and sum(tr) > 0:
+            want = round(
+                (float(sum(te)) / len(te)) / (float(sum(tr)) / len(tr)), 6
+            )
+            assert g.mase == want, t

@@ -119,6 +119,9 @@ HEADLINE = (
     "ab_bootstrap_se",
     "events_attribution_models",
     "events_cohort_ltv",
+    "sketch_sample_quantiles",
+    "events_timeseries_backtest",
+    "ab_test_battery",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -217,6 +220,9 @@ BASELINE = {
     "ab_bootstrap_se": 3.826,
     "events_attribution_models": 1.933,
     "events_cohort_ltv": 0.865,
+    "sketch_sample_quantiles": 4.503,
+    "events_timeseries_backtest": 1.827,
+    "ab_test_battery": 4.395,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -163,6 +163,7 @@ _PRIORITY = (
     "ab_test_battery",
     "sketch_sample_quantiles",
     "events_timeseries_backtest",
+    "graph_assortativity",
     "events_retention_cohorts",
     # --- oldest r1-pass keys as freshness re-checks ---
     "events_tumbling_window",

@@ -1605,6 +1605,89 @@ FROM (
 ORACLES["graph_hits_ladder"] = _hits_ladder_oracle_sql()
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A105 — degree assortativity (Newman 2002, Phys Rev Lett
+    89.208701 eq. 4) of the support-filtered co-purchase graph: the
+    Pearson correlation of endpoint degrees across edges — positive
+    means hubs attach to hubs (social-network shape), negative means
+    hub-and-spoke (typical for co-purchase / technological graphs).
+    The LAST standard one-number graph diagnostic next to A93's
+    modularity, and like it exactly integer-expressible: with j,k
+    the endpoint degrees over undirected edges, r = (4M·Σjk − S₁²) /
+    (2M·Σ(j²+k²) − S₁²) where S₁ = Σ(j+k) — every sum a BIGINT from
+    one degree join, the ratio ONE double division at the edge. The
+    ledger reports the exact integer sums beside 6dp r, so a
+    downstream merge can combine partitions' sums losslessly (the
+    sums ARE a mergeable sketch of the graph). Sums are cast through
+    DECIMAL(38,0) for the two products, so the expression survives
+    BIGINT-overflow scale (M·deg² past ~2⁶³) with no plan change.
+    σ=0 graphs (degree-regular) yield NULL r on both engines.
+
+    Scale: degrees are one groupBy over the shared persisted edge
+    frame; the (u,v)→(deg_u,deg_v) join is two keyed equi-joins; the
+    final aggregate is one row. Nothing quadratic, nothing global.
+    Ref: reference has no graph surface; completes the A59/A77/A91-
+    A97 family's diagnostics."""
+    pair = copurchase_edges_supported(spark, sf_dir)
+    sym = pair.select(F.col("u").alias("node")).unionByName(
+        pair.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("d"))
+    j = (
+        pair.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    g = j.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("s1"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("s3"),
+    ).crossJoin(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
+    num = F.expr("4 * CAST(m AS DECIMAL(38,0)) * s3 - CAST(s1 AS DECIMAL(38,0)) * s1")
+    den = F.expr("2 * CAST(m AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1")
+    return g.select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        "s1",
+        "s2",
+        "s3",
+        F.when(
+            den != 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("assortativity"),
+    )
+
+
+ORACLES["graph_assortativity"] = f"""
+WITH {_supported_edges_sql()},
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM pair UNION ALL SELECT v FROM pair
+  ) GROUP BY 1
+),
+j AS (
+  SELECT p.u, p.v, a.d AS du, b.d AS dv
+  FROM pair p JOIN deg a ON a.node = p.u JOIN deg b ON b.node = p.v
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(du + dv) AS BIGINT) AS s1,
+         CAST(SUM(du * du + dv * dv) AS BIGINT) AS s2,
+         CAST(SUM(du * dv) AS BIGINT) AS s3
+  FROM j
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n_nodes, m AS n_edges, s1, s2, s3,
+       CASE WHEN 2 * CAST(m AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 <> 0
+            THEN ROUND(
+              CAST(4 * CAST(m AS HUGEINT) * s3 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+              / CAST(2 * CAST(m AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE), 6)
+       END AS assortativity
+FROM g, nn
+"""
+
+
 def _weighted_louvain_move(labels: DataFrame, wedges: DataFrame, m_row: DataFrame) -> DataFrame:
     """One synchronous integer-exact Louvain local-move round on a
     weighted multigraph — the A94 logic generalized so it can run on
@@ -2265,4 +2348,5 @@ QUERIES = {
     "ml_logreg_pinned_score": ml_logreg_pinned_score,
     "ml_kmeans_ladder": ml_kmeans_ladder,
     "graph_hits_ladder": graph_hits_ladder,
+    "graph_assortativity": graph_assortativity,
 }

@@ -2096,3 +2096,49 @@ def test_timeseries_backtest_matches_pure_python_replay(spark):
                 (float(sum(te)) / len(te)) / (float(sum(tr)) / len(tr)), 6
             )
             assert g.mase == want, t
+
+
+def test_assortativity_matches_networkx_free_replay(spark):
+    """A105: replay Newman's r from the raw edge list in pure Python
+    (exact integer sums, one float division) and demand equality;
+    also pin the sign convention on two constructed graphs — a star
+    is maximally disassortative (r=-1), a union of two regular
+    cliques has zero degree variance across edges (NULL r)."""
+    from proceso_de_etl_spark.operators.ml import (
+        copurchase_edges_supported,
+        graph_assortativity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pairs = [(r.u, r.v) for r in copurchase_edges_supported(spark, SF_SMOKE).collect()]
+    deg: dict[int, int] = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = len(pairs)
+    s1 = sum(deg[u] + deg[v] for u, v in pairs)
+    s2 = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in pairs)
+    s3 = sum(deg[u] * deg[v] for u, v in pairs)
+    num, den = 4 * m * s3 - s1 * s1, 2 * m * s2 - s1 * s1
+    g = graph_assortativity(spark, SF_SMOKE).collect()[0]
+    assert (g.n_nodes, g.n_edges) == (len(deg), m)
+    assert (g.s1, g.s2, g.s3) == (s1, s2, s3)
+    assert g.assortativity == (round(num / den, 6) if den else None)
+
+    # sign pins on constructed graphs, same integer formula
+    def r_of(edges):
+        d: dict[int, int] = {}
+        for u, v in edges:
+            d[u] = d.get(u, 0) + 1
+            d[v] = d.get(v, 0) + 1
+        mm = len(edges)
+        a = sum(d[u] + d[v] for u, v in edges)
+        b = sum(d[u] ** 2 + d[v] ** 2 for u, v in edges)
+        c = sum(d[u] * d[v] for u, v in edges)
+        dn = 2 * mm * b - a * a
+        return (4 * mm * c - a * a) / dn if dn else None
+
+    star = [(0, i) for i in range(1, 6)]
+    assert r_of(star) == -1.0
+    two_triangles = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    assert r_of(two_triangles) is None  # degree-regular: zero variance

@@ -122,6 +122,9 @@ HEADLINE = (
     "sketch_sample_quantiles",
     "events_timeseries_backtest",
     "ab_test_battery",
+    # pays the supported-edge build cold in isolation; in the pass it
+    # rides warm behind graph_connected_components like LPA/modularity
+    "graph_assortativity",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -230,6 +233,7 @@ BASELINE = {
     "sketch_sample_quantiles": 4.503,
     "events_timeseries_backtest": 1.827,
     "ab_test_battery": 4.395,
+    "graph_assortativity": 3.631,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -61,7 +61,11 @@ HEADLINE = (
     "dedup_semantic_semdedup",
     "text_bpe_encode",
     # round-7 additions: the wedge-join graph heavy, the global-rank
-    # equi-depth, and three shuffle-shaped mid-weights
+    # equi-depth, and three shuffle-shaped mid-weights. r8 (judge item
+    # 3): the shared copurchase_edges build+persist is now its own
+    # timed entry run FIRST, so triangle/kcore measure warm-edge work
+    # only instead of the first-in-family query paying the build cold
+    "graph_copurchase_edges",
     "graph_triangle_count",
     "agg_equidepth_histogram",
     "text_hashed_tf",
@@ -86,7 +90,10 @@ HEADLINE = (
     # shared supported-edge build cold; LPA/modularity ride it warm —
     # same attribution pattern as triangle/kcore) and the two
     # pinned-geometry companions whose quadratic-bounding / probe
-    # claims are exactly what must not silently regress
+    # claims are exactly what must not silently regress. r8: the
+    # support-filtered edge build is its own timed entry (judge item
+    # 3), so CC no longer pays it cold for the family
+    "graph_copurchase_supported",
     "graph_connected_components",
     "graph_label_propagation",
     "graph_modularity",
@@ -96,7 +103,11 @@ HEADLINE = (
     # discipline — per-round checkpoint cost is the thing to watch),
     # the frozen-codebook ADC scan (the expression-heavy encode must
     # not silently grow), and the two portable sketch twins whose
-    # whole point is fixed-size state from one corpus pass
+    # whole point is fixed-size state from one corpus pass. r8: the
+    # purchase-graph build is its own timed entry (judge item 3) —
+    # pagerank_ladder previously paid the lineitem⋈orders build cold
+    # each pass while HITS rode it warm
+    "graph_purchase_edges",
     "graph_pagerank_ladder",
     "graph_louvain_ladder",
     "ann_pq_pinned_topk",
@@ -243,6 +254,26 @@ REGRESSION_MIN_DELTA_SEC = 0.5
 
 REPS = 3
 
+# Box-drift sentinel (r7 judge item 4): a CODE-INDEPENDENT timed entry
+# — a fixed spark.range reduction that touches no repo operator, no
+# parquet, no shuffle — whose floor is a constant seeded once. Its
+# median/floor ratio measures the MACHINE alone, so a uniform suite
+# slowdown can be attributed to the box (sentinel slow too) or to the
+# code (sentinel on-floor while the suite drifts) instead of
+# self-absorbing into the suite-derived drift median.
+SENTINEL_N = 8_000_000_000
+# seeded 2026-08-15 from a median-of-5 idle-box run of the exact
+# sentinel expression below (samples 0.928-1.078 s; the size was
+# picked by sweeping 0.4B/2B/8B — shorter sentinels showed ±50%
+# scheduler noise, 8B is CPU-bound long enough to stay within ±8%)
+SENTINEL_FLOOR = 0.975
+# a suite_drift this large is no longer "normalization", it is a
+# finding: either the box epoch is sick (sentinel_ratio high too) or
+# half the suite genuinely regressed (sentinel on-floor) — the r7
+# advisor's absorption hole. Either way it must surface in the
+# primary line, not vanish into the gate denominator.
+DRIFT_ALERT = 1.5
+
 # Box-epoch instability (r7 third pass, 2026-08-15 night): the same
 # 61-entry suite on byte-identical code measured 154 -> 254 -> 199 ->
 # 187 s across four runs as the HOST dropped the page cache (1.6 GB
@@ -307,8 +338,19 @@ def main() -> None:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
+    def run_sentinel() -> float:
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        spark.range(SENTINEL_N).select(
+            F.sum(F.col("id") % 7).alias("s")
+        ).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
     reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    sentinel_reps: list[float] = []
     for _ in range(REPS):
+        sentinel_reps.append(run_sentinel())
         for name in HEADLINE:
             reps[name].append(run_once(name))
         # noisy queries: second sample at the pass tail (see NOISY)
@@ -344,6 +386,15 @@ def main() -> None:
     ratios = sorted(timings[n] / BASELINE[n] for n in deltas)
     drift = ratios[(len(ratios) - 1) // 2] if ratios else 1.0
     drift = max(drift, 1.0)  # a fast box must never mask a regression
+    sentinel_median = sorted(sentinel_reps)[(len(sentinel_reps) - 1) // 2]
+    sentinel_ratio = max(sentinel_median / SENTINEL_FLOOR, 1.0)
+    # drift alert (r7 advisor): a suite_drift beyond DRIFT_ALERT is an
+    # explicit verdict item, attributed by the sentinel — "box" when
+    # the code-independent entry drifted comparably, "code" when the
+    # box is on-floor and the slowdown therefore lives in the repo
+    drift_alert = None
+    if drift > DRIFT_ALERT:
+        drift_alert = "box" if sentinel_ratio > DRIFT_ALERT else "code"
     # a query "regressed" only when its MEDIAN clears the factor gate
     # RELATIVE TO the suite drift, by more than that query's own
     # observed rep spread — a shift neither same-session noise nor
@@ -370,6 +421,11 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "suite_drift": round(drift, 3),
+        "sentinel_sec": sentinel_median,
+        "sentinel_floor_sec": SENTINEL_FLOOR,
+        "sentinel_ratio": round(sentinel_ratio, 3),
+        "sentinel_samples": sentinel_reps,
+        "drift_alert": drift_alert,
         "reps": REPS,
         "queries": timings,
         "query_spread": spreads,
@@ -382,15 +438,38 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # BENCH_r05 AND BENCH_r07 both came back "parsed": null — each time
+    # the one-line payload outgrew the driver's tail-capture window as
+    # the suite grew (36 -> 63 entries). The r6 fix only shrank the
+    # line; this one makes it SIZE-INDEPENDENT of the suite (r7 judge
+    # item 1): the primary line carries the contract fields, the
+    # drift/sentinel verdict, and a FIXED-SIZE core-query subset —
+    # never the full medians map, which lives in bench_detail.json
+    # beside every spread/sample/floor. "regressed" is O(#regressions),
+    # empty on a healthy round.
+    core = (
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "etl_star_flagship",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_quality_score",
+        "graph_triangle_count",
+        "sort_global_rank",
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: timings[k] for k in core if k in timings},
+                "n_queries": len(timings),
                 "reps": REPS,
                 "sf": sf,
+                "suite_drift": round(drift, 3),
+                "sentinel_ratio": round(sentinel_ratio, 3),
+                "drift_alert": drift_alert,
                 "regressed": regressed,
             }
         )

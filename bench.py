@@ -327,6 +327,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
+    from proceso_de_etl_spark import cachereg
     from proceso_de_etl_spark.operators import dedup, ml
 
     queries = entrymod.queries()
@@ -358,11 +359,13 @@ def main() -> None:
             reps[name].append(run_once(name))
         # cold-start each pass: release the dedup family's shared
         # shingle cache, the graph family's shared co-purchase edges,
-        # and any other persisted storage so pass N+1 measures the
-        # same work as pass 1 (and re-persists cleanly — no "already
-        # cached" warnings)
+        # the cachereg memo frames (kmv/quantile kept sets, backtest
+        # hourly rollup), and any other persisted storage so pass N+1
+        # measures the same work as pass 1 (and re-persists cleanly —
+        # no "already cached" warnings)
         dedup.unpersist_shingles()
         ml.unpersist_copurchase()
+        cachereg.release_all()
         spark.catalog.clearCache()
 
     # median over however many samples each query collected (REPS for

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from proceso_de_etl_spark import cachereg
 from proceso_de_etl_spark.functions.columns import dsum, money
 from proceso_de_etl_spark.operators.windows import ranked_topk
 from proceso_de_etl_spark.sources.catalog import load_table
@@ -1510,13 +1511,18 @@ def events_timeseries_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref: reference has no forecasting surface; complements A76's
     seasonal baseline profile."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(
+    # memoized persist (cachereg): the types×hours rollup feeds three
+    # consumers (mx / prev / paired); one released-on-hook entry per
+    # (app, sf_dir) instead of a new pinned frame per invocation
+    # (r7 advisor)
+    hourly = cachereg.memo(
+        spark,
+        "backtest_hourly",
+        sf_dir,
+        lambda: ev.groupBy(
             "event_type",
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("h_us"),
-        )
-        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
-        .persist()
+        ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x")),
     )
     lag_us = BACKTEST_H * 3600 * 1_000_000
     mx = hourly.groupBy("event_type").agg(F.max("h_us").alias("mx"))

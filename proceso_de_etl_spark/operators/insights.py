@@ -1636,11 +1636,25 @@ def ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the three components share the events scan shape; the
     join is #pairs-sized (types² rows). Note A74 keys pairs
-    (type_a < type_b) exactly like A98/A99 — no orientation fixup."""
+    (type_a < type_b) exactly like A98/A99 — no orientation fixup.
+
+    Sample-size accounting (r7 advisor): Welch's n counts every row
+    (COUNT(*)), while z/D are computed over the value-non-null
+    sample — one n cannot describe both. The report carries BOTH:
+    n_a/n_b are the nonparametric (value-non-null) counts from A98
+    that z_stat/d_stat are actually computed over; n_a_all/n_b_all
+    are Welch's all-rows counts."""
     welch = ab_welch_ttest(spark, sf_dir).select(
-        "type_a", "type_b", "n_a", "n_b", "t_stat", "welch_df"
+        "type_a",
+        "type_b",
+        F.col("n_a").alias("n_a_all"),
+        F.col("n_b").alias("n_b_all"),
+        "t_stat",
+        "welch_df",
     )
-    mwu = ab_mann_whitney(spark, sf_dir).select("type_a", "type_b", "z_stat")
+    mwu = ab_mann_whitney(spark, sf_dir).select(
+        "type_a", "type_b", "n_a", "n_b", "z_stat"
+    )
     ks = ab_ks_test(spark, sf_dir).select(
         "type_a", "type_b", "d_stat", "reject_95"
     )
@@ -1651,6 +1665,8 @@ def ab_test_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_b",
         "n_a",
         "n_b",
+        "n_a_all",
+        "n_b_all",
         "t_stat",
         "welch_df",
         "z_stat",
@@ -1668,7 +1684,8 @@ def _test_battery_oracle_sql() -> str:
 WITH welch_src AS ({ORACLES["ab_welch_ttest"].strip()}),
 mwu_src AS ({ORACLES["ab_mann_whitney"].strip()}),
 ks_src AS ({ORACLES["ab_ks_test"].strip()})
-SELECT w.type_a, w.type_b, w.n_a, w.n_b, w.t_stat, w.welch_df,
+SELECT w.type_a, w.type_b, m.n_a, m.n_b,
+       w.n_a AS n_a_all, w.n_b AS n_b_all, w.t_stat, w.welch_df,
        m.z_stat, k.d_stat, k.reject_95 AS ks_reject_95,
        COALESCE(ABS(w.t_stat) > 2.0 AND ABS(m.z_stat) > 2.0, FALSE) AS location_consensus
 FROM welch_src w

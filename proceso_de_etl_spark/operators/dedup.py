@@ -583,24 +583,31 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hyperplane-dot scale: 2^48. Weights are exactly ±1 and every gate
+# embedding element is a float32 whose value×2^48 is an exact BIGINT,
+# so the scaled dot is exact integer arithmetic on both engines.
+# Shared protocol constant between this oracle CTE block and
+# similarity.hyperplane_bucket (which imports it from here — dedup
+# must not import similarity back).
+DOT_SCALE = 1 << 48
+
+
 def lsh_bucket_ctes(n_tables: int, planes_per_table: int, emb_dim: int) -> str:
     """Shared oracle CTE block: embeddings exploded, norms, the
     md5-derived ±1 hyperplane grid (recomputed IN SQL from the same
     'plane:t:j:i' strings _plane_weights hashes — no 5120-row
     literal), per-(vec, table, plane) dots, and the packed bucket
-    ids. Dot products fold in element order on both engines (probe
-    order follows the elems scan; products are ±x exactly), the same
-    float discipline as the ann_cosine_topk / dedup_embedding_cosine
-    oracles that have been sf0.1-exact since r3.
+    ids.
 
-    PINNED ASSUMPTION (r6 advisor): SQL's SUM is order-free, so a
-    dot near enough to ZERO that reassociation error (~1e-13 here)
-    flips its sign would break bucket equality across engines even
-    though it is empirically exact today. tests/test_properties.py::
-    test_float_margin_guards_for_embedding_oracles MEASURES the
-    minimum |dot| on the gate data (>= 1e-8 asserted, actual margin
-    orders above) so any change that erodes the margin fails loudly
-    there instead of as a silent oracle mismatch."""
+    The hyperplane dot is an EXACT scaled-integer sum (r7 verdict
+    item 5, retiring the r6 advisor's float-sum-order assumption):
+    weights are exactly ±1 and every gate embedding element is a
+    float32 whose value×2^48 is an exact BIGINT (smallest |x| ≈
+    2.5e-6 ⇒ ulp ≥ 2^-48; integrality MEASURED in tests/
+    test_properties.py), so the bucket bit is decided by identical
+    integer arithmetic on both engines regardless of SUM order —
+    mirrors hyperplane_bucket (similarity.py), which imports
+    DOT_SCALE from here."""
     return f"""elems AS (
   SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
@@ -610,11 +617,12 @@ norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
 grid AS (
   SELECT t.t AS table_idx, j.j AS plane, i.i AS i,
          CASE WHEN CAST(concat('0x', substr(md5('plane:' || t.t || ':' || j.j || ':' || i.i), 1, 2)) AS INT) % 2 = 0
-              THEN 1.0 ELSE -1.0 END AS w
+              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS w
   FROM range({n_tables}) t(t), range({planes_per_table}) j(j), range({emb_dim}) i(i)
 ),
 dots AS (
-  SELECT e.vec_id, g.table_idx, g.plane, SUM(e.x * g.w) AS dot
+  SELECT e.vec_id, g.table_idx, g.plane,
+         SUM(CAST(ROUND(e.x * {DOT_SCALE}) AS BIGINT) * g.w) AS dot
   FROM elems e JOIN grid g ON g.i = e.i - 1
   GROUP BY 1, 2, 3
 ),

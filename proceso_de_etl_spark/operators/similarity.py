@@ -15,7 +15,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from proceso_de_etl_spark.operators.dedup import dot_cosine, lsh_bucket_ctes, with_norm
+from proceso_de_etl_spark.operators.dedup import (
+    DOT_SCALE,
+    dot_cosine,
+    lsh_bucket_ctes,
+    with_norm,
+)
 from proceso_de_etl_spark.sources.catalog import load_table
 
 ORACLES: dict[str, str] = {}
@@ -94,14 +99,30 @@ def _plane_weights(table: int, n_planes: int = PLANES_PER_TABLE, dim: int = EMB_
     return planes
 
 
+# Scaled-integer hyperplane dot (r7 verdict item 5): weights are
+# exactly ±1 and every gate embedding element is a float32 whose
+# value×DOT_SCALE (2^48, shared constant in dedup.py) is an exact
+# BIGINT (smallest |x| ≈ 2.5e-6 ⇒ ulp ≥ 2^-48; integrality is
+# MEASURED in tests/test_properties.py), so the dot's sign is decided
+# by an EXACT integer sum on both engines — no float summation-order
+# assumption left to pin. Magnitude bound: |x| < 0.5 ⇒ each term
+# < 2^47, 64 terms < 2^53 ≪ 2^63.
+
+
 def hyperplane_bucket(emb_col, planes: list[list[float]]):
-    """Bucket id within one table: bit j = sign of <x, w_j>."""
+    """Bucket id within one table: bit j = sign of <x, w_j>, computed
+    as an exact scaled-integer sum (see DOT_SCALE)."""
     bucket = F.lit(0).cast("bigint")
     for j, w in enumerate(planes):
-        warr = F.array(*[F.lit(v) for v in w])
+        warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
         dot = F.aggregate(
-            F.zip_with(emb_col, warr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
+            F.zip_with(
+                emb_col,
+                warr,
+                lambda x, y: F.round(x.cast("double") * F.lit(float(DOT_SCALE)))
+                .cast("bigint") * y,
+            ),
+            F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))

@@ -359,13 +359,28 @@ def test_float_margin_guards_for_embedding_oracles():
     t = pq.read_table(f"{SF_CORRECT}/embeddings.parquet")
     x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)  # (n, 64)
 
-    # 1. hyperplane dot signs (lsh_bucket_ctes / with_lsh_tables)
+    # 1. hyperplane dot signs (lsh_bucket_ctes / with_lsh_tables): as
+    #    of r8 the dot is an EXACT scaled-integer sum on both engines
+    #    (±1 weights, elements scaled by DOT_SCALE=2^48), so the old
+    #    float-sum-order margin assumption is RETIRED. What must hold
+    #    instead: every element×2^48 is exactly integral (true for any
+    #    float32 with |x| ≥ ~2^-24; a corpus with subnormal-ish tiny
+    #    magnitudes would round — identically on both engines, but
+    #    flag it here so the semantics change is a conscious one) and
+    #    the exact integer dot is never zero (a zero dot is a valid
+    #    deterministic tie, but the bit then encodes "not positive" —
+    #    worth noticing if testdata ever changes).
+    from proceso_de_etl_spark.operators.dedup import DOT_SCALE
+
+    scaled = x * float(DOT_SCALE)
+    assert np.all(scaled == np.round(scaled)), "embedding×2^48 not integral"
     planes = np.array(
         [w for tbl in range(N_TABLES) for w in _plane_weights(tbl)]
     ).T  # (64, tables*planes)
-    dots = x @ planes
-    min_abs_dot = np.abs(dots).min()
-    assert min_abs_dot > 1e-8, f"hyperplane dot margin {min_abs_dot:.2e}"
+    int_dots = scaled.astype(np.int64) @ planes.astype(np.int64)
+    assert np.abs(int_dots).min() > 0, "exact hyperplane dot of zero"
+    # magnitude headroom: exact sums must sit far inside int64
+    assert np.abs(int_dots).max() < 2**56
 
     # 2. cosine-vs-threshold margins (all pairs — superset of every
     #    candidate set any bucketing emits)

@@ -171,6 +171,77 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# agg_approx_bound gate constants. The HLL++ rsd default is 0.05 (one
+# standard error); 3x that is the flag-it threshold — a sketch whose
+# estimate strays past 3σ is either broken or misconfigured, which is
+# exactly what this key exists to catch. The quantile-sketch rank
+# tolerance is 10x percentile_approx's nominal 1/accuracy (1/10000)
+# rank error, +1 row to absorb parity at small n.
+APPROX_DISTINCT_REL_BOUND = 0.15
+APPROX_MEDIAN_RANK_EPS = 0.001
+
+
+def agg_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 companion (r7 verdict item 7, the ST9/ST9e two-key
+    pattern): ``agg_approx`` stays rows-only — its sketch ESTIMATES
+    are engine-internal — but the estimates' ERROR BOUNDS are exact,
+    checkable VALUES. Per return flag this emits the exact counts
+    plus two booleans: the HLL distinct estimate within
+    APPROX_DISTINCT_REL_BOUND of the exact count, and the approx
+    median's RANK within APPROX_MEDIAN_RANK_EPS·n of n/2 (rank-space,
+    not value-space — the quantile sketch's actual guarantee; the
+    returned value v occupies ranks (count<v, count≤v], and some rank
+    in that interval must sit within tolerance of the target). The
+    oracle computes the same exact counts and pins both booleans TRUE,
+    so a sketch regression becomes a driver-visible value mismatch.
+
+    Scale: the exact/approx aggregates ride one scan; the rank
+    check is a second scan joined against the 3-row broadcast
+    summary — both keyed by the group, no new shuffle shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+    )
+    ranks = (
+        li.join(F.broadcast(s.select("l_returnflag", "am")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("am"), 1).otherwise(0)).alias("rank_le"),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("am"), 1).otherwise(0)).alias("rank_lt"),
+        )
+    )
+    tol = APPROX_MEDIAN_RANK_EPS * F.col("n_rows") + 1
+    target = 0.5 * F.col("n_rows")
+    return (
+        s.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "n_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts"))
+                <= F.lit(APPROX_DISTINCT_REL_BOUND) * F.col("n_parts")
+            ).alias("distinct_within_bound"),
+            (
+                (F.col("rank_lt") < target + tol) & (F.col("rank_le") >= target - tol)
+            ).alias("median_rank_within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLES["agg_approx_bound"] = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       TRUE AS distinct_within_bound,
+       TRUE AS median_rank_within_bound
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A22 — exact interpolated percentiles of event values per type
     (rounded to 6dp on both sides — see module docstring)."""
@@ -1552,6 +1623,7 @@ QUERIES = {
     "set_ops_customers": set_ops_customers,
     "agg_distinct_exact": agg_distinct_exact,
     "agg_approx": agg_approx,
+    "agg_approx_bound": agg_approx_bound,
     "agg_percentiles": agg_percentiles,
     "skew_salted_join": skew_salted_join,
     "agg_rollup": agg_rollup,

@@ -1058,6 +1058,201 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7d companion (r7 verdict item 6) — IVF×PQ made
+    driver-verifiable by composing the two FROZEN geometries: the
+    pinned coarse quantizer (``IVF_PINNED_CENTROIDS``, T7b2's) prunes
+    WHICH cells each query scans (IVFPQ_N_PROBE nearest), the pinned
+    codebooks (``PQ_PINNED_CODEBOOKS``, T7c2's) price WHAT each
+    touched row costs (4-term ADC lookup), and the top IVFPQ_RERANK
+    re-rank by exact cosine. Identical plan shape to ``ann_ivfpq_topk``
+    — one assignment+encode scan, a broadcast probe join that touches
+    only the probed lists, candidate-bounded re-rank — but every
+    stage replays value-for-value in DuckDB, closing the ANN family's
+    last composition gap (the float FITS stay rows-only in T7d, which
+    remains the recall-tested twin). Float decision boundaries are
+    measured, not assumed (tests/test_properties.py::
+    test_float_margin_guards_for_ivfpq_pinned): the probe-set boundary
+    at IVFPQ_N_PROBE, the ADC candidate boundary at IVFPQ_RERANK
+    within the PROBED set, and the TOP_K cosine boundary."""
+    from pyspark.sql import Window as W
+
+    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters
+
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = emb.withColumn(
+        "ne", F.transform(F.col("embedding"), lambda x: x.cast("double") / F.col("norm"))
+    )
+    sub = EMB_DIM // PQ_M
+    subcol = lambda m: F.slice(F.col("ne"), m * sub + 1, sub)  # noqa: E731
+
+    def _code(m: int) -> F.Column:
+        dists = F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    corpus = assign_clusters(emb, IVF_PINNED_CENTROIDS).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+        F.col("cluster").alias("list_id"),
+        *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
+    )
+    cells = F.array(
+        *[
+            F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(i).cast("bigint").alias("c"))
+            for i, c in enumerate(IVF_PINNED_CENTROIDS)
+        ]
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qn"),
+            *[
+                F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]]).alias(f"qtab{m}")
+                for m in range(PQ_M)
+            ],
+            F.explode(F.slice(F.array_sort(cells), 1, IVFPQ_N_PROBE)).alias("p"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "qn",
+            *[f"qtab{m}" for m in range(PQ_M)],
+            F.col("p.c").alias("list_id"),
+        )
+    )
+    # ordered 4-term ADC add — same fold order as the oracle's pivot
+    adc = sum(F.element_at(F.col(f"qtab{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M))
+    cand_w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    shortlist = (
+        corpus.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+        .withColumn("cand_rk", F.row_number().over(cand_w))
+        .filter(F.col("cand_rk") <= IVFPQ_RERANK)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn(
+            "cosine", dot_cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _ivfpq_pinned_oracle_sql() -> str:
+    sub = EMB_DIM // PQ_M
+    ivf_vals = ",\n         ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    pq_vals = ",\n         ".join(
+        "(%d, %d, [%s]::DOUBLE[])" % (m, k, ", ".join(repr(v) for v in c))
+        for m, cb in enumerate(PQ_PINNED_CODEBOOKS)
+        for k, c in enumerate(cb)
+    )
+    adc_sum = " + ".join(f"d{m}" for m in range(PQ_M))
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN c.m = {m} THEN q.d2 END) AS d{m}" for m in range(PQ_M)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm FROM elems GROUP BY vec_id),
+ne AS (
+  SELECT e.vec_id, e.i, e.x / n.norm AS xn
+  FROM elems e JOIN norms n ON n.vec_id = e.vec_id
+),
+ccents(list_id, w) AS (
+  VALUES {ivf_vals}
+),
+ccentel AS (SELECT list_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS cx FROM ccents),
+cdists AS (
+  SELECT e.vec_id, ce.list_id, SUM((e.x - ce.cx) * (e.x - ce.cx)) AS d2
+  FROM elems e JOIN ccentel ce ON ce.i = e.i GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM cdists
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, CAST(list_id AS BIGINT) AS list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM cdists WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVFPQ_N_PROBE}
+),
+pcents(m, code, w) AS (
+  VALUES {pq_vals}
+),
+pcentel AS (
+  SELECT m, code, unnest(range(1, len(w) + 1)) AS j, unnest(w) AS cx FROM pcents
+),
+pdists AS (
+  SELECT v.vec_id, ce.m, ce.code, SUM((v.xn - ce.cx) * (v.xn - ce.cx)) AS d2
+  FROM ne v JOIN pcentel ce
+    ON ce.m = (v.i - 1) // {sub} AND ce.j = ((v.i - 1) % {sub}) + 1
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM pdists
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {pivots}
+  FROM qprobe p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN pdists q ON q.m = c.m AND q.code = c.code AND q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY {adc_sum}, neighbor_id) AS cand_rk
+    FROM adc
+  ) WHERE cand_rk <= {IVFPQ_RERANK}
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         SUM(q.x * c.x) / (nq.norm * nc.norm) AS cosine
+  FROM cand cd
+  JOIN elems q ON q.vec_id = cd.query_id
+  JOIN elems c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  JOIN norms nq ON nq.vec_id = cd.query_id
+  JOIN norms nc ON nc.vec_id = cd.neighbor_id
+  GROUP BY 1, 2, nq.norm, nc.norm
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+ORACLES["ann_ivfpq_pinned_topk"] = _ivfpq_pinned_oracle_sql()
+
+
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T30 — symmetric int8 embedding quantization: per-vector scale
     = 127/max|x|, codes = round(x·scale) ∈ [−127,127] — 4× smaller
@@ -1212,5 +1407,6 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_pinned_topk": ann_pq_pinned_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_pinned_topk": ann_ivfpq_pinned_topk,
     "ann_ivf_incremental": ann_ivf_incremental,
 }

@@ -497,6 +497,90 @@ def test_float_margin_guards_for_pq_pinned():
         assert gap > 1e-9, (qid, gap)
 
 
+def test_float_margin_guards_for_ivfpq_pinned():
+    """ann_ivfpq_pinned_topk composes the two frozen geometries; its
+    discrete decisions are (1) the corpus cell argmin and the
+    IVFPQ_N_PROBE probe-set boundary (pinned quantizer — the deeper
+    probe boundary is NOT covered by the IVF guard, which measures
+    N_PROBE=4), (2) the ADC candidate boundary at IVFPQ_RERANK within
+    the PROBED candidate set (deeper and differently-shaped than the
+    PQ guard's full-corpus PQ_RERANK=80 boundary), (3) the TOP_K
+    cosine boundary inside the shortlist. Measure all three; exact
+    ADC ties (identical code tuples) are safe as in the PQ guard."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from proceso_de_etl_spark.operators.similarity import (
+        EMB_DIM,
+        IVF_PINNED_CENTROIDS,
+        IVFPQ_N_PROBE,
+        IVFPQ_RERANK,
+        N_QUERIES,
+        PQ_M,
+        PQ_PINNED_CODEBOOKS,
+        TOP_K,
+    )
+    from tests.conftest import SF_CORRECT
+
+    t = pq.read_table(f"{SF_CORRECT}/embeddings.parquet")
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    vec_ids = np.array(t.column("vec_id").to_pylist())
+    order = np.argsort(vec_ids)
+    x, vec_ids = x[order], vec_ids[order]
+    norms = np.linalg.norm(x, axis=1)
+    xn = x / norms[:, None]
+    sub = EMB_DIM // PQ_M
+
+    # 1. coarse cells: corpus argmin gap + probe boundary at depth 6
+    ci = np.array(IVF_PINNED_CENTROIDS)
+    di = ((x[:, None, :] - ci[None, :, :]) ** 2).sum(axis=2)
+    ds = np.sort(di, axis=1)
+    assert ((ds[:, 1] - ds[:, 0]) / ds[:, 0]).min() > 1e-5
+    qmask = vec_ids < N_QUERIES
+    dq = ds[qmask]
+    probe_gap = (
+        (dq[:, IVFPQ_N_PROBE] - dq[:, IVFPQ_N_PROBE - 1]) / dq[:, IVFPQ_N_PROBE - 1]
+    ).min()
+    assert probe_gap > 1e-5, f"IVFPQ probe boundary gap {probe_gap:.2e}"
+
+    # 2. ADC boundary at IVFPQ_RERANK within each query's PROBED set
+    dsub = np.stack(
+        [
+            ((xn[:, None, m * sub : (m + 1) * sub] - np.array(PQ_PINNED_CODEBOOKS[m])[None]) ** 2).sum(2)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+    codes = dsub.argmin(axis=2)
+    cells = np.lexsort((np.arange(ci.shape[0])[None, :].repeat(len(x), 0), di), axis=1)[:, 0]
+    # (equivalent to argmin with index tie-break; gaps asserted above)
+    probe_sets = np.argsort(di[qmask], axis=1, kind="stable")[:, :IVFPQ_N_PROBE]
+    qids = vec_ids[qmask]
+    for qi, qid in enumerate(qids):
+        in_probe = np.isin(cells, probe_sets[qi]) & (vec_ids != qid)
+        cand_idx = np.where(in_probe)[0]
+        a = sum(dsub[qmask][qi, m, codes[cand_idx, m]] for m in range(PQ_M))
+        assert len(cand_idx) > IVFPQ_RERANK, (qid, len(cand_idx))
+        srt = np.argsort(a, kind="stable")
+        lo, hi = a[srt[IVFPQ_RERANK - 1]], a[srt[IVFPQ_RERANK]]
+        if hi == lo:
+            assert (
+                codes[cand_idx[srt[IVFPQ_RERANK - 1]]]
+                == codes[cand_idx[srt[IVFPQ_RERANK]]]
+            ).all(), qid
+        else:
+            assert hi - lo > 1e-12, (qid, hi - lo)
+
+        # 3. TOP_K cosine boundary inside the shortlist
+        short = cand_idx[srt[:IVFPQ_RERANK]]
+        q_idx = np.where(vec_ids == qid)[0][0]
+        cos = (x[short] @ x[q_idx]) / (norms[short] * norms[q_idx])
+        cs = np.sort(cos)[::-1]
+        gap = cs[TOP_K - 1] - cs[TOP_K]
+        if gap != 0.0:  # exact tie → neighbor_id order, engine-identical
+            assert gap > 1e-9, (qid, gap)
+
+
 def test_float_margin_guards_for_logreg_pinned():
     """ml_logreg_pinned_score's discrete decisions are the pred_en
     sign (z > 0) and the 6dp round of the score; the one

@@ -73,79 +73,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. After the r6 gate
-# (50/50 pass, zero no_oracle slots), the remaining backlog is exactly
-# the r6 verdict's item 1+2 list: 27 oracle-paired keys with NO driver
-# row yet, 10 keys whose latest driver row is a stale r3-r5 `no_oracle`
-# but which NOW ship value oracles (re-gating flips them to pass), and
-# 8 never-gated keys that legitimately ship no oracle (rows-only by
-# design). 27+10 = 37 backlog slots; the next 6 gate slots go to keys
-# added THIS round so they earn a driver row immediately, then the oldest
-# r1-pass keys as freshness re-checks (the r6 verdict's fill choice —
-# NOT the 8 never-gated rows-only keys, which would burn pass slots on
-# no_oracle rows; they sit just below the cap). Tail: r3 rows, then
-# the r4-r6 passes (all re-verified locally by pytest).
+# whatever keys most need a FRESH driver row. After the r7 gate
+# (50/50 pass — the full r6-verdict rotation), the backlog is exactly
+# the r7 verdict's item 2: the 18 oracle-paired keys with no driver
+# row yet (all 18 verified against the same oracle by the r7 judge;
+# the ledger should show them green from a DRIVER run). They lead.
+# Next, the 5 keys added THIS round (new keys earn a driver row
+# immediately; note ab_test_battery in group 1 also changed schema
+# this round — n_a/n_b are now the nonparametric counts — so its
+# fresh row gates the NEW shape). The rest of the 50 goes to
+# freshness re-checks of the 31 keys whose latest driver row is r1
+# (verdict item 8: "no green key older than r4"); the 4 that miss
+# the cap head the r9 queue.
 _PRIORITY = (
-    # --- 1. never-gated, oracle-paired (27 keys — r6 overflow) ---
-    "agg_argmax_no_window",
-    "recursive_cte_closure",
-    "sort_global_rank",
-    "agg_mode_per_group",
-    "decimal_semantics_matrix",
-    "null_ordering_matrix",
-    "lateral_join_topn",
-    "string_function_matrix",
-    "window_function_matrix",
-    "events_time_weighted_avg",
-    "events_anomaly_zscore",
-    "events_funnel_conversion",
-    "json_function_matrix",
-    "asof_direction_matrix",
-    "timeseries_feature_frame",
-    "events_variant_extract",
-    "q4_order_priority_v2",
-    "q17_small_qty_revenue_v2",
-    "q12_priority_classes_v2",
-    "q19_disjunctive_filter_v2",
-    "q9_product_profit_v2",
-    "q10_returned_items_v2",
-    "q18_large_orders_v2",
-    "events_cusum_changepoint",
-    "stream_cusum_monitor",
-    "multimodal_image_resize",
-    "multimodal_audio_energy",
-    # --- 2. stale r3-r5 `no_oracle` rows whose keys NOW ship value
-    #     oracles: a fresh driver row converts no_oracle → pass ---
-    "dedup_minhash_lsh",
-    "multimodal_scene_cuts",
-    "multimodal_phash_dedup",
-    "graph_kcore",
-    "dedup_simhash",
-    "dedup_incremental_minhash",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "ann_lsh_bucketed",
-    "dedup_embedding_lsh_pairs",
-    # --- 3. new in r7, oracle-paired (first driver row now) ---
-    "semdedup_pairs",
-    "stream_late_data_exact",
-    "stream_distinct_exact",
-    "graph_connected_components",
-    "graph_label_propagation",
-    "ann_ivf_pinned_topk",
-    # --- 4. oracle-paired keys born later in r7 (first driver row
-    #     now; a key with NO row outranks a freshness re-check of a
-    #     passing one, so these took the fill slots the r6 verdict
-    #     earmarked for r1 re-checks) ---
-    "graph_modularity",
-    "graph_louvain_move",
-    "graph_coarsen",
-    "etl_atomic_write",
-    "sketch_kmv_setops",
-    "sketch_hll_portable",
-    "sketch_cms_portable",
-    # ---- 50-row gate cap lands here (37 backlog + 6 new + 7 late-r7;
-    #      the rows below are the front of the r8 gate queue) ----
+    # --- 1. oracle-paired, judge-verified r7, no driver row yet ---
     "ann_pq_pinned_topk",
     "graph_pagerank_ladder",
     "graph_link_prediction",
@@ -164,8 +105,15 @@ _PRIORITY = (
     "sketch_sample_quantiles",
     "events_timeseries_backtest",
     "graph_assortativity",
-    "events_retention_cohorts",
-    # --- oldest r1-pass keys as freshness re-checks ---
+    # --- 2. new in r8, oracle-paired (first driver row now) ---
+    "ann_ivfpq_pinned_topk",
+    "agg_approx_bound",
+    "graph_copurchase_edges",
+    "graph_copurchase_supported",
+    "graph_purchase_edges",
+    # --- 3. freshness re-checks: every key whose latest driver row
+    #     is r1 (31 keys; the last 4 overflow the 50-row cap and
+    #     lead the r9 queue) ---
     "events_tumbling_window",
     "events_funnel",
     "events_asof_join",
@@ -173,10 +121,35 @@ _PRIORITY = (
     "events_json_extract",
     "events_rolling_window",
     "events_value_band_join",
-    # --- 5. never-gated, no oracle by design (cross-engine
+    "events_sessionize",
+    "events_retention_cohorts",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_rank_ntile",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "scalar_function_matrix",
+    "array_function_matrix",
+    "null_semantics_matrix",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q16_parts_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q21_waiting_supplier",
+    # ---- 50-row gate cap lands here (18 + 5 + 27) ----
+    "q22_global_sales",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    # --- 4. never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable
-    #     slot per the r6 verdict's fill choice ---
+    #     slot (the r6 verdict's fill choice, still right) ---
     "dedup_semantic_semdedup",
     "ann_ivfpq_topk",
     "ann_ivf_incremental",
@@ -199,14 +172,11 @@ _PRIORITY = (
     "set_ops_customers",
     "agg_distinct_exact",
     "agg_percentiles",
-    # --- tail: r4/r5-passed keys whose code is untouched since; they
-    #     keep their driver signal and pytest re-verifies locally ---
+    # --- tail: r4-r7-passed keys keep their driver signal; pytest
+    #     re-verifies all 280 oracles locally every round ---
     "sample_weighted_aes",
     "text_vocab_topk",
     "text_bigram_pairs",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
 )
 
 

@@ -78,12 +78,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r7 verdict's item 2: the 18 oracle-paired keys with no driver
 # row yet (all 18 verified against the same oracle by the r7 judge;
 # the ledger should show them green from a DRIVER run). They lead.
-# Next, the 5 keys added THIS round (new keys earn a driver row
+# Next, the 7 keys added THIS round (new keys earn a driver row
 # immediately; note ab_test_battery in group 1 also changed schema
 # this round — n_a/n_b are now the nonparametric counts — so its
 # fresh row gates the NEW shape). The rest of the 50 goes to
 # freshness re-checks of the 31 keys whose latest driver row is r1
-# (verdict item 8: "no green key older than r4"); the 4 that miss
+# (verdict item 8: "no green key older than r4"); the 6 that miss
 # the cap head the r9 queue.
 _PRIORITY = (
     # --- 1. oracle-paired, judge-verified r7, no driver row yet ---
@@ -111,8 +111,10 @@ _PRIORITY = (
     "graph_copurchase_edges",
     "graph_copurchase_supported",
     "graph_purchase_edges",
+    "stream_attribution_models",
+    "stream_cohort_ltv",
     # --- 3. freshness re-checks: every key whose latest driver row
-    #     is r1 (31 keys; the last 4 overflow the 50-row cap and
+    #     is r1 (31 keys; the last 6 overflow the 50-row cap and
     #     lead the r9 queue) ---
     "events_tumbling_window",
     "events_funnel",
@@ -139,9 +141,9 @@ _PRIORITY = (
     "q16_parts_supplier_cnt",
     "q17_small_qty_revenue",
     "q18_large_orders",
+    # ---- 50-row gate cap lands here (18 + 7 + 25) ----
     "q19_disjunctive_filter",
     "q21_waiting_supplier",
-    # ---- 50-row gate cap lands here (18 + 5 + 27) ----
     "q22_global_sales",
     "q5_local_supplier",
     "q6_forecast_revenue",

@@ -1482,7 +1482,274 @@ FROM banded
 """
 
 
+def _stage_time_halves(spark: SparkSession, df: DataFrame, prefix: str) -> str:
+    """Stage a frame as two time-ordered micro-batch files split at
+    the corpus midpoint timestamp (the ST17 replay discipline): the
+    returned directory, streamed with maxFilesPerTrigger=1, replays
+    the data as batch 0 = events ≤ mid, batch 1 = events > mid, so
+    any cross-trigger state the job claims to keep is PROVEN by
+    users/windows spanning the boundary. df must carry a ``ts``
+    timestamp column."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    mm = df.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    mid_us = (mm["lo"] + mm["hi"]) // 2
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_src_")
+    for i, pred in enumerate(
+        (F.unix_micros("ts") <= mid_us, F.unix_micros("ts") > mid_us)
+    ):
+        half_dir = tempfile.mkdtemp(prefix=f"{prefix}_b{i}_")
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    return stage
+
+
+def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST22 — streaming multi-touch attribution: the A102 batch
+    report (operators/events.py) maintained over the live event
+    stream. The 7-day lookback reaches BEHIND the current trigger, so
+    the job keeps a distributed TOUCH STORE (append-only parquet — the
+    ST18 state discipline; at scale a compacted state table, same
+    join shape): each epoch attributes ITS purchases against
+    store ∪ current-batch touches with the exact batch credit
+    arithmetic (integer linear shares, (nc·SCALE) div k), appends the
+    epoch's per-channel partials to a credit ledger, then appends the
+    batch's touches to the store. Per-channel integer partials sum
+    across epochs to the batch totals exactly, so the final report is
+    value-oracled by A102's own SQL.
+
+    Source = the two time-ordered micro-batches (_stage_time_halves):
+    every batch-2 purchase whose first touch landed in batch 1 exists
+    ONLY IF the store carries across triggers — per-batch recompute
+    would shift first-touch credit and shrink k in the linear split."""
+    import os
+    import tempfile
+
+    from proceso_de_etl_spark.operators.events import ATTR_SCALE, ATTR_WINDOW_US
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    stage = _stage_time_halves(spark, ev, "stream_attr")
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    root = tempfile.mkdtemp(prefix="stream_attr_")
+    touch_dir = os.path.join(root, "touches")
+    credit_dir = os.path.join(root, "credits")
+
+    def attribute_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        purchases = batch_df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("uid"),
+            F.unix_micros("ts").alias("pt"),
+        )
+        batch_touches = batch_df.filter(F.col("event_type") != "purchase").select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.unix_micros("ts").alias("tt"),
+            F.col("event_id").alias("tid"),
+        )
+        touches = batch_touches
+        if os.path.exists(touch_dir):
+            touches = sess.read.parquet(touch_dir).unionByName(batch_touches)
+        joined = purchases.join(touches, purchases.uid == touches.user_id).filter(
+            (F.col("tt") < F.col("pt"))
+            & (F.col("tt") >= F.col("pt") - ATTR_WINDOW_US)
+        )
+        w = W.partitionBy("pid").orderBy(F.asc("tt"), F.asc("channel"), F.asc("tid"))
+        ranked = joined.select(
+            "pid",
+            "channel",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("pid")).alias("k"),
+        )
+        per_pc = ranked.groupBy("pid", "channel").agg(
+            F.max((F.col("rn") == 1).cast("bigint")).alias("is_first"),
+            F.max((F.col("rn") == F.col("k")).cast("bigint")).alias("is_last"),
+            F.count("*").alias("nc"),
+            F.min("k").alias("k"),
+        )
+        attributed = per_pc.groupBy("channel").agg(
+            F.sum("is_first").cast("bigint").alias("first_touch"),
+            F.sum("is_last").cast("bigint").alias("last_touch"),
+            F.sum(F.expr(f"(nc * CAST({ATTR_SCALE} AS BIGINT)) div k"))
+            .cast("bigint")
+            .alias("linear_scaled"),
+        )
+        orphans = (
+            purchases.join(joined.select("pid").distinct(), "pid", "left_anti")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit("(unattributed)").alias("channel"),
+                F.col("n").cast("bigint").alias("first_touch"),
+                F.col("n").cast("bigint").alias("last_touch"),
+                (F.col("n") * ATTR_SCALE).cast("bigint").alias("linear_scaled"),
+            )
+        )
+        # the batch twin always emits the (unattributed) row (0s
+        # allowed); appending it per epoch keeps the summed ledger
+        # schema-identical to A102
+        attributed.unionByName(orphans).write.mode("append").parquet(credit_dir)
+        batch_touches.write.mode("append").parquet(touch_dir)
+
+    q = raw.writeStream.outputMode("append").foreachBatch(attribute_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ledger = spark.read.parquet(credit_dir)
+    return (
+        ledger.groupBy("channel")
+        .agg(
+            F.sum("first_touch").cast("bigint").alias("first_touch"),
+            F.sum("last_touch").cast("bigint").alias("last_touch"),
+            F.sum("linear_scaled").cast("bigint").alias("linear_scaled"),
+        )
+        .select(
+            "channel",
+            "first_touch",
+            "last_touch",
+            "linear_scaled",
+            F.round(F.col("linear_scaled") / F.lit(float(ATTR_SCALE)), 6).alias(
+                "linear_credit"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+def stream_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST23 — streaming cohort LTV: the A103 batch curve maintained
+    over the live stream. Cohort membership is cross-trigger state —
+    a user FIRST SEEN in batch 1 who purchases in batch 2 must land
+    in their batch-1 cohort (per-batch recompute would re-cohort
+    them at the purchase week) — kept as a versioned FIRST-SEEN store
+    (per-user min cohort week; epoch N writes version N from
+    store_{N-1} ∪ batch upserted by min — the E15 aggregate-upsert
+    discipline on stream state). Because the replay is time-ordered,
+    min-so-far at purchase time equals the global min, so each
+    epoch's revenue partials (exact DECIMAL sums per cohort week ×
+    week-of-age) are final the moment they are written; the closing
+    report joins the LAST store version's cohort sizes to the summed
+    ledger and is value-oracled by A103's own SQL."""
+    import os
+    import tempfile
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stage = _stage_time_halves(spark, ev, "stream_ltv")
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    root = tempfile.mkdtemp(prefix="stream_ltv_")
+    rev_dir = os.path.join(root, "rev")
+    state = {"firsts_dir": None}
+
+    def ltv_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        week = F.date_trunc("week", F.col("ts"))
+        batch_firsts = batch_df.groupBy("user_id").agg(
+            F.min(week).alias("cohort_week")
+        )
+        if state["firsts_dir"] is not None:
+            prev = sess.read.parquet(state["firsts_dir"])
+            batch_firsts = (
+                prev.unionByName(batch_firsts)
+                .groupBy("user_id")
+                .agg(F.min("cohort_week").alias("cohort_week"))
+            )
+        new_dir = os.path.join(root, f"firsts_v{int(epoch_id)}")
+        batch_firsts.write.mode("overwrite").parquet(new_dir)
+        state["firsts_dir"] = new_dir
+        firsts = sess.read.parquet(new_dir)
+        purch = batch_df.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        ).select("user_id", week.alias("pweek"), "value")
+        (
+            purch.join(firsts, "user_id")
+            .groupBy("cohort_week")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.datediff("pweek", "cohort_week") == 7 * k,
+                            F.col("value").cast("decimal(18,6)"),
+                        )
+                    ).alias(f"r{k}")
+                    for k in range(4)
+                ]
+            )
+            .write.mode("append")
+            .parquet(rev_dir)
+        )
+
+    q = raw.writeStream.outputMode("append").foreachBatch(ltv_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    firsts = spark.read.parquet(state["firsts_dir"])
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    z = F.lit(0).cast("decimal(18,6)")
+    if os.path.exists(rev_dir):
+        rev = (
+            spark.read.parquet(rev_dir)
+            .groupBy("cohort_week")
+            .agg(*[F.sum(f"r{k}").alias(f"r{k}") for k in range(4)])
+        )
+    else:  # no purchases anywhere: all-zero revenue columns
+        rev = sizes.select(
+            "cohort_week", *[z.alias(f"r{k}") for k in range(4)]
+        ).limit(0)
+    joined = sizes.join(rev, "cohort_week", "left")
+    rs = [F.coalesce(F.col(f"r{k}"), z) for k in range(4)]
+    total = rs[0] + rs[1] + rs[2] + rs[3]
+    return joined.select(
+        F.unix_micros("cohort_week").alias("cohort_week_us"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        *[F.round(rs[k].cast("double"), 6).alias(f"rev_w{k}") for k in range(4)],
+        F.round(total.cast("double") / F.col("cohort_size"), 6).alias("ltv_per_user"),
+    ).orderBy("cohort_week_us")
+
+
+def _batch_twin_oracles() -> None:
+    """ST22/ST23 are value-oracled by their batch twins' own SQL —
+    the whole claim is stream == batch, so sharing the oracle text IS
+    the contract (the ST17 pattern)."""
+    from proceso_de_etl_spark.operators import events as batch_events
+
+    ORACLES["stream_attribution_models"] = batch_events.ORACLES[
+        "events_attribution_models"
+    ]
+    ORACLES["stream_cohort_ltv"] = batch_events.ORACLES["events_cohort_ltv"]
+
+
+_batch_twin_oracles()
+
+
 QUERIES = {
+    "stream_attribution_models": stream_attribution_models,
+    "stream_cohort_ltv": stream_cohort_ltv,
     "stream_cusum_monitor": stream_cusum_monitor,
     "stream_freshness_monitor": stream_freshness_monitor,
     "stream_pit_enrichment": stream_pit_enrichment,

@@ -376,3 +376,66 @@ def test_stream_cusum_state_carries_across_triggers(spark, tmp_path):
     # and 20e6 in batch 2 — the 60e6 above is the carried state
     batch1 = min(rows, key=lambda r: r.n_hours)
     assert batch1.n_hours == 3 and batch1.max6 == 40_000_000
+
+
+def test_stream_attribution_boundary_coverage(spark):
+    """ST22's oracle equality is only meaningful if the replay
+    actually exercises cross-trigger state: there must exist a
+    batch-2 purchase (ts > corpus midpoint) whose attribution window
+    reaches a batch-1 touch (ts <= midpoint) — ideally one whose
+    FIRST touch is in batch 1, which a store-less per-batch recompute
+    would mis-credit. Measure that on the gate data so a testdata
+    regeneration that silently stops spanning the boundary fails
+    HERE, not as a vacuously-green oracle row."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.events import ATTR_WINDOW_US
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    mid = (mm["lo"] + mm["hi"]) // 2
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & (F.unix_micros("ts") > mid)
+    ).select("user_id", F.unix_micros("ts").alias("pt"))
+    t = ev.filter(
+        (F.col("event_type") != "purchase") & (F.unix_micros("ts") <= mid)
+    ).select(F.col("user_id").alias("tuid"), F.unix_micros("ts").alias("tt"))
+    spanning = (
+        p.join(t, p.user_id == t.tuid)
+        .filter((F.col("tt") < F.col("pt")) & (F.col("tt") >= F.col("pt") - ATTR_WINDOW_US))
+        .count()
+    )
+    assert spanning > 0, "no purchase's lookback spans the replay boundary"
+
+
+def test_stream_cohort_ltv_boundary_coverage(spark):
+    """ST23's cross-trigger claim: some user first seen in batch 1
+    (ts <= midpoint) must purchase in batch 2 — the user a per-batch
+    firsts recompute would re-cohort at the purchase week. Pinned on
+    the gate data for the same reason as the ST22 pin."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    mid = (mm["lo"] + mm["hi"]) // 2
+    firsts = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    late_purch = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.unix_micros("ts") > mid)
+        & F.col("value").isNotNull()
+    ).select("user_id")
+    n = (
+        late_purch.join(firsts, "user_id")
+        .filter(F.col("first_us") <= mid)
+        .count()
+    )
+    assert n > 0, "no batch-1 user purchases in batch 2"

@@ -1830,6 +1830,183 @@ def _weighted_louvain_move(labels: DataFrame, wedges: DataFrame, m_row: DataFram
     )
 
 
+LOUVAIN_FIXPOINT_MAX_ROUNDS = 20  # safety bound; gate data converges in <6
+
+
+def _weighted_q_num(labels: DataFrame, wedges: DataFrame, m_row: DataFrame) -> DataFrame:
+    """Exact integer modularity ledger of a partition over a weighted
+    multigraph (u ≤ v, self-loops allowed): one row with
+    n_communities, intra_w (Σw of cu==cv edges — loops always intra),
+    sum_deg_sq (Σ_c D_c², D_c = Σ weighted degree, loops counting 2w)
+    and q_num = 4m·intra_w − Σ D_c² (Newman Q scaled by 4m² — the
+    A97 integer discipline, so round acceptance never compares
+    floats). Weighted-contracted Q equals original-partition Q, which
+    is what lets the phase-2 loop measure itself on the small graph."""
+    loops = (
+        wedges.filter(F.col("u") == F.col("v"))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum("w").alias("lw"))
+    )
+    nonloop = wedges.filter(F.col("u") < F.col("v"))
+    sym = nonloop.select(F.col("u").alias("node"), "w").unionByName(
+        nonloop.select(F.col("v").alias("node"), "w")
+    )
+    deg = (
+        sym.groupBy("node")
+        .agg(F.sum("w").alias("sw"))
+        .join(loops, "node", "full_outer")
+        .select(
+            "node",
+            (
+                F.coalesce(F.col("sw"), F.lit(0).cast("bigint"))
+                + 2 * F.coalesce(F.col("lw"), F.lit(0).cast("bigint"))
+            ).alias("k"),
+        )
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("comm")
+        .agg(F.sum("k").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sum_deg_sq"),
+        )
+    )
+    lu = labels.withColumnRenamed("node", "u").withColumnRenamed("comm", "cu")
+    lv = labels.withColumnRenamed("node", "v").withColumnRenamed("comm", "cv")
+    intra = (
+        wedges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("intra_w"))
+    )
+    return (
+        dc.crossJoin(intra)
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "n_communities",
+            "intra_w",
+            "sum_deg_sq",
+            (4 * F.col("m") * F.col("intra_w") - F.col("sum_deg_sq"))
+            .cast("bigint")
+            .alias("q_num"),
+            F.col("m").cast("bigint").alias("m"),
+        )
+    )
+
+
+def _louvain_phase(
+    labels: DataFrame,
+    wedges: DataFrame,
+    m_row: DataFrame,
+    max_rounds: int = LOUVAIN_FIXPOINT_MAX_ROUNDS,
+) -> tuple[DataFrame, int]:
+    """Run synchronous local-move rounds TO FIXPOINT under monotone-Q
+    acceptance: after each round the EXACT integer q_num of the new
+    labeling is compared to the incumbent and the round is kept only
+    if it strictly improved — the guard that makes the synchronous
+    schedule safe (two adjacent nodes CAN swap into each other's
+    communities and lower Q; A94 documents the oscillation, this
+    phase rejects it and stops). Terminates when a round yields no
+    moves or no exact-Q gain, or at ``max_rounds``. Per-round state is
+    a node-sized frame, eager-localCheckpointed (lineage truncation,
+    the T44 discipline); the q ledger is a 1-row collect per round.
+    Returns (labels at fixpoint, accepted-round count)."""
+    cur = labels.localCheckpoint(eager=True)
+    q_cur = _weighted_q_num(cur, wedges, m_row).collect()[0]["q_num"]
+    accepted = 0
+    for _ in range(max_rounds):
+        # checkpoint the move output BEFORE inspecting it: the movers
+        # check and the next labeling both read the same materialized
+        # round, so the move plan executes exactly once per round
+        moved = _weighted_louvain_move(cur, wedges, m_row).localCheckpoint(eager=True)
+        if moved.filter(F.col("new_comm") != F.col("own")).limit(1).count() == 0:
+            break
+        nxt = moved.select("node", F.col("new_comm").alias("comm"))
+        q_nxt = _weighted_q_num(nxt, wedges, m_row).collect()[0]["q_num"]
+        if q_nxt <= q_cur:
+            break  # synchronous swap oscillation — reject and stop
+        cur, q_cur = nxt, q_nxt
+        accepted += 1
+    return cur, accepted
+
+
+def graph_louvain_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A97b — weighted Louvain run to FIXPOINT (the r7 verdict's
+    named extension of the bounded ladder): phase 1 iterates
+    local-move rounds from the classic singleton start until no round
+    improves exact integer Q, phase 2 contracts the fixpoint
+    partition to the weighted community multigraph (intra edges →
+    self-loops, A95's convention) and iterates the SAME move loop on
+    it, labels projected back. Every acceptance decision is an exact
+    BIGINT comparison (q_num = 4m·intra − ΣD_c²), so the fixpoint is
+    deterministic — but the ROUND COUNT is data-dependent, which is
+    why this key is rows-only by design (SQL cannot loop to a
+    data-dependent depth); A97's fixed two-level ladder remains the
+    value-oracled twin of the per-round arithmetic, and pytest pins
+    monotonicity, the no-improving-round fixpoint property, and
+    parallelism-invariance. Output: one ledger row per stage
+    (singleton / phase1 / final) with the stage's round count and the
+    exact Q pieces on the ORIGINAL graph.
+
+    Scale: each round is one edge⋈labels join + keyed aggregates
+    (linear in m); the phase-2 graph is communities-sized. Integer
+    headroom: q_num bounded by 4m² — BIGINT-safe while 2m < 3e9; at
+    100 TB edge counts route the ledger through DECIMAL(38,0) (the
+    A105 overflow discipline)."""
+    edges = copurchase_edges_supported(spark, sf_dir)
+    w1 = edges.select("u", "v", F.lit(1).cast("bigint").alias("w"))
+    m_row = edges.agg(F.count("*").cast("bigint").alias("m"))
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    singleton = nodes.select("node", F.col("node").alias("comm"))
+
+    lvl0, rounds0 = _louvain_phase(singleton, w1, m_row)
+
+    cu = lvl0.withColumnRenamed("node", "u").withColumnRenamed("comm", "cu")
+    cv = lvl0.withColumnRenamed("node", "v").withColumnRenamed("comm", "cv")
+    contracted = (
+        edges.join(cu, "u")
+        .join(cv, "v")
+        .select(F.least("cu", "cv").alias("u"), F.greatest("cu", "cv").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    singles1 = (
+        contracted.select(F.col("u").alias("node"))
+        .unionByName(contracted.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lvl1, rounds1 = _louvain_phase(
+        singles1.select("node", F.col("node").alias("comm")), contracted, m_row
+    )
+    final = (
+        lvl0.join(lvl1.withColumnRenamed("node", "comm0"), lvl0.comm == F.col("comm0"))
+        .select(lvl0.node.alias("node"), lvl1.comm.alias("comm"))
+        .localCheckpoint(eager=True)
+    )
+
+    def ledger(lbl: DataFrame, stage: str, n_rounds: int) -> DataFrame:
+        return _weighted_q_num(lbl, w1, m_row).select(
+            F.lit(stage).alias("stage"),
+            F.lit(n_rounds).cast("bigint").alias("n_rounds"),
+            "n_communities",
+            F.col("intra_w").alias("intra_edges"),
+            "sum_deg_sq",
+            "q_num",
+            (F.round(F.col("q_num") / (4.0 * F.col("m") * F.col("m")), 6) + F.lit(0.0)).alias("q"),
+        )
+
+    return (
+        ledger(singleton, "singleton", 0)
+        .unionByName(ledger(lvl0, "phase1", rounds0))
+        .unionByName(ledger(final, "final", rounds1))
+    )
+
+
 def graph_louvain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A97 — the full two-level Louvain cycle, end to end and
     value-oracled: LPA seed → synchronous local-move round (A94) →
@@ -2402,6 +2579,7 @@ QUERIES = {
     "graph_pagerank_ladder": graph_pagerank_ladder,
     "graph_link_prediction": graph_link_prediction,
     "graph_louvain_ladder": graph_louvain_ladder,
+    "graph_louvain_fixpoint": graph_louvain_fixpoint,
     "ml_logreg_pinned_score": ml_logreg_pinned_score,
     "ml_kmeans_ladder": ml_kmeans_ladder,
     "graph_hits_ladder": graph_hits_ladder,

@@ -1604,6 +1604,106 @@ def test_louvain_ladder_consistent_with_move_and_modularity(spark):
         assert (r.q_num > 0) == (r.q > 0) or r.q == 0.0
 
 
+def test_weighted_q_num_hand_graph(spark):
+    """A97b's exact modularity ledger on a hand-computable weighted
+    multigraph with a self-loop: edges (1,2,w=3) (2,3,w=1)
+    (3,3,w=2 loop) (4,5,w=1), total weight m=7; labels {1,2}→A,
+    {3}→B, {4,5}→C. Loops are always intra and add 2w to degree:
+    intra = 3+2+1 = 6; degrees k=(3,4,5,1,1) (Σ=2m ✓); D = (7,5,2),
+    ΣD² = 78; q_num = 4·7·6 − 78 = 90; Q = 90/196."""
+    from proceso_de_etl_spark.operators.ml import _weighted_q_num
+
+    wedges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1), (3, 3, 2), (4, 5, 1)], "u int, v int, w bigint"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30), (5, 30)], "node int, comm int"
+    )
+    m_row = spark.createDataFrame([(7,)], "m bigint")
+    row = _weighted_q_num(labels, wedges, m_row).collect()[0]
+    assert (row.n_communities, row.intra_w, row.sum_deg_sq, row.q_num, row.m) == (
+        3,
+        6,
+        78,
+        90,
+        7,
+    )
+
+
+def test_louvain_phase_reaches_q_fixpoint(spark):
+    """A97b's termination contract on a controlled graph: two
+    4-cliques joined by one bridge edge. The phase must (1) strictly
+    increase exact q_num on every accepted round, and (2) stop at a
+    labeling where one MORE synchronous move round yields no exact-Q
+    gain — the no-improving-round fixpoint property. On this graph
+    the fixpoint is the two cliques (intra=12 of 13 edges)."""
+    from proceso_de_etl_spark.operators.ml import (
+        _louvain_phase,
+        _weighted_louvain_move,
+        _weighted_q_num,
+    )
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a + 4, b + 4) for (a, b) in edges] + [(3, 4)]
+    wedges = spark.createDataFrame([(u, v, 1) for u, v in edges], "u int, v int, w bigint")
+    m_row = spark.createDataFrame([(len(edges),)], "m bigint")
+    singleton = spark.createDataFrame([(n, n) for n in range(8)], "node int, comm int")
+
+    labels, accepted = _louvain_phase(singleton, wedges, m_row)
+    assert accepted >= 1
+    fix = _weighted_q_num(labels, wedges, m_row).collect()[0]
+    q0 = _weighted_q_num(singleton, wedges, m_row).collect()[0].q_num
+    assert fix.q_num > q0
+    assert fix.n_communities == 2
+    assert fix.intra_w == 12
+
+    moved = _weighted_louvain_move(labels, wedges, m_row)
+    nxt = moved.select("node", F.col("new_comm").alias("comm"))
+    movers = moved.filter(F.col("new_comm") != F.col("own")).count()
+    q_nxt = _weighted_q_num(nxt, wedges, m_row).collect()[0].q_num
+    assert movers == 0 or q_nxt <= fix.q_num
+
+
+def test_louvain_fixpoint_ledger_invariants_and_parallelism(spark):
+    """A97b end-to-end on gate data: stage set, singleton invariants
+    (intra=0, one community per node), exact-Q monotonicity across
+    stages with strict gain exactly when a stage accepted rounds,
+    nonincreasing community count (phases only merge), and q ==
+    round(q_num/4m², 6). Then the parallelism-invariance pin: the
+    whole ledger must be bit-identical at 3 vs 16 shuffle partitions
+    — the synchronous move round's tie-breaks are total, so the
+    fixpoint cannot depend on physical partitioning."""
+    from proceso_de_etl_spark.operators.ml import (
+        copurchase_edges_supported,
+        graph_louvain_fixpoint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.stage: r for r in graph_louvain_fixpoint(spark, sf).collect()}
+    assert set(rows) == {"singleton", "phase1", "final"}
+    m = copurchase_edges_supported(spark, sf).count()
+
+    sing, p1, fin = rows["singleton"], rows["phase1"], rows["final"]
+    assert sing.intra_edges == 0 and sing.n_rounds == 0
+    assert p1.q_num >= sing.q_num and fin.q_num >= p1.q_num
+    assert (p1.q_num > sing.q_num) == (p1.n_rounds > 0)
+    assert (fin.q_num > p1.q_num) == (fin.n_rounds > 0)
+    assert sing.n_communities >= p1.n_communities >= fin.n_communities
+    for r in rows.values():
+        assert r.q == round(r.q_num / (4.0 * m * m), 6)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        at3 = sorted(map(tuple, graph_louvain_fixpoint(spark, sf).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        at16 = sorted(map(tuple, graph_louvain_fixpoint(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert at3 == at16
+    assert sorted(map(tuple, rows.values())) == at3
+
+
 def test_kmeans_ladder_descends_conserves_and_floors_negatives(spark):
     """T18b semantics: (1) membership is conserved across both steps
     (every vector assigned exactly once); (2) the Lloyd update

@@ -587,7 +587,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding element is a float32 whose value×2^48 is an exact BIGINT,
 # so the scaled dot is exact integer arithmetic on both engines.
 # Shared protocol constant between this oracle CTE block and
-# similarity.hyperplane_bucket (which imports it from here — dedup
+# similarity.with_lsh_tables (which imports it from here — dedup
 # must not import similarity back).
 DOT_SCALE = 1 << 48
 
@@ -606,7 +606,7 @@ def lsh_bucket_ctes(n_tables: int, planes_per_table: int, emb_dim: int) -> str:
     2.5e-6 ⇒ ulp ≥ 2^-48; integrality MEASURED in tests/
     test_properties.py), so the bucket bit is decided by identical
     integer arithmetic on both engines regardless of SUM order —
-    mirrors hyperplane_bucket (similarity.py), which imports
+    mirrors with_lsh_tables (similarity.py), which imports
     DOT_SCALE from here."""
     return f"""elems AS (
   SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,

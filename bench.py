@@ -204,7 +204,12 @@ BASELINE = {
     #     benched to keep that overhead from silently growing ---
     "dedup_simhash": 3.516,
     "multimodal_phash_dedup": 2.071,
-    "ann_lsh_bucketed": 7.999,
+    # re-seeded r8 (was 7.999): the hyperplane matrix moved from plan
+    # literals to broadcast data after the scaled-integer rewrite
+    # doubled wall — profiling put ~11 s of the old cost in Catalyst
+    # ANALYSIS of 80 literal-array HOFs, not execution. The new floor
+    # is the post-fix idle-box suite median (sentinel 1.005).
+    "ann_lsh_bucketed": 5.869,
     # --- r7 floors: median-of-5 idle-box runs at add time, replaying
     #     the bench pass order (CC cold on the supported-edge build,
     #     LPA/modularity warm behind it) ---
@@ -219,14 +224,18 @@ BASELINE = {
     # character changed) — a floor the measuring box cannot reproduce
     # on byte-identical code is a wolf-crying gate, the triangle
     # lesson in reverse
-    "ann_ivf_pinned_topk": 4.296,
+    # re-seeded again r8 after the pinned geometry moved from plan
+    # literals to broadcast data (same fix as ann_lsh_bucketed):
+    # 4.296 -> post-fix idle-box suite median
+    "ann_ivf_pinned_topk": 1.903,
     # --- r7 second-half floors: median-of-5 idle-box runs at add
     #     time, replaying the bench pass order (supported edges warm
     #     behind graph_connected_components; pagerank_ladder builds
     #     and releases its own purchase-graph edges per run) ---
     "graph_pagerank_ladder": 8.203,
     "graph_louvain_ladder": 8.531,
-    "ann_pq_pinned_topk": 7.059,
+    # re-seeded r8: codebooks as broadcast data (was 7.059)
+    "ann_pq_pinned_topk": 1.988,
     "sketch_cms_portable": 1.602,
     "sketch_kmv_setops": 1.43,
     # --- r7 third-pass floors: median-of-5 idle-box runs at add time
@@ -234,7 +243,8 @@ BASELINE = {
     #     on the shared purchase_edges persist) ---
     "graph_hits_ladder": 9.001,
     "ml_kmeans_ladder": 3.846,
-    "ann_recall_eval": 7.596,
+    # re-seeded r8: rides the pinned-IVF data-form fix (was 7.596)
+    "ann_recall_eval": 3.536,
     "ab_mann_whitney": 2.163,
     "ab_ks_test": 2.226,
     "events_chi2_independence": 1.02,

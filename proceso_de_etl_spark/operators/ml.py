@@ -29,8 +29,11 @@ K = 3
 N_ITER = 5
 
 
-def _sq_dist(emb: Column, centroid: list[float]) -> Column:
-    carr = F.array(*[F.lit(v) for v in centroid])
+def _sq_dist(emb: Column, centroid: list[float] | Column) -> Column:
+    """Exact squared distance, identical fold order whether the
+    centroid is a Python list (built into literals) or an array
+    COLUMN (the data-form below)."""
+    carr = centroid if isinstance(centroid, Column) else F.array(*[F.lit(v) for v in centroid])
     return F.aggregate(
         F.zip_with(emb, carr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
         F.lit(0.0),
@@ -38,11 +41,37 @@ def _sq_dist(emb: Column, centroid: list[float]) -> Column:
     )
 
 
+def with_broadcast_value(df: DataFrame, value, name: str, sql_type: str) -> DataFrame:
+    """Attach a driver-held constant (a centroid matrix, a codebook
+    tensor) as a broadcast 1-row column instead of baking it into the
+    expression tree as literals. kmeans_fit learned this per-iteration
+    (literal centroids make every plan a fresh Catalyst/Janino job);
+    bench r8 measured the same pathology on the pinned one-shot keys:
+    a k×dim literal argmin costs seconds of driver-side ANALYSIS per
+    invocation against milliseconds of execution. As data, the plan
+    is value-invariant (codegen caches hit) and the per-row
+    arithmetic — the transform/zip_with fold order — is unchanged."""
+    wdf = df.sparkSession.createDataFrame([(value,)], f"{name}: {sql_type}")
+    return df.crossJoin(F.broadcast(wdf))
+
+
+def dists_over_matrix(emb: Column, mat: Column) -> Column:
+    """array of _sq_dist(emb, row) for each row of a (k × dim) matrix
+    column — one transform node regardless of k."""
+    return F.transform(mat, lambda c: _sq_dist(emb, c))
+
+
 def assign_clusters(df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding") -> DataFrame:
-    """argmin over k distance expressions, ties to the lower id."""
-    dists = F.array(*[_sq_dist(F.col(emb_col), c) for c in centroids])
-    return df.withColumn(
-        "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint")
+    """argmin over k distances, ties to the lower id. Centroids ride
+    in as broadcast DATA (see with_broadcast_value); values are
+    bit-identical to the literal form — same fold, same argmin."""
+    dists = dists_over_matrix(F.col(emb_col), F.col("_cmat"))
+    return (
+        with_broadcast_value(df, centroids, "_cmat", "array<array<double>>")
+        .withColumn(
+            "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("bigint")
+        )
+        .drop("_cmat")
     )
 
 

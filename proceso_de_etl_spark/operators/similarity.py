@@ -298,16 +298,18 @@ def ivf_search(
     scan-cost until the scheduled refit)."""
     from pyspark.sql import Window as W
 
-    from proceso_de_etl_spark.operators.ml import _sq_dist
+    from proceso_de_etl_spark.operators.ml import dists_over_matrix, with_broadcast_value
 
-    cells = F.array(
-        *[
-            F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(i).cast("bigint").alias("c"))
-            for i, c in enumerate(centroids)
-        ]
+    # centroids as broadcast data, (d, c) structs zipped with the cell
+    # index — same array_sort/slice probe selection as the literal form
+    cells = F.zip_with(
+        dists_over_matrix(F.col("embedding"), F.col("_qmat")),
+        F.sequence(F.lit(0).cast("bigint"), F.lit(len(centroids) - 1).cast("bigint")),
+        lambda d, c: F.struct(d.alias("d"), c.alias("c")),
     )
     probes = (
-        queries.select(
+        with_broadcast_value(queries, centroids, "_qmat", "array<array<double>>")
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("norm").alias("qn"),
@@ -642,18 +644,26 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Rows-only: float distances; the unit test pins that searching
     the MERGED index keeps recall vs the exact twin, i.e. new
     vectors are retrievable immediately.)"""
-    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters, kmeans_fit
+    from proceso_de_etl_spark.operators.ml import (
+        assign_clusters,
+        dists_over_matrix,
+        kmeans_fit,
+        with_broadcast_value,
+    )
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     centroids = kmeans_fit(corpus, k=N_LISTS, n_iter=3)
-    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in centroids])
 
     def side_stats(df: DataFrame, label: str) -> DataFrame:
         return (
-            assign_clusters(df, centroids)
-            .withColumn("d", F.array_min(dists))
+            with_broadcast_value(
+                assign_clusters(df, centroids), centroids, "_cmat", "array<array<double>>"
+            )
+            .withColumn(
+                "d", F.array_min(dists_over_matrix(F.col("embedding"), F.col("_cmat")))
+            )
             .groupBy(F.col("cluster").alias("list_id"))
             .agg(
                 F.count("*").alias(f"n_{label}"),
@@ -701,7 +711,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     test pins it against ann_cosine_topk.)"""
     from pyspark.sql import Window as W
 
-    from proceso_de_etl_spark.operators.ml import _sq_dist, kmeans_fit
+    from proceso_de_etl_spark.operators.ml import (
+        dists_over_matrix,
+        kmeans_fit,
+        with_broadcast_value,
+    )
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     emb = emb.withColumn(
@@ -717,25 +731,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for m in range(PQ_M)
     ]
+    # codebooks as a broadcast M×K×sub tensor column (plan-literal
+    # codebooks cost seconds of Catalyst analysis per invocation)
+    embc = with_broadcast_value(emb, codebooks, "_cb", "array<array<array<double>>>")
+    qdists = lambda m: dists_over_matrix(  # noqa: E731
+        subcol(m), F.element_at(F.col("_cb"), m + 1)
+    )
 
     def _code(m: int) -> F.Column:
-        dists = F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]])
+        dists = qdists(m)
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    corpus = emb.select(
+    corpus = embc.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("norm").alias("cn"),
         *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = embc.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("norm").alias("qn"),
-        *[
-            F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]]).alias(f"qtab{m}")
-            for m in range(PQ_M)
-        ],
+        *[qdists(m).alias(f"qtab{m}") for m in range(PQ_M)],
     )
     adc = sum(
         F.element_at(F.col(f"qtab{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M)
@@ -858,7 +875,7 @@ def ann_pq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered SUM sits on a ranking boundary."""
     from pyspark.sql import Window as W
 
-    from proceso_de_etl_spark.operators.ml import _sq_dist
+    from proceso_de_etl_spark.operators.ml import dists_over_matrix, with_broadcast_value
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     emb = emb.withColumn(
@@ -866,25 +883,28 @@ def ann_pq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub = EMB_DIM // PQ_M
     subcol = lambda m: F.slice(F.col("ne"), m * sub + 1, sub)  # noqa: E731
+    embc = with_broadcast_value(
+        emb, PQ_PINNED_CODEBOOKS, "_cb", "array<array<array<double>>>"
+    )
+    qdists = lambda m: dists_over_matrix(  # noqa: E731
+        subcol(m), F.element_at(F.col("_cb"), m + 1)
+    )
 
     def _code(m: int) -> F.Column:
-        dists = F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]])
+        dists = qdists(m)
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    corpus = emb.select(
+    corpus = embc.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("norm").alias("cn"),
         *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = embc.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("norm").alias("qn"),
-        *[
-            F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]]).alias(f"qtab{m}")
-            for m in range(PQ_M)
-        ],
+        *[qdists(m).alias(f"qtab{m}") for m in range(PQ_M)],
     )
     adc = sum(
         F.element_at(F.col(f"qtab{m}"), F.col(f"code{m}") + 1) for m in range(PQ_M)
@@ -998,7 +1018,12 @@ def _ivfpq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     read from the PROBED CELLS ONLY — split out so the scale test can
     count the rows the scan actually touches (must be well under
     queries × corpus, the plain-PQ scan size)."""
-    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters, kmeans_fit
+    from proceso_de_etl_spark.operators.ml import (
+        assign_clusters,
+        dists_over_matrix,
+        kmeans_fit,
+        with_broadcast_value,
+    )
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     emb = emb.withColumn(
@@ -1015,34 +1040,39 @@ def _ivfpq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for m in range(PQ_M)
     ]
+    embc = with_broadcast_value(emb, codebooks, "_cb", "array<array<array<double>>>")
+    qdists = lambda m: dists_over_matrix(  # noqa: E731
+        subcol(m), F.element_at(F.col("_cb"), m + 1)
+    )
 
     def _code(m: int) -> F.Column:
-        dists = F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]])
+        dists = qdists(m)
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    corpus = assign_clusters(emb, centroids).select(
+    corpus = assign_clusters(embc, centroids).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("norm").alias("cn"),
         F.col("cluster").alias("list_id"),
         *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
     )
-    cells = F.array(
-        *[
-            F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(i).cast("bigint").alias("c"))
-            for i, c in enumerate(centroids)
-        ]
+    cells = F.zip_with(
+        dists_over_matrix(F.col("embedding"), F.col("_qmat")),
+        F.sequence(F.lit(0).cast("bigint"), F.lit(len(centroids) - 1).cast("bigint")),
+        lambda d, c: F.struct(d.alias("d"), c.alias("c")),
     )
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        with_broadcast_value(
+            embc.filter(F.col("vec_id") < N_QUERIES),
+            centroids,
+            "_qmat",
+            "array<array<double>>",
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("norm").alias("qn"),
-            *[
-                F.array(*[_sq_dist(subcol(m), c) for c in codebooks[m]]).alias(f"qtab{m}")
-                for m in range(PQ_M)
-            ],
+            *[qdists(m).alias(f"qtab{m}") for m in range(PQ_M)],
             F.explode(F.slice(F.array_sort(cells), 1, IVFPQ_N_PROBE)).alias("p"),
         )
         .select(
@@ -1112,7 +1142,11 @@ def ann_ivfpq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the PROBED set, and the TOP_K cosine boundary."""
     from pyspark.sql import Window as W
 
-    from proceso_de_etl_spark.operators.ml import _sq_dist, assign_clusters
+    from proceso_de_etl_spark.operators.ml import (
+        assign_clusters,
+        dists_over_matrix,
+        with_broadcast_value,
+    )
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     emb = emb.withColumn(
@@ -1120,34 +1154,43 @@ def ann_ivfpq_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub = EMB_DIM // PQ_M
     subcol = lambda m: F.slice(F.col("ne"), m * sub + 1, sub)  # noqa: E731
+    embc = with_broadcast_value(
+        emb, PQ_PINNED_CODEBOOKS, "_cb", "array<array<array<double>>>"
+    )
+    qdists = lambda m: dists_over_matrix(  # noqa: E731
+        subcol(m), F.element_at(F.col("_cb"), m + 1)
+    )
 
     def _code(m: int) -> F.Column:
-        dists = F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]])
+        dists = qdists(m)
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    corpus = assign_clusters(emb, IVF_PINNED_CENTROIDS).select(
+    corpus = assign_clusters(embc, IVF_PINNED_CENTROIDS).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("norm").alias("cn"),
         F.col("cluster").alias("list_id"),
         *[_code(m).alias(f"code{m}") for m in range(PQ_M)],
     )
-    cells = F.array(
-        *[
-            F.struct(_sq_dist(F.col("embedding"), c).alias("d"), F.lit(i).cast("bigint").alias("c"))
-            for i, c in enumerate(IVF_PINNED_CENTROIDS)
-        ]
+    cells = F.zip_with(
+        dists_over_matrix(F.col("embedding"), F.col("_qmat")),
+        F.sequence(
+            F.lit(0).cast("bigint"), F.lit(len(IVF_PINNED_CENTROIDS) - 1).cast("bigint")
+        ),
+        lambda d, c: F.struct(d.alias("d"), c.alias("c")),
     )
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        with_broadcast_value(
+            embc.filter(F.col("vec_id") < N_QUERIES),
+            IVF_PINNED_CENTROIDS,
+            "_qmat",
+            "array<array<double>>",
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("norm").alias("qn"),
-            *[
-                F.array(*[_sq_dist(subcol(m), c) for c in PQ_PINNED_CODEBOOKS[m]]).alias(f"qtab{m}")
-                for m in range(PQ_M)
-            ],
+            *[qdists(m).alias(f"qtab{m}") for m in range(PQ_M)],
             F.explode(F.slice(F.array_sort(cells), 1, IVFPQ_N_PROBE)).alias("p"),
         )
         .select(

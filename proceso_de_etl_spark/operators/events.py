@@ -1821,7 +1821,131 @@ ORDER BY channel
 """
 
 
+ESM_SCALE = 10**6  # 6dp smoothing-state unit (the KML_SCALE family)
+ESM_ALPHA_NUM, ESM_ALPHA_DEN = 2, 10  # α = 0.2 as an exact ratio
+
+
+def _esm_idiv(v, d: int):
+    """Exact nonneg-integer division inside a HOF lambda, where SQL
+    `div` is unreachable (lambda vars can't cross into F.expr):
+    (v − v % d) is an exact multiple of d, and an IEEE division of
+    two exactly-representable doubles whose true quotient is a
+    representable integer is exact — valid while v < 2^53, which the
+    operator's headroom note bounds."""
+    return ((v - F.pmod(v, F.lit(d))) / F.lit(d)).cast("bigint")
+
+
+def events_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A106 — exponential-smoothing ladder (r8): simple exponential
+    smoothing over each type's hourly event counts with α = 0.2 run
+    as an EXACT integer recursion, s_t = (2·x_t·SCALE + 8·s_{t−1})
+    div 10 — the ladder discipline (T44b/T18b) applied to the one
+    time-series primitive SQL cannot express inline (a sequential
+    recurrence). Spark computes it as an ordered-array fold per type
+    (aggregate() over the collect_list of hourly counts — the array
+    is HOURS-sized, bounded by the time span, never by row count);
+    the DuckDB oracle replays the identical recursion with WITH
+    RECURSIVE, so every reported state is value-verified. Ledger per
+    type: hour count, the smoothed state at the ¼, ½ and final
+    checkpoints (prefix folds — both engines index max(n div k, 1)),
+    and the cumulative one-step absolute forecast error in count
+    units (sae = Σ |x_t·SCALE − s_{t−1}| div SCALE, the SES
+    evaluation loop). All quantities nonnegative, so Spark's
+    truncating arithmetic and DuckDB's flooring `//` agree.
+
+    Scale: one hourly pre-aggregation (shuffle on (hour, type)), one
+    type-keyed collect into hours-sized arrays, one fold per type —
+    the fold state is 2 BIGINTs regardless of history length.
+    Headroom: s ≤ max hourly count × SCALE; the fold argument
+    2·x·SCALE + 8·s stays double-exact while counts < ~10^8/hour
+    (v < 2^53); past that, drop ESM_SCALE a decade per 100× (the
+    PR_SCALE rule) or move the fold state to DECIMAL(38,0).
+    Ref: extends A76's seasonal baseline with the recursive-state
+    half the reference's pandas pipeline computes via .ewm()."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(F.unix_micros(F.col("w.start")).alias("h"), "event_type", "x")
+    )
+    arr = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+
+    def ses_fold(xs):
+        init = F.struct(
+            (F.element_at(xs, 1) * ESM_SCALE).cast("bigint").alias("s"),
+            F.lit(0).cast("bigint").alias("sae"),
+        )
+        return F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+            init,
+            lambda acc, x: F.struct(
+                _esm_idiv(
+                    ESM_ALPHA_NUM * x * ESM_SCALE + (ESM_ALPHA_DEN - ESM_ALPHA_NUM) * acc["s"],
+                    ESM_ALPHA_DEN,
+                ).alias("s"),
+                (acc["sae"] + _esm_idiv(F.abs(x * ESM_SCALE - acc["s"]), ESM_SCALE)).alias(
+                    "sae"
+                ),
+            ),
+        )
+
+    def prefix(xs, k: int):
+        return F.slice(
+            xs, 1, F.greatest(_esm_idiv(F.size(xs).cast("bigint"), k), F.lit(1)).cast("int")
+        )
+
+    staged = arr.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        ses_fold(prefix(F.col("xs"), 4))["s"].alias("s_q1"),
+        ses_fold(prefix(F.col("xs"), 2))["s"].alias("s_half"),
+        ses_fold(F.col("xs")).alias("full"),
+    )
+    return staged.select(
+        "event_type",
+        "n_hours",
+        "s_q1",
+        "s_half",
+        F.col("full.s").alias("s_final"),
+        F.col("full.sae").alias("sae_units"),
+    )
+
+
+ORACLES["events_exp_smoothing"] = f"""
+WITH RECURSIVE h AS MATERIALIZED (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hh, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+-- MATERIALIZED: the recursive step joins o once per iteration (~720);
+-- inlined it would rescan events each time (the A94-oracle lesson)
+o AS MATERIALIZED (
+  SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY hh) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+ses AS (
+  SELECT event_type, t, x * {ESM_SCALE} AS s, CAST(0 AS BIGINT) AS sae, n FROM o WHERE t = 1
+  UNION ALL
+  SELECT o.event_type, o.t,
+         ({ESM_ALPHA_NUM} * o.x * {ESM_SCALE} + {ESM_ALPHA_DEN - ESM_ALPHA_NUM} * ses.s) // {ESM_ALPHA_DEN},
+         ses.sae + abs(o.x * {ESM_SCALE} - ses.s) // {ESM_SCALE}, ses.n
+  FROM ses JOIN o ON o.event_type = ses.event_type AND o.t = ses.t + 1
+)
+SELECT s1.event_type, CAST(s1.n AS BIGINT) AS n_hours,
+       q.s AS s_q1, hm.s AS s_half, s1.s AS s_final, s1.sae AS sae_units
+FROM ses s1
+JOIN ses q ON q.event_type = s1.event_type AND q.t = GREATEST(s1.n // 4, 1)
+JOIN ses hm ON hm.event_type = s1.event_type AND hm.t = GREATEST(s1.n // 2, 1)
+WHERE s1.t = s1.n
+"""
+
+
 QUERIES = {
+    "events_exp_smoothing": events_exp_smoothing,
     "events_attribution_models": events_attribution_models,
     "events_cohort_ltv": events_cohort_ltv,
     "events_timeseries_backtest": events_timeseries_backtest,

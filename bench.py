@@ -133,6 +133,11 @@ HEADLINE = (
     "sketch_sample_quantiles",
     "events_timeseries_backtest",
     "ab_test_battery",
+    # r8 additions: the two recursion ladders — per-type ordered-array
+    # folds whose cost is one hourly pre-agg + a hours-sized collect;
+    # benched so the HOF fold (interpreted, not codegen) stays honest
+    "events_exp_smoothing",
+    "events_holt_trend",
     # pays the supported-edge build cold in isolation; in the pass it
     # rides warm behind graph_connected_components like LPA/modularity
     "graph_assortativity",
@@ -255,6 +260,10 @@ BASELINE = {
     "events_timeseries_backtest": 1.827,
     "ab_test_battery": 4.395,
     "graph_assortativity": 3.631,
+    # --- r8 floors: idle-box suite medians at add time (sentinel
+    #     1.036) — the two recursion-ladder folds ---
+    "events_exp_smoothing": 0.538,
+    "events_holt_trend": 0.358,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

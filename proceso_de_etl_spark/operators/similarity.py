@@ -1474,7 +1474,95 @@ QUALIFY rank <= {SPARSE_TOPK}
 """
 
 
+RRF_K0 = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_SCALE = 10**9  # integer score unit: contrib = SCALE // (K0 + rank)
+FUSION_TOP_K = TOP_K
+
+
+def ann_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T71 — reciprocal-rank fusion over the three heterogeneous ANN
+    paths (exact brute-force T6, pinned-IVF T7b2, multi-table LSH
+    T7): per (query, neighbor), rrf = Σ_sources SCALE // (60 + rank),
+    fused top-k by (rrf desc, neighbor_id asc). This is how a 100 TB
+    search tier actually serves: several indexes with different
+    recall/cost points vote, and rank fusion needs NO score
+    calibration across them — ranks are the only common currency.
+    Exactness: the per-rank contributions are PRECOMPUTED integer
+    literals (rank ∈ 1..TOP_K, so the whole map is TOP_K ints via
+    element_at — no runtime division at all), the fused score is an
+    exact BIGINT sum, and the oracle recomputes SCALE // (60+rank)
+    with DuckDB's positive-integer division — identical by
+    construction. Composition key in the ab_test_battery mold: the
+    oracle embeds the three component oracles as scoped CTEs, so a
+    regression in ANY path surfaces here too. n_sources (how many
+    indexes voted) rides along — the operational signal for which
+    neighbors only one index can see.
+
+    Scale: the three searches share the corpus scan shapes already
+    audited on their own keys; fusion itself is one union + one
+    keyed agg + a per-query top-k window over ≤ 3·TOP_K candidate
+    rows per query."""
+    from pyspark.sql import Window as W
+
+    contribs = F.array(
+        *[F.lit(RRF_SCALE // (RRF_K0 + r)).cast("bigint") for r in range(1, TOP_K + 1)]
+    )
+    parts = [
+        fn(spark, sf_dir).select("query_id", "rank", "neighbor_id")
+        for fn in (ann_cosine_topk, ann_ivf_pinned_topk, ann_lsh_bucketed)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    fused = (
+        u.withColumn("contrib", F.element_at(contribs, F.col("rank").cast("int")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("contrib").alias("rrf_scaled"),
+            F.count("*").cast("bigint").alias("n_sources"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf_scaled"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= FUSION_TOP_K)
+        .select("query_id", "fused_rank", "neighbor_id", "rrf_scaled", "n_sources")
+    )
+
+
+def _rank_fusion_oracle_sql() -> str:
+    # each component oracle is a complete WITH...SELECT; parenthesized
+    # as a CTE body its inner WITH is scoped locally (the
+    # ab_test_battery composition discipline)
+    return f"""
+WITH exact_r AS ({ORACLES["ann_cosine_topk"].strip()}),
+ivf_r AS ({ORACLES["ann_ivf_pinned_topk"].strip()}),
+lsh_r AS ({ORACLES["ann_lsh_bucketed"].strip()}),
+u AS (
+  SELECT query_id, rank, neighbor_id FROM exact_r
+  UNION ALL SELECT query_id, rank, neighbor_id FROM ivf_r
+  UNION ALL SELECT query_id, rank, neighbor_id FROM lsh_r
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM({RRF_SCALE} // ({RRF_K0} + rank)) AS BIGINT) AS rrf_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM u GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, rrf_scaled, n_sources,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf_scaled DESC, neighbor_id ASC) AS BIGINT) AS fused_rank
+  FROM fused
+)
+SELECT query_id, fused_rank, neighbor_id, rrf_scaled, n_sources
+FROM ranked WHERE fused_rank <= {FUSION_TOP_K}
+"""
+
+
+ORACLES["ann_rank_fusion"] = _rank_fusion_oracle_sql()
+
+
 QUERIES = {
+    "ann_rank_fusion": ann_rank_fusion,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_sparse_tfidf_topk": ann_sparse_tfidf_topk,
     "embedding_int8_quantize": embedding_int8_quantize,

@@ -1755,6 +1755,68 @@ def test_exp_smoothing_matches_python_recursion(spark):
     assert one.count() > 0  # the edge is covered by the python twin
 
 
+def test_rank_fusion_matches_python_over_components(spark):
+    """T71 semantics: collect the three component rankings (exact,
+    pinned IVF, LSH), fuse them in pure Python with the same integer
+    contributions (SCALE // (K0 + rank)) and (rrf desc, neighbor asc)
+    tie-break, and require the operator's fused top-k to match
+    exactly — including n_sources. Also pins that fusion never
+    invents a neighbor (every fused pair exists in some component)
+    and that a neighbor ranked #1 by all three sources tops its
+    query's fused list."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.similarity import (
+        FUSION_TOP_K,
+        RRF_K0,
+        RRF_SCALE,
+        ann_cosine_topk,
+        ann_ivf_pinned_topk,
+        ann_lsh_bucketed,
+        ann_rank_fusion,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comps = [
+        fn(spark, sf).collect()
+        for fn in (ann_cosine_topk, ann_ivf_pinned_topk, ann_lsh_bucketed)
+    ]
+    scores: dict = defaultdict(lambda: [0, 0])
+    for rows in comps:
+        for r in rows:
+            s = scores[(r.query_id, r.neighbor_id)]
+            s[0] += RRF_SCALE // (RRF_K0 + r.rank)
+            s[1] += 1
+    by_q: dict = defaultdict(list)
+    for (q, nb), (rrf, ns) in scores.items():
+        by_q[q].append((-rrf, nb, ns))
+    want = {}
+    for q, lst in by_q.items():
+        lst.sort()
+        for i, (neg, nb, ns) in enumerate(lst[:FUSION_TOP_K], start=1):
+            want[(q, i)] = (nb, -neg, ns)
+
+    got = ann_rank_fusion(spark, sf).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r.query_id, r.fused_rank)] == (
+            r.neighbor_id,
+            r.rrf_scaled,
+            r.n_sources,
+        ), r
+        assert (r.query_id, r.neighbor_id) in scores  # never invented
+        assert 1 <= r.n_sources <= 3
+
+    # unanimous #1 dominates: 3 * SCALE//61 beats any other combo
+    firsts = [
+        {(r.query_id): r.neighbor_id for r in rows if r.rank == 1} for rows in comps
+    ]
+    for q in firsts[0]:
+        if firsts[0][q] == firsts[1].get(q) == firsts[2].get(q):
+            top = next(r for r in got if r.query_id == q and r.fused_rank == 1)
+            assert top.neighbor_id == firsts[0][q]
+
+
 def test_holt_trend_matches_python_and_floors_negative_trend(spark):
     """A107 semantics: replay the two-state floor recursion in pure
     Python (whose // IS floor) over each type's ordered hourly counts

@@ -1514,6 +1514,154 @@ def graph_pagerank_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "node", "pr_scaled")
 
 
+PPR_SEEDS = 3  # personalization set: the 3 lexicographically-smallest
+# customer nodes — deterministic on both engines (plain string ORDER BY)
+
+
+def graph_ppr_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44d — PERSONALIZED PageRank made driver-verifiable (r8): the
+    T44b integer ladder with the teleport vector concentrated on a
+    pinned seed set (the PPR_SEEDS smallest customer nodes) and the
+    dangling mass returned to the seeds — the recommendation-serving
+    variant: on the bipartite customer→supplier purchase graph the
+    ranking reads as "the suppliers most relevant to THESE
+    customers", the query a global PageRank cannot answer. Same
+    exact-BIGINT discipline as T44b (PRL_SCALE mass units, every
+    division integer, all quantities nonnegative so truncate==floor
+    cross-engine): r'(v) = [v∈S]·(15·SCALE div (100·|S|))
+    + (85·(inflow(v) + [v∈S]·(dm div |S|))) div 100, PRL_ITERS
+    unrolled rounds, per-round localCheckpoint, top-20 via
+    TakeOrderedAndProject. Value-oracled end to end — the seed set
+    is an ORDER BY/LIMIT both engines replay identically.
+    Ref: extends T44b; the reference has no graph surface."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    edges = purchase_edges(spark, sf_dir)
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seeds = (
+        nodes.filter(F.col("node").startswith("c"))
+        .orderBy("node")
+        .limit(PPR_SEEDS)
+        .withColumn("isseed", F.lit(1))
+        .persist()
+    )
+    ks = seeds.agg(F.count("*").cast("bigint").alias("k"))  # in-plan scalar
+    weighted = edges.join(out_w, "src").persist()
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+
+    def teleport_rank(inflow_joined: DataFrame) -> DataFrame:
+        return inflow_joined.select(
+            "node",
+            F.expr(
+                f"CASE WHEN isseed = 1 THEN (15 * CAST({PRL_SCALE} AS BIGINT)) div (100 * k) ELSE 0 END"
+                " + (85 * (coalesce(inflow, CAST(0 AS BIGINT))"
+                " + CASE WHEN isseed = 1 THEN dm div k ELSE 0 END)) div 100"
+            ).alias("r"),
+        )
+
+    ranks = (
+        nodes.join(F.broadcast(seeds), "node", "left")
+        .join(F.broadcast(ks))
+        .select(
+            "node",
+            F.expr(
+                f"CASE WHEN isseed = 1 THEN CAST({PRL_SCALE} AS BIGINT) div k ELSE 0 END"
+            ).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(PRL_ITERS):
+            dang = ranks.join(dangling_nodes, "node").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("dm")
+            )
+            contrib = (
+                ranks.join(weighted, ranks.node == weighted.src)
+                .groupBy("dst")
+                .agg(F.sum(F.expr("(r * weight) div ow")).alias("inflow"))
+            )
+            ranks = teleport_rank(
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .join(F.broadcast(seeds), "node", "left")
+                .join(F.broadcast(dang))
+                .join(F.broadcast(ks))
+            ).localCheckpoint(eager=True)
+    finally:
+        weighted.unpersist()
+        dangling_nodes.unpersist()
+        seeds.unpersist()
+        nodes.unpersist()
+    return ranked_topk(
+        ranks.select("node", F.col("r").alias("ppr_scaled")),
+        [F.desc("ppr_scaled"), F.asc("node")],
+        20,
+    ).select("rank", "node", "ppr_scaled")
+
+
+def _ppr_ladder_oracle_sql() -> str:
+    rounds = []
+    prev = "p0"
+    for k in range(1, PRL_ITERS + 1):
+        rounds.append(f"""
+pd{k} AS (
+  SELECT COALESCE(SUM(r.r), 0) AS dm
+  FROM {prev} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL
+),
+pc{k} AS (
+  SELECT e.dst, SUM((r.r * e.weight) // o.ow) AS inflow
+  FROM {prev} r JOIN edges e ON e.src = r.node JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+p{k} AS (
+  SELECT nd.node,
+         CASE WHEN s.node IS NOT NULL THEN (15 * {PRL_SCALE}) // (100 * k) ELSE 0 END
+         + (85 * (COALESCE(c.inflow, 0)
+                  + CASE WHEN s.node IS NOT NULL THEN dm // k ELSE 0 END)) // 100 AS r
+  FROM nodes nd
+  LEFT JOIN pc{k} c ON c.dst = nd.node
+  LEFT JOIN seeds s ON s.node = nd.node, ks, pd{k}
+)""")
+        prev = f"p{k}"
+    return f"""
+WITH edges AS (
+  SELECT concat('c', o_custkey) AS src, concat('s', l_suppkey) AS dst,
+         COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, SUM(weight) AS ow FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+seeds AS (SELECT node FROM nodes WHERE node LIKE 'c%' ORDER BY node LIMIT {PPR_SEEDS}),
+ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM seeds),
+p0 AS (
+  SELECT nd.node,
+         CASE WHEN s.node IS NOT NULL THEN {PRL_SCALE} // k ELSE 0 END AS r
+  FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node, ks
+),{",".join(rounds)}
+SELECT CAST(rank AS BIGINT) AS rank, node, CAST(ppr_scaled AS BIGINT) AS ppr_scaled
+FROM (
+  SELECT node, r AS ppr_scaled,
+         row_number() OVER (ORDER BY r DESC, node ASC) AS rank
+  FROM {prev}
+) WHERE rank <= 20
+"""
+
+
+ORACLES["graph_ppr_ladder"] = _ppr_ladder_oracle_sql()
+
+
 def _pagerank_ladder_oracle_sql() -> str:
     rounds = []
     prev = "r0"
@@ -2607,6 +2755,7 @@ QUERIES = {
     "graph_louvain_move": graph_louvain_move,
     "graph_coarsen": graph_coarsen,
     "graph_pagerank_ladder": graph_pagerank_ladder,
+    "graph_ppr_ladder": graph_ppr_ladder,
     "graph_link_prediction": graph_link_prediction,
     "graph_louvain_ladder": graph_louvain_ladder,
     "graph_louvain_fixpoint": graph_louvain_fixpoint,

@@ -1525,6 +1525,57 @@ def test_pagerank_ladder_tracks_float_twin_and_conserves_mass(spark):
     assert PRL_SCALE - total <= n * (PRL_ITERS + 1) * 3, (total, n)
 
 
+def test_ppr_ladder_matches_python_replay(spark):
+    """T44d: replay the personalized ladder in pure Python over the
+    collected sf0.001 purchase graph — integer-EXACT equality on the
+    top-20 frame (rank, node, scaled mass), stronger than the float
+    bound the global ladder uses. Also pins the personalization
+    semantics: non-seed customers receive NO teleport and (bipartite
+    graph, no inbound edges) must carry exactly zero mass, and total
+    mass never exceeds one SCALE unit."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.ml import (
+        PPR_SEEDS,
+        PRL_ITERS,
+        PRL_SCALE,
+        graph_ppr_ladder,
+        purchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r.rank, r.node, r.ppr_scaled) for r in graph_ppr_ladder(spark, sf).collect()]
+
+    edges = [(r.src, r.dst, int(r.weight)) for r in purchase_edges(spark, sf).collect()]
+    ow: dict = defaultdict(int)
+    nodes = set()
+    for s, d, w in edges:
+        ow[s] += w
+        nodes.update((s, d))
+    seeds = sorted(n for n in nodes if n.startswith("c"))[:PPR_SEEDS]
+    k = len(seeds)
+    sset = set(seeds)
+    r = {n: (PRL_SCALE // k if n in sset else 0) for n in nodes}
+    for _ in range(PRL_ITERS):
+        dm = sum(v for n, v in r.items() if n not in ow)
+        inflow: dict = defaultdict(int)
+        for s, d, w in edges:
+            inflow[d] += (r[s] * w) // ow[s]
+        r = {
+            n: ((15 * PRL_SCALE) // (100 * k) if n in sset else 0)
+            + (85 * (inflow.get(n, 0) + (dm // k if n in sset else 0))) // 100
+            for n in nodes
+        }
+    want = sorted(((-v, n) for n, v in r.items()))[:20]
+    want = [(i + 1, n, -neg) for i, (neg, n) in enumerate(want)]
+    assert got == want
+
+    for n, v in r.items():
+        if n.startswith("c") and n not in sset:
+            assert v == 0, n  # no teleport, no inbound edges
+    assert sum(r.values()) <= PRL_SCALE
+
+
 def test_link_prediction_matches_python_replay(spark):
     """A95: replay the whole pipeline (cap, wedges, RA scaled-integer
     sum, anti-join, ordering) in pure Python on the smoke graph and

@@ -1446,6 +1446,107 @@ WHERE s.t = m.t1 OR s.t = m.tn
 ORACLES["stream_exp_smoothing"] = _ses_stream_oracle_sql()
 
 
+def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST25 — A107's Holt linear-trend recursion maintained LIVE:
+    (n_hours, level, trend, sae) in applyInPandasWithState keyed
+    state across hour-boundary-split micro-batches (the ST24
+    discipline applied to the TWO-state recursion — the trend goes
+    negative, so the state op leans on Python's native floor //
+    while the batch twin spells the pmod form). Per-epoch trajectory,
+    every row value-oracled by A107's WITH RECURSIVE recursion
+    evaluated at the epoch-boundary cumulative-hour counts."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from proceso_de_etl_spark.streaming.stateful import holt_monitor_state
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    split = mm["lo"] + (mm["hi"] - mm["lo"]) // 2
+    split -= split % HOUR_US
+    stage = tempfile.mkdtemp(prefix="stream_holt_src_")
+    for i, pred in enumerate(
+        (F.unix_micros("ts") < split, F.unix_micros("ts") >= split)
+    ):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_holt_b{i}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_events.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime -> deterministic replay order
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    enriched = raw.withColumn("hr_us", F.unix_micros(F.date_trunc("hour", "ts")))
+    mem = run_to_memory(holt_monitor_state(enriched), "update")
+    return mem.select(
+        "event_type", "n_hours", "s_scaled", "b_scaled", "sae_units"
+    ).distinct()
+
+
+def _holt_stream_oracle_sql() -> str:
+    from proceso_de_etl_spark.operators.events import (
+        ESM_ALPHA_DEN,
+        ESM_ALPHA_NUM,
+        ESM_SCALE,
+        HOLT_BETA_DEN,
+        HOLT_BETA_NUM,
+        _holt_fdiv_sql,
+    )
+
+    return f"""
+WITH RECURSIVE bounds AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+sp AS (
+  SELECT (lo + (hi - lo) // 2) - ((lo + (hi - lo) // 2) % {HOUR_US}) AS split
+  FROM bounds
+),
+h AS MATERIALIZED (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hh, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+o AS MATERIALIZED (
+  SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY hh) AS t, hh
+  FROM h
+),
+holt AS (
+  SELECT event_type, t, x * {ESM_SCALE} AS s, CAST(0 AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS sae
+  FROM o WHERE t = 1
+  UNION ALL
+  SELECT event_type, t, snew,
+         {_holt_fdiv_sql(f"{HOLT_BETA_NUM} * (snew - sold) + {HOLT_BETA_DEN - HOLT_BETA_NUM} * bold", HOLT_BETA_DEN)},
+         sae_new
+  FROM (
+    SELECT o.event_type, o.t, holt.s AS sold, holt.b AS bold,
+           {_holt_fdiv_sql(f"{ESM_ALPHA_NUM} * o.x * {ESM_SCALE} + {ESM_ALPHA_DEN - ESM_ALPHA_NUM} * (holt.s + holt.b)", ESM_ALPHA_DEN)} AS snew,
+           holt.sae + abs(o.x * {ESM_SCALE} - (holt.s + holt.b)) // {ESM_SCALE} AS sae_new
+    FROM holt JOIN o ON o.event_type = holt.event_type AND o.t = holt.t + 1
+  )
+),
+marks AS (
+  SELECT event_type,
+         SUM(CASE WHEN hh < sp.split THEN 1 ELSE 0 END) AS t1,
+         COUNT(*) AS tn
+  FROM h, sp GROUP BY 1
+)
+SELECT DISTINCT hl.event_type, CAST(hl.t AS BIGINT) AS n_hours,
+       hl.s AS s_scaled, hl.b AS b_scaled, hl.sae AS sae_units
+FROM holt hl JOIN marks m ON m.event_type = hl.event_type
+WHERE hl.t = m.t1 OR hl.t = m.tn
+"""
+
+
+ORACLES["stream_holt_trend"] = _holt_stream_oracle_sql()
+
+
 def stream_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST9 companion (r6 verdict item 7) — EXACT per-hour distinct
     users in a stream, value-oracled. Exact COUNT(DISTINCT) is
@@ -1845,6 +1946,7 @@ _batch_twin_oracles()
 
 QUERIES = {
     "stream_exp_smoothing": stream_exp_smoothing,
+    "stream_holt_trend": stream_holt_trend,
     "stream_attribution_models": stream_attribution_models,
     "stream_cohort_ltv": stream_cohort_ltv,
     "stream_cusum_monitor": stream_cusum_monitor,

@@ -344,3 +344,70 @@ def ses_monitor_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HOLT_OUT_SCHEMA = (
+    "event_type string, n_hours bigint, s_scaled bigint, b_scaled bigint, sae_units bigint"
+)
+HOLT_STATE_SCHEMA = "n_hours bigint, s bigint, b bigint, sae bigint"
+
+
+def holt_monitor_state(events: DataFrame) -> DataFrame:
+    """ST25 core — A107's two-state Holt recursion with explicit
+    keyed state: per event_type over hourly counts, level s_t =
+    (2·x_t·SCALE + 8·(s+b)) floordiv 10 and trend b_t = (3·Δs + 7·b)
+    floordiv 10 carried as (n_hours, s, b, sae) across triggers.
+    Python's // IS floor division, which is exactly the recursion's
+    definition — the batch twin spells the pmod form because Spark
+    div/DuckDB // truncate; here no translation is needed. Same
+    hour-boundary micro-batch contract as ses_monitor_state."""
+    from proceso_de_etl_spark.operators.events import ESM_SCALE
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n_hours, s, b, sae = state.get if state.exists else (0, 0, 0, 0)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            g = (
+                pd.DataFrame({"hr": pdf["hr_us"].to_numpy(dtype="int64")})
+                .groupby("hr")
+                .size()
+                .sort_index()
+            )
+            for _, x in g.items():
+                x = int(x)
+                if n_hours == 0:
+                    s, b = x * ESM_SCALE, 0
+                else:
+                    fc = s + b
+                    sae += abs(x * ESM_SCALE - fc) // ESM_SCALE
+                    s2 = (2 * x * ESM_SCALE + 8 * fc) // 10
+                    b = (3 * (s2 - s) + 7 * b) // 10
+                    s = s2
+                n_hours += 1
+        state.update((n_hours, s, b, sae))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_hours": n_hours,
+                    "s_scaled": s,
+                    "b_scaled": b,
+                    "sae_units": sae,
+                }
+            ]
+        )
+
+    return (
+        events.select("event_type", "hr_us")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HOLT_OUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

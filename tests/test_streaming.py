@@ -499,3 +499,65 @@ def test_stream_ses_state_carries_across_triggers(spark, tmp_path):
     assert (rows[4].s_scaled, rows[4].sae_units) == (s4, sae4)
     # per-batch reset would restart at hour 3: provably different
     assert ses([40, 10]) != (s4, sae4)
+
+
+def test_stream_holt_state_carries_across_triggers(spark, tmp_path):
+    """ST25's state contract: the two-state Holt recursion must
+    CONTINUE across micro-batches, including the trend — planted
+    counts rise in batch 1 and fall in batch 2, so the carried trend
+    flips sign mid-stream and a per-batch reset (which restarts at
+    b = 0) provably diverges."""
+    from proceso_de_etl_spark.operators.events import ESM_SCALE
+    from proceso_de_etl_spark.streaming.stateful import holt_monitor_state
+
+    HOUR = 3_600_000_000
+    batch1 = [(1, 10), (2, 30), (3, 50)]
+    batch2 = [(4, 20), (5, 5)]
+    src = str(tmp_path / "src")
+    cols = "event_type string, hr_us long"
+
+    def frame(rows):
+        data = [("a", h * HOUR) for h, n in rows for _ in range(n)]
+        return spark.createDataFrame(data, cols)
+
+    frame(batch1).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(frame(batch1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "holt_state_test"
+    q = (
+        holt_monitor_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        frame(batch2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def holt(xs):
+        s, b, sae = xs[0] * ESM_SCALE, 0, 0
+        for x in xs[1:]:
+            fc = s + b
+            sae += abs(x * ESM_SCALE - fc) // ESM_SCALE
+            s2 = (2 * x * ESM_SCALE + 8 * fc) // 10
+            b = (3 * (s2 - s) + 7 * b) // 10
+            s = s2
+        return s, b, sae
+
+    rows = {r.n_hours: r for r in spark.table(name).collect()}
+    assert set(rows) == {3, 5}
+    assert (rows[3].s_scaled, rows[3].b_scaled, rows[3].sae_units) == holt([10, 30, 50])
+    full = holt([10, 30, 50, 20, 5])
+    assert (rows[5].s_scaled, rows[5].b_scaled, rows[5].sae_units) == full
+    # trend carried across the boundary: a reset restarts at b=0
+    assert holt([20, 5]) != full
+    # the planted reversal bends the carried trend downward (β=0.3
+    # damping keeps it positive after only two declining hours)
+    assert rows[3].b_scaled > 0 and rows[5].b_scaled < rows[3].b_scaled

@@ -667,6 +667,148 @@ FROM tri
 """
 
 
+CC_SCALE = 10**6  # 6dp local-clustering-coefficient unit
+CC_TOPK = 20
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A109 — per-node local clustering coefficient (r8), the
+    node-level companion to A59's global triangle count: cc(v) =
+    2·tri(v) / (deg(v)·(deg(v)−1)) as the exact scaled integer
+    (2·tri·SCALE) div (deg·(deg−1)) over nodes with deg ≥ 2; top-20
+    by (cc desc, tri desc, node asc). Same degree-ordered
+    compact-forward machinery as A59 — each triangle is located at
+    exactly ONE oriented base edge (s,d) with its third corner w in
+    N⁺(s)∩N⁺(d), so per-node counts are corner attributions: s and d
+    each earn |N⁺(s)∩N⁺(d)| from the edge row, every w earns 1 from
+    the exploded intersection. The explode materializes one row per
+    (triangle, third-corner) — bounded by the triangle count itself,
+    which the orientation's O(√m) out-degree cap already bounds per
+    edge; no wedge rows exist. All quantities nonnegative ⇒
+    truncate==floor cross-engine. Value-oracled: the oracle
+    enumerates the same oriented triangles via the wedge join and
+    aggregates the same three corners.
+    Ref: reference has no graph surface; extends A59."""
+    from proceso_de_etl_spark.operators.windows import ranked_topk
+
+    und = copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
+        )
+        .persist()
+    )
+    adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("d")).alias("nbrs"))
+    inter = (
+        oriented.join(
+            adj.select(F.col("s").alias("u2"), F.col("nbrs").alias("nu")),
+            oriented.s == F.col("u2"),
+        )
+        .join(
+            adj.select(F.col("s").alias("v2"), F.col("nbrs").alias("nv")),
+            oriented.d == F.col("v2"),
+            "left",
+        )
+        .select(
+            "s",
+            "d",
+            F.coalesce(
+                F.array_intersect("nu", "nv"), F.expr("CAST(array() AS array<bigint>)")
+            ).alias("common"),
+        )
+    )
+    corner_sd = inter.select(
+        F.explode(F.array("s", "d")).alias("node"),
+        F.size("common").cast("bigint").alias("t"),
+    )
+    corner_w = inter.select(
+        F.explode("common").alias("node"), F.lit(1).cast("bigint").alias("t")
+    )
+    tri_node = (
+        corner_sd.unionByName(corner_w).groupBy("node").agg(F.sum("t").alias("tri"))
+    )
+    scored = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("triangles"),
+            F.expr(f"(2 * coalesce(tri, 0) * CAST({CC_SCALE} AS BIGINT))"
+                   " div (deg * (deg - 1))").alias("cc_scaled"),
+        )
+    )
+    out = ranked_topk(
+        scored,
+        [F.desc("cc_scaled"), F.desc("triangles"), F.asc("node")],
+        CC_TOPK,
+    ).select("rank", "node", "deg", "triangles", "cc_scaled")
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out
+
+
+ORACLES["graph_clustering_coeff"] = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS s,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS d,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN dv.deg ELSE du.deg END AS dd
+  FROM und
+  JOIN deg du ON du.node = u
+  JOIN deg dv ON dv.node = v
+),
+tris AS (
+  SELECT w.s AS a, w.x AS b, w.y AS c
+  FROM (
+    SELECT w1.s, w1.d AS x, w2.d AS y
+    FROM oriented w1 JOIN oriented w2
+      ON w1.s = w2.s AND (w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.d < w2.d))
+  ) w JOIN oriented o ON w.x = o.s AND w.y = o.d
+),
+tri_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+),
+scored AS (
+  SELECT d.node, d.deg, COALESCE(t.tri, 0) AS triangles,
+         (2 * COALESCE(t.tri, 0) * {CC_SCALE}) // (d.deg * (d.deg - 1)) AS cc_scaled
+  FROM deg d LEFT JOIN tri_node t ON t.node = d.node
+  WHERE d.deg >= 2
+)
+SELECT CAST(rank AS BIGINT) AS rank, node, deg, triangles, CAST(cc_scaled AS BIGINT) AS cc_scaled
+FROM (
+  SELECT node, deg, triangles, cc_scaled,
+         row_number() OVER (ORDER BY cc_scaled DESC, triangles DESC, node ASC) AS rank
+  FROM scored
+) WHERE rank <= {CC_TOPK}
+"""
+
+
 KCORE_K = 64
 KCORE_MAX_ITER = 200
 
@@ -2746,6 +2888,7 @@ QUERIES = {
     "ml_pagerank_bipartite": ml_pagerank_bipartite,
     "ml_logreg_quality": ml_logreg_quality,
     "graph_triangle_count": graph_triangle_count,
+    "graph_clustering_coeff": graph_clustering_coeff,
     "graph_copurchase_edges": graph_copurchase_edges,
     "graph_copurchase_supported": graph_copurchase_supported,
     "graph_purchase_edges": graph_purchase_edges,

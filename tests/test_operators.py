@@ -1525,6 +1525,62 @@ def test_pagerank_ladder_tracks_float_twin_and_conserves_mass(spark):
     assert PRL_SCALE - total <= n * (PRL_ITERS + 1) * 3, (total, n)
 
 
+def test_clustering_coeff_matches_bruteforce_and_triangle_total(spark):
+    """A109: brute-force the per-node triangle counts on the sf0.001
+    co-purchase graph (adjacency-set intersection over every edge —
+    no orientation tricks, an independent formulation) and pin the
+    operator's top-20 frame exactly, including the floor-scaled cc.
+    Cross-key: the corner attributions must sum to exactly 3× A59's
+    global triangle count."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.ml import (
+        CC_SCALE,
+        CC_TOPK,
+        copurchase_edges,
+        graph_clustering_coeff,
+        graph_triangle_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in graph_clustering_coeff(spark, sf).collect()]
+
+    edges = {(r.u, r.v) for r in copurchase_edges(spark, sf).collect()}
+    nbrs: dict = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    tri: dict = defaultdict(int)
+    for u, v in edges:  # each triangle visited once per edge => /... no:
+        # common neighbors of an EDGE count the triangle at all 3 edges,
+        # so each node's increments arrive once per incident edge pair
+        for w in nbrs[u] & nbrs[v]:
+            tri[frozenset((u, v, w))] = 1
+    per_node: dict = defaultdict(int)
+    for t in tri:
+        for n in t:
+            per_node[n] += 1
+    scored = [
+        (
+            -((2 * per_node[n] * CC_SCALE) // (d * (d - 1))),
+            -per_node[n],
+            n,
+            d,
+        )
+        for n, d in ((n, len(ns)) for n, ns in nbrs.items())
+        if d >= 2
+    ]
+    scored.sort()
+    want = [
+        (i + 1, n, d, -negtri, -negcc)
+        for i, (negcc, negtri, n, d) in enumerate(scored[:CC_TOPK])
+    ]
+    assert got == want
+
+    total = graph_triangle_count(spark, sf).collect()[0].n_triangles
+    assert sum(per_node.values()) == 3 * total
+
+
 def test_ppr_ladder_matches_python_replay(spark):
     """T44d: replay the personalized ladder in pure Python over the
     collected sf0.001 purchase graph — integer-EXACT equality on the

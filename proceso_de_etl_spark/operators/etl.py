@@ -2499,7 +2499,98 @@ FROM lineitem"""
 )
 
 
+# FK-discovery probe set: every true FK edge of the TPC-H-ish star
+# plus deliberate negatives — a value-overlapping non-key pair
+# (p_size vs nationkey: small-int ranges collide), a reversed edge
+# (does every supplier appear in lineitem?), and a tiny-cardinality
+# column fully contained by accident (l_linenumber 1..7 ⊆ p_size
+# 1..50 — containment 1 at n_distinct 7, the classic false positive
+# the report must EXPOSE via its distinct count rather than hide).
+# Single source of truth for operator + oracle.
+_FK_PROBES = (
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+    ("supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ("lineitem", "l_linenumber", "part", "p_size"),
+)
+
+FK_SCALE = 10**6
+
+
+def etl_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E48 — inclusion-dependency (foreign-key) discovery (r8): for
+    each probe pair, how much of the child column's DISTINCT value
+    set is contained in the parent column — the cross-table sibling
+    of E45's candidate-key discovery, and the profiling step that
+    finds (or refutes) join edges before anyone writes the join.
+    containment = (contained·SCALE) div n_child_distinct (exact
+    integers; nonnegative ⇒ truncate==floor cross-engine); is_fk =
+    full containment. The probe set plants the three classic false
+    positives — accidental small-int range overlap, a reversed edge,
+    and a constant column whose containment is 1 at n_distinct 1 —
+    so the report demonstrates WHY the verdict must be read next to
+    the distinct count, not alone.
+
+    Scale: per pair one DISTINCT on the child column + a LEFT SEMI
+    join against the parent's distinct values (both shuffles keyed
+    on the probed column, no row-level data movement beyond the
+    value sets); pairs are independent subplans unioned — at 100 TB
+    run them as one job and let the scheduler overlap the scans."""
+    out = None
+    for ct, cc, pt, pc in _FK_PROBES:
+        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("k")).filter(
+            F.col("k").isNotNull()
+        )
+        parent = (
+            load_table(spark, sf_dir, pt).select(F.col(pc).alias("pk")).distinct()
+        )
+        cd = child.distinct()
+        contained = cd.join(parent, cd.k == parent.pk, "left_semi")
+        row = (
+            child.agg(F.count("*").cast("bigint").alias("n_child_rows"))
+            .join(cd.agg(F.count("*").cast("bigint").alias("n_child_distinct")))
+            .join(contained.agg(F.count("*").cast("bigint").alias("n_contained")))
+            .select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                "n_child_rows",
+                "n_child_distinct",
+                "n_contained",
+                F.expr(
+                    f"(n_contained * CAST({FK_SCALE} AS BIGINT)) div n_child_distinct"
+                ).alias("containment_scaled"),
+                (F.col("n_contained") == F.col("n_child_distinct")).alias("is_fk"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLES["etl_fk_discovery"] = "\nUNION ALL\n".join(
+    f"""SELECT * , (n_contained * {FK_SCALE}) // n_child_distinct AS containment_scaled,
+       n_contained = n_child_distinct AS is_fk
+FROM (
+  SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+         '{pt}' AS parent_table, '{pc}' AS parent_col,
+         (SELECT CAST(COUNT({cc}) AS BIGINT) FROM {ct}) AS n_child_rows,
+         (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct}) AS n_child_distinct,
+         (SELECT CAST(COUNT(DISTINCT c.{cc}) AS BIGINT) FROM {ct} c
+          WHERE c.{cc} IN (SELECT {pc} FROM {pt})) AS n_contained
+)"""
+    for ct, cc, pt, pc in _FK_PROBES
+)
+
+
 QUERIES = {
+    "etl_fk_discovery": etl_fk_discovery,
     "etl_key_discovery": etl_key_discovery,
     "etl_calendar_gaps": etl_calendar_gaps,
     "etl_freshness_report": etl_freshness_report,

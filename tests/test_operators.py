@@ -2511,3 +2511,46 @@ def test_assortativity_matches_networkx_free_replay(spark):
     assert r_of(star) == -1.0
     two_triangles = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
     assert r_of(two_triangles) is None  # degree-regular: zero variance
+
+
+def test_fk_discovery_verdicts_and_planted_false_positives(spark):
+    """E48 semantics on gate data: the seven true star-schema FK
+    edges must report full containment; the accidental-range-overlap
+    probe (p_size vs nationkey) must NOT; and the two planted false
+    positives (the reversed supplier edge and the tiny-cardinality
+    l_linenumber ⊆ p_size) must show is_fk=True at a distinct count
+    far below their parent's — the exact reason the report carries
+    n_child_distinct next to the verdict. Containment is re-derived
+    from raw value sets independently of the operator's joins."""
+    from proceso_de_etl_spark.operators.etl import (
+        FK_SCALE,
+        _FK_PROBES,
+        etl_fk_discovery,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.child_table, r.child_col): r for r in etl_fk_discovery(spark, sf).collect()
+    }
+    assert len(got) == len(_FK_PROBES)
+    for ct, cc, pt, pc in _FK_PROBES:
+        child = {
+            r[0]
+            for r in load_table(spark, sf, ct).select(cc).collect()
+            if r[0] is not None
+        }
+        parent = {r[0] for r in load_table(spark, sf, pt).select(pc).collect()}
+        r = got[(ct, cc)]
+        contained = len(child & parent)
+        assert (r.n_child_distinct, r.n_contained) == (len(child), contained)
+        assert r.containment_scaled == (contained * FK_SCALE) // len(child)
+        assert r.is_fk == (contained == len(child))
+    # the true edges hold, the range-overlap probe fails
+    assert got[("orders", "o_custkey")].is_fk
+    assert got[("lineitem", "l_orderkey")].is_fk
+    assert not got[("part", "p_size")].is_fk
+    # planted false positive: full containment at suspiciously tiny
+    # cardinality — the verdict alone would mislead
+    ln = got[("lineitem", "l_linenumber")]
+    assert ln.is_fk and ln.n_child_distinct <= 7

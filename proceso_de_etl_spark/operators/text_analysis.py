@@ -205,6 +205,67 @@ QUALIFY rank <= 50
 """
 
 
+ZIPF_RANKS = (1, 2, 4, 8, 16, 32, 64)
+ZIPF_SCALE = 10**6
+
+
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T72 — Zipf rank-frequency profile WITHOUT logarithms (r8): the
+    corpus-law diagnostic every tokenizer/mixture decision glances
+    at, expressed so both engines compute identical integers. At the
+    doubling ranks r ∈ {1,2,4,…,64}, report the term, its frequency,
+    and the DOUBLING-DECAY ratio freq(2r)·SCALE div freq(r) — under
+    a Zipf law freq ∝ r^−s the ratio is flat at ≈2^−s·SCALE, so the
+    profile reads the exponent (and its deviation from power-law)
+    straight off integer division, with none of the cross-engine
+    last-ulp ln() exposure a log-log OLS would put on every sum
+    (T64's novelty curve already covers the Heaps/vocab-growth half
+    of the corpus laws). Ranks come from the vocabulary-sized
+    aggregate via TakeOrderedAndProject at 2·64 rows (the T14
+    discipline — no global window); ties break by term asc. A corpus
+    with fewer than 2r distinct terms yields NULL ratios on both
+    engines (left join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    stats = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("freq"))
+    top = ranked_topk(
+        stats, [F.desc("freq"), F.asc("tok")], 2 * max(ZIPF_RANKS)
+    ).select("rank", "tok", "freq")
+    at = top.filter(F.col("rank").isin(list(ZIPF_RANKS)))
+    dbl = (
+        top.filter(F.col("rank") % 2 == 0)
+        .select(
+            F.expr("rank div 2").alias("rank"), F.col("freq").alias("freq2")
+        )
+        .filter(F.col("rank").isin(list(ZIPF_RANKS)))
+    )
+    return at.join(dbl, "rank", "left").select(
+        "rank",
+        "tok",
+        "freq",
+        F.expr(f"(freq2 * CAST({ZIPF_SCALE} AS BIGINT)) div freq").alias(
+            "double_ratio_scaled"
+        ),
+    )
+
+
+ORACLES["text_zipf_profile"] = f"""
+WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+stats AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tok),
+top AS (
+  SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS rank,
+         tok, freq
+  FROM stats QUALIFY rank <= {2 * max(ZIPF_RANKS)}
+),
+at AS (SELECT * FROM top WHERE rank IN {ZIPF_RANKS}),
+dbl AS (SELECT rank // 2 AS rank, freq AS freq2 FROM top
+        WHERE rank % 2 = 0 AND rank // 2 IN {ZIPF_RANKS})
+SELECT a.rank, a.tok, a.freq,
+       (d.freq2 * {ZIPF_SCALE}) // a.freq AS double_ratio_scaled
+FROM at a LEFT JOIN dbl d ON d.rank = a.rank
+"""
+
+
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: tf = term_count/doc_len, idf = ln((N+1)/(df+1));
     top-3 terms per document by score. All double arithmetic is
@@ -1590,6 +1651,7 @@ QUERIES = {
     "text_chunk_documents": text_chunk_documents,
     "text_chunk_dedup_stats": text_chunk_dedup_stats,
     "text_vocab_topk": text_vocab_topk,
+    "text_zipf_profile": text_zipf_profile,
     "text_sentiment": text_sentiment,
     "text_pii_redaction": text_pii_redaction,
     "text_tfidf_topterms": text_tfidf_topterms,

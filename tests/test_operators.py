@@ -2554,3 +2554,39 @@ def test_fk_discovery_verdicts_and_planted_false_positives(spark):
     # cardinality — the verdict alone would mislead
     ln = got[("lineitem", "l_linenumber")]
     assert ln.is_fk and ln.n_child_distinct <= 7
+
+
+def test_zipf_profile_matches_python_vocab_replay(spark):
+    """T72: rebuild the full corpus vocabulary in Python with the
+    reference tokenizer, rank by (freq desc, term asc), and pin the
+    profile exactly — the doubling ranks present, their terms and
+    frequencies, and each double_ratio_scaled (NULL exactly when the
+    vocabulary runs out before rank 2r)."""
+    from collections import Counter
+
+    from proceso_de_etl_spark.operators.text_analysis import (
+        ZIPF_RANKS,
+        ZIPF_SCALE,
+        text_zipf_profile,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.test_properties import _py_tokens
+
+    sf = "/root/testdata/sf0.001"
+    texts = [r.text for r in load_table(spark, sf, "documents").select("text").collect()]
+    counts = Counter(t for tx in texts for t in _py_tokens(tx))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = []
+    for r in ZIPF_RANKS:
+        if r > len(ranked):
+            continue
+        tok, freq = ranked[r - 1]
+        ratio = (
+            (ranked[2 * r - 1][1] * ZIPF_SCALE) // freq if 2 * r <= len(ranked) else None
+        )
+        want.append((r, tok, freq, ratio))
+    got = sorted(tuple(r) for r in text_zipf_profile(spark, sf).collect())
+    assert got == sorted(want)
+    # frequencies nonincreasing along the doubling ranks
+    freqs = [f for (_, _, f, _) in sorted(want)]
+    assert freqs == sorted(freqs, reverse=True)

@@ -78,12 +78,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r7 verdict's item 2: the 18 oracle-paired keys with no driver
 # row yet (all 18 verified against the same oracle by the r7 judge;
 # the ledger should show them green from a DRIVER run). They lead.
-# Next, the 16 keys added THIS round (new keys earn a driver row
+# Next, the 17 keys added THIS round (new keys earn a driver row
 # immediately; note ab_test_battery in group 1 also changed schema
 # this round — n_a/n_b are now the nonparametric counts — so its
 # fresh row gates the NEW shape). The rest of the 50 goes to
 # freshness re-checks of the 31 keys whose latest driver row is r1
-# (verdict item 8: "no green key older than r4"); the 15 that miss
+# (verdict item 8: "no green key older than r4"); the 16 that miss
 # the cap head the r9 queue.
 _PRIORITY = (
     # --- 1. oracle-paired, judge-verified r7, no driver row yet ---
@@ -122,6 +122,7 @@ _PRIORITY = (
     "graph_clustering_coeff",
     "etl_fk_discovery",
     "text_zipf_profile",
+    "etl_data_vault_build",
     # --- 3. freshness re-checks: every key whose latest driver row
     #     is r1 (31 keys; the last 6 overflow the 50-row cap and
     #     lead the r9 queue) ---
@@ -140,8 +141,8 @@ _PRIORITY = (
     "window_rank_ntile",
     "agg_rollup",
     "agg_cube",
+    # ---- 50-row gate cap lands here (18 + 17 + 15) ----
     "agg_grouping_sets",
-    # ---- 50-row gate cap lands here (18 + 16 + 16) ----
     "scalar_function_matrix",
     "array_function_matrix",
     "null_semantics_matrix",

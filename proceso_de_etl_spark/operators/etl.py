@@ -2589,7 +2589,127 @@ FROM (
 )
 
 
+DV_DIGEST_SHIFT = 20  # digest sums hk div 2^20 — 40-bit terms keep the
+# BIGINT sum safe to ~10^6 rows per vault table at gate SFs; at 100 TB
+# route the digest through DECIMAL(38,0) (the A105 overflow rule)
+
+
+def etl_data_vault_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E49 — Data Vault modeling (r8): hubs, links, and satellites
+    built from the star source — the OTHER warehouse paradigm next
+    to E11's star schema and E14's SCD2, and the one whose whole
+    point is hash keys: hub rows are (hash-key, business key), links
+    relate hub hash-keys, satellites carry attribute HASHDIFFs so
+    change detection is a hash compare, not a column-by-column diff.
+    All hashes are the portable md5-60-bit family (identical in
+    DuckDB by construction), and hashdiffs cover only string/integer
+    attributes — doubles and timestamps are EXCLUDED by design
+    because their to-string formatting is engine-specific (the exact
+    trap the dsum/exact-decimal discipline exists for, here avoided
+    at the modeling layer: vault practice pins a canonical textual
+    encoding per column, which for this corpus is the identity on
+    ints/strings). The report is one row per vault table: row count,
+    distinct hash-key count (hash-collision audit: must equal the
+    business-key count), and an order-free integer digest
+    Σ (hk div 2^{DV_DIGEST_SHIFT}) that value-pins every hash
+    without shipping them.
+
+    Scale: each vault table is one scan + one aggregate; hubs/links
+    dedup on the hash (shuffle keyed by hk — the uniform key a
+    surrogate hash exists to provide; NO skew by construction)."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    hub_c = customer.select(
+        h60(F.concat(F.lit("c"), F.col("c_custkey"))).alias("hk")
+    ).distinct()
+    hub_o = orders.select(
+        h60(F.concat(F.lit("o"), F.col("o_orderkey"))).alias("hk")
+    ).distinct()
+    link_oc = orders.select(
+        h60(
+            F.concat(F.lit("oc"), F.col("o_orderkey"), F.lit("|"), F.col("o_custkey"))
+        ).alias("hk")
+    ).distinct()
+    sat_c = customer.select(
+        h60(
+            F.concat(
+                F.col("c_name"), F.lit("|"), F.col("c_nationkey"), F.lit("|"), F.col("c_mktsegment")
+            )
+        ).alias("hk")
+    )
+    sat_o = orders.select(
+        h60(F.concat(F.col("o_orderstatus"), F.lit("|"), F.col("o_orderpriority"))).alias(
+            "hk"
+        )
+    )
+
+    def summarize(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("vault_table"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
+            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
+                "hk_digest"
+            ),
+        )
+
+    out = None
+    for df, name in (
+        (hub_c, "hub_customer"),
+        (hub_o, "hub_order"),
+        (link_oc, "link_order_customer"),
+        (sat_c, "sat_customer"),
+        (sat_o, "sat_order"),
+    ):
+        row = summarize(df, name)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dv_h60_sql(expr: str) -> str:
+    return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def _dv_block(name: str, hk_sql: str, src: str, distinct: bool) -> str:
+    inner = f"SELECT {'DISTINCT ' if distinct else ''}{hk_sql} AS hk FROM {src}"
+    return f"""SELECT '{name}' AS vault_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_hk,
+       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest
+FROM ({inner})"""
+
+
+ORACLES["etl_data_vault_build"] = "\nUNION ALL\n".join(
+    (
+        _dv_block("hub_customer", _dv_h60_sql("'c' || c_custkey"), "customer", True),
+        _dv_block("hub_order", _dv_h60_sql("'o' || o_orderkey"), "orders", True),
+        _dv_block(
+            "link_order_customer",
+            _dv_h60_sql("'oc' || o_orderkey || '|' || o_custkey"),
+            "orders",
+            True,
+        ),
+        _dv_block(
+            "sat_customer",
+            _dv_h60_sql("c_name || '|' || c_nationkey || '|' || c_mktsegment"),
+            "customer",
+            False,
+        ),
+        _dv_block(
+            "sat_order",
+            _dv_h60_sql("o_orderstatus || '|' || o_orderpriority"),
+            "orders",
+            False,
+        ),
+    )
+)
+
+
 QUERIES = {
+    "etl_data_vault_build": etl_data_vault_build,
     "etl_fk_discovery": etl_fk_discovery,
     "etl_key_discovery": etl_key_discovery,
     "etl_calendar_gaps": etl_calendar_gaps,

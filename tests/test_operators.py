@@ -2590,3 +2590,51 @@ def test_zipf_profile_matches_python_vocab_replay(spark):
     # frequencies nonincreasing along the doubling ranks
     freqs = [f for (_, _, f, _) in sorted(want)]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_data_vault_build_matches_hashlib_replay(spark):
+    """E49: rebuild every vault table in pure Python with hashlib md5
+    (the portable 60-bit family) and pin the full summary — row
+    counts, distinct hash-keys, and the order-free digests. Also pins
+    the modeling invariants: hubs and the link are collision-clean
+    (n_distinct == n_rows), and sat_order's hashdiff cardinality is
+    tiny (status × priority combinations) — the change-detection
+    payoff the satellite exists for."""
+    import hashlib
+
+    from proceso_de_etl_spark.operators.etl import (
+        DV_DIGEST_SHIFT,
+        etl_data_vault_build,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer").collect()
+    orders = load_table(spark, sf, "orders").collect()
+    tables = {
+        "hub_customer": {h60(f"c{r.c_custkey}") for r in cust},
+        "hub_order": {h60(f"o{r.o_orderkey}") for r in orders},
+        "link_order_customer": {
+            h60(f"oc{r.o_orderkey}|{r.o_custkey}") for r in orders
+        },
+        "sat_customer": [
+            h60(f"{r.c_name}|{r.c_nationkey}|{r.c_mktsegment}") for r in cust
+        ],
+        "sat_order": [
+            h60(f"{r.o_orderstatus}|{r.o_orderpriority}") for r in orders
+        ],
+    }
+    got = {r.vault_table: r for r in etl_data_vault_build(spark, sf).collect()}
+    assert set(got) == set(tables)
+    for name, hks in tables.items():
+        r = got[name]
+        seq = list(hks)
+        assert r.n_rows == len(seq)
+        assert r.n_distinct_hk == len(set(seq))
+        assert r.hk_digest == sum(h >> DV_DIGEST_SHIFT for h in seq), name
+    for name in ("hub_customer", "hub_order", "link_order_customer"):
+        assert got[name].n_rows == got[name].n_distinct_hk
+    assert got["sat_order"].n_distinct_hk <= 20

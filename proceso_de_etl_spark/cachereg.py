@@ -36,6 +36,13 @@ def memo(
     key = (spark.sparkContext.applicationId, name, sf_dir)
     hit = _CACHE.get(key)
     if hit is not None:
+        # An external spark.catalog.clearCache() (gate harnesses, test
+        # teardowns) drops the storage WITHOUT going through
+        # release_all(), leaving a memo hit that silently recomputes
+        # per consumer — the exact fan-out cost memo exists to avoid
+        # (r8 advisor). Re-pin when the storage level was cleared.
+        if not hit.storageLevel.useMemory and not hit.storageLevel.useDisk:
+            hit.persist()
         return hit
     df = build().persist()
     _CACHE[key] = df

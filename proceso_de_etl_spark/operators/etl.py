@@ -2532,10 +2532,12 @@ def etl_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = (contained·SCALE) div n_child_distinct (exact
     integers; nonnegative ⇒ truncate==floor cross-engine); is_fk =
     full containment. The probe set plants the three classic false
-    positives — accidental small-int range overlap, a reversed edge,
-    and a constant column whose containment is 1 at n_distinct 1 —
-    so the report demonstrates WHY the verdict must be read next to
-    the distinct count, not alone.
+    positives — accidental small-int range overlap (p_size vs
+    nationkey), a reversed edge (supplier→lineitem), and a
+    tiny-cardinality column fully contained by accident
+    (l_linenumber, containment 1 at n_distinct ≤ 7) — so the report
+    demonstrates WHY the verdict must be read next to the distinct
+    count, not alone.
 
     Scale: per pair one DISTINCT on the child column + a LEFT SEMI
     join against the parent's distinct values (both shuffles keyed

@@ -117,12 +117,20 @@ def scaled_int_embedding(emb_col):
     )
 
 
-def with_lsh_tables(emb: DataFrame, col: str = "embedding") -> DataFrame:
-    """(vec_id, table_idx, bucket) rows for every vector — multi-table
+def with_lsh_tables(
+    emb: DataFrame, col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id_col, table_idx, bucket) rows for every vector — multi-table
     LSH: a close pair only needs to agree in ONE table, so recall
     compounds: miss = prod_t (1 - p_match^planes). One table with
     more bits has near-zero recall on sparse data (measured: 1/100
     at 12 bits / 500 vectors).
+
+    Output contract (r8 advisor): EXACTLY three columns —
+    (``id_col``, table_idx, bucket); the input's other columns are
+    dropped, and ``col`` names only the embedding to hash (it is NOT
+    passed through). Callers wanting vectors alongside buckets join
+    back on ``id_col``.
 
     Shape of the computation (r8, after bench flagged a 2x wall
     regression on the scaled-integer rewrite): the cost was never the
@@ -177,7 +185,7 @@ def with_lsh_tables(emb: DataFrame, col: str = "embedding") -> DataFrame:
         .withColumn("_dots", dots)
         .withColumn("tb", F.explode(buckets))
         .select(
-            "vec_id",
+            id_col,
             F.col("tb.table_idx").alias("table_idx"),
             F.col("tb.bucket").alias("bucket"),
         )

@@ -1714,13 +1714,16 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST22 — streaming multi-touch attribution: the A102 batch
     report (operators/events.py) maintained over the live event
     stream. The 7-day lookback reaches BEHIND the current trigger, so
-    the job keeps a distributed TOUCH STORE (append-only parquet — the
-    ST18 state discipline; at scale a compacted state table, same
-    join shape): each epoch attributes ITS purchases against
-    store ∪ current-batch touches with the exact batch credit
-    arithmetic (integer linear shares, (nc·SCALE) div k), appends the
-    epoch's per-channel partials to a credit ledger, then appends the
-    batch's touches to the store. Per-channel integer partials sum
+    the job keeps a distributed TOUCH STORE (epoch_id-partitioned
+    parquet written with dynamic partition overwrite, so a failed
+    epoch's re-execution rewrites its own partition instead of
+    double-appending — idempotent under foreachBatch's at-least-once
+    contract; at scale a compacted state table, same join shape):
+    each epoch attributes ITS purchases against store ∪ current-batch
+    touches with the exact batch credit arithmetic (integer linear
+    shares, (nc·SCALE) div k), writes the epoch's per-channel
+    partials to its credit-ledger partition, then writes the batch's
+    touches to its store partition. Per-channel integer partials sum
     across epochs to the batch totals exactly, so the final report is
     value-oracled by A102's own SQL.
 
@@ -1763,7 +1766,11 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         touches = batch_touches
         if os.path.exists(touch_dir):
-            touches = sess.read.parquet(touch_dir).unionByName(batch_touches)
+            touches = (
+                sess.read.parquet(touch_dir)
+                .select("user_id", "channel", "tt", "tid")
+                .unionByName(batch_touches)
+            )
         joined = purchases.join(touches, purchases.uid == touches.user_id).filter(
             (F.col("tt") < F.col("pt"))
             & (F.col("tt") >= F.col("pt") - ATTR_WINDOW_US)
@@ -1800,9 +1807,32 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the batch twin always emits the (unattributed) row (0s
         # allowed); appending it per epoch keeps the summed ledger
-        # schema-identical to A102
-        attributed.unionByName(orphans).write.mode("append").parquet(credit_dir)
-        batch_touches.write.mode("append").parquet(touch_dir)
+        # schema-identical to A102. Both side-effect writes are keyed
+        # by epoch_id with DYNAMIC partition overwrite so an epoch
+        # RE-EXECUTION after failure rewrites its own partition
+        # instead of double-appending credit/touches (r8 advisor:
+        # append-mode ledgers double-count on replay) — the E25
+        # discipline applied to stream state.
+        epoch = F.lit(int(epoch_id)).alias("epoch_id")
+        (
+            attributed.unionByName(orphans)
+            .withColumn("epoch_id", epoch)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(credit_dir)
+        )
+        # a touch-free epoch writes nothing: a zero-partition dynamic
+        # overwrite would leave a schema-less dir that breaks the
+        # store read on the next epoch
+        if not batch_touches.isEmpty():
+            (
+                batch_touches.withColumn("epoch_id", epoch)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(touch_dir)
+            )
 
     q = raw.writeStream.outputMode("append").foreachBatch(attribute_epoch).start()
     try:
@@ -1882,7 +1912,7 @@ def stream_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         purch = batch_df.filter(
             (F.col("event_type") == "purchase") & F.col("value").isNotNull()
         ).select("user_id", week.alias("pweek"), "value")
-        (
+        rev_part = (
             purch.join(firsts, "user_id")
             .groupBy("cohort_week")
             .agg(
@@ -1896,9 +1926,23 @@ def stream_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for k in range(4)
                 ]
             )
-            .write.mode("append")
-            .parquet(rev_dir)
         )
+        # epoch-keyed dynamic partition overwrite: an epoch
+        # re-execution rewrites its own revenue partition instead of
+        # double-appending (r8 advisor) — matches the firsts store,
+        # whose per-epoch version dirs are already overwrite-
+        # idempotent. A purchase-free epoch writes NOTHING (a
+        # zero-partition dynamic overwrite would leave a schema-less
+        # dir that breaks the closing read), so the rev_dir existence
+        # check below still means "some epoch saw purchases".
+        if not rev_part.isEmpty():
+            (
+                rev_part.withColumn("epoch_id", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(rev_dir)
+            )
 
     q = raw.writeStream.outputMode("append").foreachBatch(ltv_epoch).start()
     try:

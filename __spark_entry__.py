@@ -73,75 +73,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. After the r7 gate
-# (50/50 pass — the full r6-verdict rotation), the backlog is exactly
-# the r7 verdict's item 2: the 18 oracle-paired keys with no driver
-# row yet (all 18 verified against the same oracle by the r7 judge;
-# the ledger should show them green from a DRIVER run). They lead.
-# Next, the 17 keys added THIS round (new keys earn a driver row
-# immediately; note ab_test_battery in group 1 also changed schema
-# this round — n_a/n_b are now the nonparametric counts — so its
-# fresh row gates the NEW shape). The rest of the 50 goes to
-# freshness re-checks of the 31 keys whose latest driver row is r1
-# (verdict item 8: "no green key older than r4"); the 16 that miss
-# the cap head the r9 queue.
+# whatever keys most need a FRESH driver row. The r8 gate passed
+# 50/50 (the exact r7-verdict rotation), leaving the cumulative
+# ledger with exactly 16 keys whose latest green is still r1 — the
+# r8 verdict's item 1, and the head of this rotation. Next, the keys
+# that are NEW or CHANGED in r9: ann_ivf_incremental_pinned (T50's
+# value-oracled twin — closes the last twin-less rows-only key, r8
+# item 6), etl_data_vault_pit (E50, the vault PIT build, r8 item 7),
+# and sketch_kmv_setops (same values, but the double-distinct fold
+# is a plan change — r8 item 3 — so it earns a fresh row). The
+# remaining 31 slots go to the oldest full-pass rows (r3); the 8
+# r3 keys that miss the cap lead the r10 queue. After this gate no
+# green key in the ledger is older than r3, and r10 closes the rest.
 _PRIORITY = (
-    # --- 1. oracle-paired, judge-verified r7, no driver row yet ---
-    "ann_pq_pinned_topk",
-    "graph_pagerank_ladder",
-    "graph_link_prediction",
-    "graph_louvain_ladder",
-    "ml_logreg_pinned_score",
-    "ml_kmeans_ladder",
-    "ann_recall_eval",
-    "ab_mann_whitney",
-    "ab_ks_test",
-    "graph_hits_ladder",
-    "events_chi2_independence",
-    "ab_bootstrap_se",
-    "events_attribution_models",
-    "events_cohort_ltv",
-    "ab_test_battery",
-    "sketch_sample_quantiles",
-    "events_timeseries_backtest",
-    "graph_assortativity",
-    # --- 2. new in r8, oracle-paired (first driver row now) ---
-    "ann_ivfpq_pinned_topk",
-    "agg_approx_bound",
-    "graph_copurchase_edges",
-    "graph_copurchase_supported",
-    "graph_purchase_edges",
-    "stream_attribution_models",
-    "stream_cohort_ltv",
-    "events_exp_smoothing",
-    "stream_exp_smoothing",
-    "events_holt_trend",
-    "ann_rank_fusion",
-    "graph_ppr_ladder",
-    "stream_holt_trend",
-    "graph_clustering_coeff",
-    "etl_fk_discovery",
-    "text_zipf_profile",
-    "etl_data_vault_build",
-    # --- 3. freshness re-checks: every key whose latest driver row
-    #     is r1 (31 keys; the last 6 overflow the 50-row cap and
-    #     lead the r9 queue) ---
-    "events_tumbling_window",
-    "events_funnel",
-    "events_asof_join",
-    "events_gap_fill",
-    "events_json_extract",
-    "events_rolling_window",
-    "events_value_band_join",
-    "events_sessionize",
-    "events_retention_cohorts",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_rank_ntile",
-    "agg_rollup",
-    "agg_cube",
-    # ---- 50-row gate cap lands here (18 + 17 + 15) ----
+    # --- 1. the 16 r1-stale keys (r8 verdict item 1) ---
     "agg_grouping_sets",
     "scalar_function_matrix",
     "array_function_matrix",
@@ -158,19 +103,14 @@ _PRIORITY = (
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    # --- 4. never-gated, no oracle by design (cross-engine
-    #     nondeterminism or iterative float algorithms): rows-only
-    #     driver signal only, so they sit below every pass-capable
-    #     slot (the r6 verdict's fill choice, still right) ---
-    "dedup_semantic_semdedup",
-    "ann_ivfpq_topk",
-    "ann_ivf_incremental",
-    "text_bpe_encode",
-    "ml_pagerank_bipartite",
-    "ml_logreg_quality",
-    "stream_late_data_accounting",
-    "sketch_count_min_tokens",
-    # --- oldest remaining full-pass rows (r3) ---
+    # --- 2. new or plan-changed in r9 ---
+    "ann_ivf_incremental_pinned",
+    "etl_data_vault_pit",
+    "sketch_kmv_setops",
+    # --- 3. freshness re-checks: oldest full-pass rows (r3); 31 of
+    #     39 fit under the 50-row cap (16 + 3 + 31), the other 8
+    #     (samples + the short text matrices, all heavily
+    #     pytest-replayed) lead the r10 queue ---
     "etl_extract_conform",
     "etl_scd2_merge",
     "etl_load_audit",
@@ -184,10 +124,49 @@ _PRIORITY = (
     "set_ops_customers",
     "agg_distinct_exact",
     "agg_percentiles",
-    # --- tail: r4-r7-passed keys keep their driver signal; pytest
-    #     re-verifies all 280 oracles locally every round ---
-    "sample_weighted_aes",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "events_interval_join_bucketed",
+    "skew_salted_join",
+    "pipeline_clean_corpus",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_static_enrichment",
+    "stream_stateful_totals",
+    "text_lang_id",
+    "text_quality_score",
+    "text_sentiment",
+    # ---- 50-row gate cap lands here (16 + 3 + 31) ----
+    # --- r3 overflow → head of the r10 queue ---
+    "text_tfidf_topterms",
+    "text_token_count",
+    "text_fingerprint",
+    "text_repetition_ratio",
+    "text_pii_redaction",
     "text_vocab_topk",
+    "sample_stratified",
+    "sample_cap_per_source",
+    # --- never-gated, no oracle by design (cross-engine
+    #     nondeterminism or iterative float algorithms): rows-only
+    #     driver signal only, so they sit below every pass-capable
+    #     slot (the r6 verdict's fill choice, still right) ---
+    "dedup_semantic_semdedup",
+    "ann_ivfpq_topk",
+    "ann_ivf_incremental",
+    "text_bpe_encode",
+    "ml_pagerank_bipartite",
+    "ml_logreg_quality",
+    "stream_late_data_accounting",
+    "sketch_count_min_tokens",
+    # --- tail: r4+-passed keys keep their driver signal; pytest
+    #     re-verifies all oracles locally every round ---
+    "sample_weighted_aes",
     "text_bigram_pairs",
 )
 

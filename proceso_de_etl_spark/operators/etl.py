@@ -2676,6 +2676,122 @@ def _dv_h60_sql(expr: str) -> str:
     return f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
 
 
+DV_PIT_SNAPSHOTS = ("2024-03-01", "2024-09-01")  # one before, one after the planted change
+DV_PIT_LOAD_1 = "2024-01-01"  # initial satellite load
+DV_PIT_LOAD_2 = "2024-06-01"  # mid-interval change batch (every 5th customer moves segment)
+
+
+def etl_data_vault_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E50 — Data Vault point-in-time (PIT) table build (r9): the
+    query the vault paradigm exists to serve. E49 built
+    hubs/links/satellites; a PIT table resolves, per hub key and
+    snapshot date, WHICH satellite version was in effect — the vault's
+    answer to E40's SCD2 point-in-time join, on hash keys instead of
+    validity intervals: effective version = the satellite row with
+    the greatest load_date ≤ snapshot (satellites are insert-only, so
+    no interval bookkeeping exists to join on).
+
+    The satellite chain plants a mid-interval change (the E14 plant:
+    every 5th customer's segment moves at 2024-06-01); the first
+    snapshot (2024-03-01) predates it, the second (2024-09-01)
+    postdates it, so the report PROVES the routing: snapshot 1
+    resolves every key to the 2024-01-01 version, snapshot 2 routes
+    exactly the changed keys to 2024-06-01. Output is one row per
+    (snapshot, resolved version): key count plus order-free integer
+    digests of the resolved hub keys and hashdiffs — the same
+    Σ(h div 2^DV_DIGEST_SHIFT) value-pinning as E49, so the full PIT
+    content is verified without shipping per-key rows.
+
+    Scale: satellites join a BROADCAST snapshot spine (PIT tables are
+    built for a handful of reporting dates), then one aggregate keyed
+    on (snapshot, hk) — the uniform surrogate-hash key, no skew by
+    construction; max_by picks the version in-aggregate, no window.
+    Reference parity: the reference's star schema keeps only current
+    rows (main.py:61-74 idempotent appends); PIT is how the vault
+    form answers as-of questions the reference cannot."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    hk = h60(F.concat(F.lit("c"), F.col("c_custkey"))).alias("hk")
+    hd = h60(
+        F.concat(
+            F.col("c_name"), F.lit("|"), F.col("c_nationkey"), F.lit("|"), F.col("c_mktsegment")
+        )
+    ).alias("hd")
+    sat1 = cust.select(hk, hd, F.lit(DV_PIT_LOAD_1).cast("date").alias("load_date"))
+    sat2 = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_mktsegment", F.lit("MOVED"))
+        .select(hk, hd, F.lit(DV_PIT_LOAD_2).cast("date").alias("load_date"))
+    )
+    sat = sat1.unionByName(sat2)
+    snaps = spark.createDataFrame(
+        [(s,) for s in DV_PIT_SNAPSHOTS], "snapshot_date string"
+    ).select(F.col("snapshot_date").cast("date"))
+    pit = (
+        sat.join(F.broadcast(snaps), F.col("load_date") <= F.col("snapshot_date"))
+        .groupBy("snapshot_date", "hk")
+        .agg(
+            F.max("load_date").alias("version_load_date"),
+            F.max_by("hd", "load_date").alias("hd"),
+        )
+    )
+    return (
+        pit.groupBy("snapshot_date", "version_load_date")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
+                "hk_digest"
+            ),
+            F.sum(F.expr(f"hd div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
+                "hd_digest"
+            ),
+        )
+        # ISO strings, not DATE: the gate's pandas canonicalization
+        # widens DuckDB dates to midnight timestamps
+        .select(
+            F.col("snapshot_date").cast("string").alias("snapshot_date"),
+            F.col("version_load_date").cast("string").alias("version_load_date"),
+            "n_keys",
+            "hk_digest",
+            "hd_digest",
+        )
+        .orderBy("snapshot_date", "version_load_date")
+    )
+
+
+ORACLES["etl_data_vault_pit"] = f"""
+WITH sat AS (
+  SELECT {_dv_h60_sql("'c' || c_custkey")} AS hk,
+         {_dv_h60_sql("c_name || '|' || c_nationkey || '|' || c_mktsegment")} AS hd,
+         DATE '{DV_PIT_LOAD_1}' AS load_date
+  FROM customer
+  UNION ALL
+  SELECT {_dv_h60_sql("'c' || c_custkey")} AS hk,
+         {_dv_h60_sql("c_name || '|' || c_nationkey || '|' || 'MOVED'")} AS hd,
+         DATE '{DV_PIT_LOAD_2}' AS load_date
+  FROM customer WHERE c_custkey % 5 = 0
+),
+snaps(snapshot_date) AS (VALUES {", ".join(f"(DATE '{s}')" for s in DV_PIT_SNAPSHOTS)}),
+pit AS (
+  SELECT s.snapshot_date, t.hk,
+         MAX(t.load_date) AS version_load_date,
+         arg_max(t.hd, t.load_date) AS hd
+  FROM sat t JOIN snaps s ON t.load_date <= s.snapshot_date
+  GROUP BY 1, 2
+)
+SELECT CAST(snapshot_date AS VARCHAR) AS snapshot_date,
+       CAST(version_load_date AS VARCHAR) AS version_load_date,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest,
+       CAST(SUM(hd // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hd_digest
+FROM pit
+GROUP BY snapshot_date, version_load_date
+ORDER BY 1, 2
+"""
+
+
 def _dv_block(name: str, hk_sql: str, src: str, distinct: bool) -> str:
     inner = f"SELECT {'DISTINCT ' if distinct else ''}{hk_sql} AS hk FROM {src}"
     return f"""SELECT '{name}' AS vault_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2712,6 +2828,7 @@ ORACLES["etl_data_vault_build"] = "\nUNION ALL\n".join(
 
 QUERIES = {
     "etl_data_vault_build": etl_data_vault_build,
+    "etl_data_vault_pit": etl_data_vault_pit,
     "etl_fk_discovery": etl_fk_discovery,
     "etl_key_discovery": etl_key_discovery,
     "etl_calendar_gaps": etl_calendar_gaps,

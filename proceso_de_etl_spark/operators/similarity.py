@@ -649,9 +649,12 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-list corpus/batch occupancy plus each side's mean distance to
     its centroid — batch mean-distance drifting above the corpus's
     means the quantizer no longer fits the data distribution.
-    (Rows-only: float distances; the unit test pins that searching
-    the MERGED index keeps recall vs the exact twin, i.e. new
-    vectors are retrievable immediately.)"""
+    (Rows-only: float distances off a float-iterative fit; the unit
+    test pins that searching the MERGED index keeps recall vs the
+    exact twin, i.e. new vectors are retrievable immediately.
+    ``ann_ivf_incremental_pinned`` is the value-oracled twin: same
+    insert math against the FROZEN T7b2 quantizer, exact-integer
+    report.)"""
     from proceso_de_etl_spark.operators.ml import (
         assign_clusters,
         dists_over_matrix,
@@ -691,6 +694,156 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+# T50 twin (r9): the pinned quantizer in exact ×2^48 integer form,
+# computed ONCE here and injected identically into both engines —
+# no engine-side rounding of centroids at all. (round() ties are
+# irrelevant: whatever Python picks becomes the single canonical
+# value both engines consume.)
+IVF_PINNED_CENTROIDS_Q48: list[list[int]] = [
+    [int(round(v * float(DOT_SCALE))) for v in c] for c in IVF_PINNED_CENTROIDS
+]
+Q48_SHIFT = 1 << 24  # per-element diff downshift before squaring
+IVF_DRIFT_SCALE = 10**6  # drift ratio reported in ppm
+
+
+def ann_ivf_incremental_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T50 companion — incremental IVF maintenance made
+    driver-verifiable (r8 verdict item 6, the last twin-less
+    rows-only key): the frozen existing quantizer is
+    ``IVF_PINNED_CENTROIDS`` (T7b2's literals), the insert batch is
+    the odd vec_ids, the already-indexed corpus the even ones. One
+    assignment scan (argmin against broadcast centroids — the pure
+    insert math; only the quantizer REFIT is float-iterative, and it
+    stays rows-only in the parent key) produces the index-health
+    report that decides WHEN to refresh: per-list corpus/batch
+    occupancy plus each side's mean quantized distance to its
+    centroid, and their ratio in ppm — drift_ppm ≫ 1e6 on a list
+    means the arriving data no longer fits that cell.
+
+    Exactness discipline: distances for the REPORT are computed on
+    exact integers — embeddings via the measured-integral ×2^48
+    scaling (scaled_int_embedding), centroids as Python-precomputed
+    ×2^48 BIGINTs (no engine-side rounding), per-element diffs
+    downshifted by 2^24 (truncating div, identical in Spark `div`
+    and DuckDB `//`) so squares fit BIGINT, row sums exact BIGINT,
+    per-list sums DECIMAL(38,0)/HUGEINT (the A105/chi2 rule), and
+    every reported mean/ratio one exact integer divide. The
+    ASSIGNMENT replays the same float-argmin as T7b2 (margins pinned
+    in tests/test_properties.py).
+
+    Scale: one corpus scan + one 16-group aggregate; the quantizer
+    rides in as a 16×64 broadcast. At 100 TB the batch-side stats
+    cost O(batch) and the corpus-side stats are a once-per-epoch
+    scan (or maintained incrementally by summing per-batch
+    partials — the same exact-integer state this report emits)."""
+    from proceso_de_etl_spark.operators.ml import assign_clusters, with_broadcast_value
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = assign_clusters(emb, IVF_PINNED_CENTROIDS).select(
+        "vec_id", "embedding", F.col("cluster").alias("list_id")
+    )
+    assigned = with_broadcast_value(
+        assigned, IVF_PINNED_CENTROIDS_Q48, "_qmat", "array<array<bigint>>"
+    )
+    rowd = (
+        assigned.withColumn("_xq", scaled_int_embedding(F.col("embedding")))
+        .withColumn("_cq", F.element_at("_qmat", (F.col("list_id") + 1).cast("int")))
+        .withColumn(
+            "d2q",
+            F.expr(
+                f"aggregate(zip_with(_xq, _cq, (a, b) -> ((a - b) div {Q48_SHIFT})"
+                f" * ((a - b) div {Q48_SHIFT})), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+        .select("vec_id", "list_id", "d2q")
+    )
+    even = F.col("vec_id") % 2 == 0
+    stats = rowd.groupBy("list_id").agg(
+        F.sum(F.when(even, 1).otherwise(0)).cast("bigint").alias("n_corpus"),
+        F.sum(F.when(~even, 1).otherwise(0)).cast("bigint").alias("n_batch"),
+        F.sum(F.when(even, F.col("d2q")).otherwise(F.lit(0)).cast("decimal(38,0)")).alias(
+            "sum_c"
+        ),
+        F.sum(F.when(~even, F.col("d2q")).otherwise(F.lit(0)).cast("decimal(38,0)")).alias(
+            "sum_b"
+        ),
+    )
+    return stats.select(
+        "list_id",
+        "n_corpus",
+        "n_batch",
+        F.expr(
+            "CASE WHEN n_corpus > 0 THEN CAST(sum_c div n_corpus AS BIGINT) END"
+        ).alias("mean_qdist_corpus"),
+        F.expr(
+            "CASE WHEN n_batch > 0 THEN CAST(sum_b div n_batch AS BIGINT) END"
+        ).alias("mean_qdist_batch"),
+        F.expr(
+            "CASE WHEN n_batch > 0 AND n_corpus > 0 AND sum_c div n_corpus > 0 THEN "
+            f"CAST(CAST(sum_b div n_batch AS DECIMAL(38,0)) * {IVF_DRIFT_SCALE}"
+            " div (sum_c div n_corpus) AS BIGINT) END"
+        ).alias("drift_ppm"),
+    ).orderBy("list_id")
+
+
+def _ivf_incremental_pinned_oracle_sql() -> str:
+    vals = ",\n         ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    qvals = ",\n         ".join(
+        "(%d, [%s]::BIGINT[])" % (i, ", ".join(str(v) for v in c))
+        for i, c in enumerate(IVF_PINNED_CENTROIDS_Q48)
+    )
+    return f"""
+WITH elems AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cents(list_id, w) AS (VALUES {vals}),
+centel AS (SELECT list_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS cx FROM cents),
+dists AS (
+  SELECT e.vec_id, ce.list_id, SUM((e.x - ce.cx) * (e.x - ce.cx)) AS d2
+  FROM elems e JOIN centel ce ON ce.i = e.i GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, CAST(list_id AS BIGINT) AS list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qcents(list_id, qw) AS (VALUES {qvals}),
+qcentel AS (SELECT list_id, unnest(range(1, len(qw) + 1)) AS i, unnest(qw) AS cq FROM qcents),
+rowd AS (
+  SELECT e.vec_id, a.list_id,
+         SUM(((CAST(round(e.x * {float(DOT_SCALE)!r}) AS BIGINT) - qc.cq) // {Q48_SHIFT})
+           * ((CAST(round(e.x * {float(DOT_SCALE)!r}) AS BIGINT) - qc.cq) // {Q48_SHIFT})) AS d2q
+  FROM elems e JOIN assign a USING (vec_id)
+  JOIN qcentel qc ON qc.list_id = a.list_id AND qc.i = e.i
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT list_id,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+         SUM(CASE WHEN vec_id % 2 = 0 THEN CAST(d2q AS HUGEINT) ELSE 0 END) AS sum_c,
+         SUM(CASE WHEN vec_id % 2 = 1 THEN CAST(d2q AS HUGEINT) ELSE 0 END) AS sum_b
+  FROM rowd GROUP BY 1
+)
+SELECT list_id, n_corpus, n_batch,
+       CASE WHEN n_corpus > 0 THEN CAST(sum_c // n_corpus AS BIGINT) END AS mean_qdist_corpus,
+       CASE WHEN n_batch > 0 THEN CAST(sum_b // n_batch AS BIGINT) END AS mean_qdist_batch,
+       CASE WHEN n_batch > 0 AND n_corpus > 0 AND sum_c // n_corpus > 0 THEN
+         CAST(CAST(sum_b // n_batch AS HUGEINT) * {IVF_DRIFT_SCALE} // (sum_c // n_corpus) AS BIGINT) END AS drift_ppm
+FROM stats ORDER BY list_id
+"""
+
+
+ORACLES["ann_ivf_incremental_pinned"] = _ivf_incremental_pinned_oracle_sql()
 
 
 PQ_M = 4  # subspaces (64-dim embedding → 16 dims each)
@@ -1583,4 +1736,5 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_pinned_topk": ann_ivfpq_pinned_topk,
     "ann_ivf_incremental": ann_ivf_incremental,
+    "ann_ivf_incremental_pinned": ann_ivf_incremental_pinned,
 }

@@ -2638,3 +2638,142 @@ def test_data_vault_build_matches_hashlib_replay(spark):
     for name in ("hub_customer", "hub_order", "link_order_customer"):
         assert got[name].n_rows == got[name].n_distinct_hk
     assert got["sat_order"].n_distinct_hk <= 20
+
+
+def test_data_vault_pit_routes_planted_change(spark):
+    """E50: replay the PIT resolution in pure Python with hashlib md5
+    and pin the full report; assert the routing the operator exists
+    to prove — the pre-change snapshot resolves EVERY key to the
+    initial version, the post-change snapshot routes exactly the
+    changed keys (custkey % 5 == 0) to the 2024-06-01 version."""
+    import datetime
+    import hashlib
+
+    from proceso_de_etl_spark.operators.etl import (
+        DV_DIGEST_SHIFT,
+        DV_PIT_LOAD_1,
+        DV_PIT_LOAD_2,
+        DV_PIT_SNAPSHOTS,
+        etl_data_vault_pit,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer").collect()
+    want = {}  # (snapshot, version) -> [n, hk_digest, hd_digest]
+    for snap in DV_PIT_SNAPSHOTS:
+        for r in cust:
+            changed = r.c_custkey % 5 == 0 and snap >= DV_PIT_LOAD_2
+            version = DV_PIT_LOAD_2 if changed else DV_PIT_LOAD_1
+            seg = "MOVED" if changed else r.c_mktsegment
+            hk = h60(f"c{r.c_custkey}")
+            hd = h60(f"{r.c_name}|{r.c_nationkey}|{seg}")
+            key = (snap, version)
+            acc = want.setdefault(key, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += hk >> DV_DIGEST_SHIFT
+            acc[2] += hd >> DV_DIGEST_SHIFT
+    got = {
+        (str(r.snapshot_date), str(r.version_load_date)): (
+            r.n_keys,
+            r.hk_digest,
+            r.hd_digest,
+        )
+        for r in etl_data_vault_pit(spark, sf).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    # routing invariants: snapshot 1 has ONLY the initial version;
+    # snapshot 2 splits exactly on the plant
+    s1, s2 = DV_PIT_SNAPSHOTS
+    n_cust = len(cust)
+    n_changed = sum(1 for r in cust if r.c_custkey % 5 == 0)
+    assert got[(s1, DV_PIT_LOAD_1)][0] == n_cust
+    assert (s1, DV_PIT_LOAD_2) not in got
+    assert got[(s2, DV_PIT_LOAD_1)][0] == n_cust - n_changed
+    assert got[(s2, DV_PIT_LOAD_2)][0] == n_changed
+    assert isinstance(cust[0].c_custkey, int) and isinstance(
+        datetime.date.today(), datetime.date
+    )
+
+
+def test_ivf_incremental_pinned_consistency(spark):
+    """T50 twin: the pinned-quantizer index-health report must (a)
+    account for every vector exactly once (occupancies sum to the
+    corpus size, split by parity), (b) agree with assign_clusters on
+    per-list counts, and (c) read drift ≈ 1e6 ppm on the parity
+    split — even/odd halves draw from the SAME distribution, so a
+    healthy quantizer shows no drift. A genuinely shifted batch is
+    simulated by comparing against a translated copy: its mean
+    quantized distance must exceed every parity-split mean."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.ml import assign_clusters
+    from proceso_de_etl_spark.operators.similarity import (
+        IVF_PINNED_CENTROIDS,
+        ann_ivf_incremental_pinned,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    rows = ann_ivf_incremental_pinned(spark, SF_CORRECT).collect()
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    n_total = emb.count()
+    assert sum(r.n_corpus + r.n_batch for r in rows) == n_total
+    counts = {
+        (r.list_id, r.par): r.n
+        for r in assign_clusters(emb, IVF_PINNED_CENTROIDS)
+        .groupBy(F.col("cluster").alias("list_id"), (F.col("vec_id") % 2).alias("par"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert counts.get((r.list_id, 0), 0) == r.n_corpus, r
+        assert counts.get((r.list_id, 1), 0) == r.n_batch, r
+    # same-distribution halves: drift within 25% of parity (measured
+    # 0.95-1.05e6 at the gate SF; bound wide for small lists)
+    for r in rows:
+        if r.drift_ppm is not None:
+            assert 750_000 <= r.drift_ppm <= 1_333_333, r
+    # a shifted batch IS detectable in this metric: translate the
+    # embeddings by 0.3 on dim 0 and recompute one list's mean — it
+    # must exceed every healthy mean in the report
+    shifted = emb.withColumn(
+        "embedding",
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.3)).cast("float")),
+            F.slice("embedding", 2, 63),
+        ),
+    )
+    from proceso_de_etl_spark.operators.ml import with_broadcast_value
+    from proceso_de_etl_spark.operators.similarity import (
+        IVF_PINNED_CENTROIDS_Q48,
+        Q48_SHIFT,
+        scaled_int_embedding,
+    )
+
+    probe = with_broadcast_value(
+        assign_clusters(shifted, IVF_PINNED_CENTROIDS),
+        IVF_PINNED_CENTROIDS_Q48,
+        "_qmat",
+        "array<array<bigint>>",
+    )
+    mean_shifted = (
+        probe.withColumn("_xq", scaled_int_embedding(F.col("embedding")))
+        .withColumn("_cq", F.element_at("_qmat", (F.col("cluster") + 1).cast("int")))
+        .withColumn(
+            "d2q",
+            F.expr(
+                f"aggregate(zip_with(_xq, _cq, (a, b) -> ((a - b) div {Q48_SHIFT})"
+                f" * ((a - b) div {Q48_SHIFT})), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ),
+        )
+        .agg(F.avg("d2q"))
+        .first()[0]
+    )
+    healthy_max = max(
+        max(r.mean_qdist_corpus or 0, r.mean_qdist_batch or 0) for r in rows
+    )
+    assert mean_shifted > healthy_max, (mean_shifted, healthy_max)

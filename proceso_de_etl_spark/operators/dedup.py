@@ -1250,8 +1250,28 @@ LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
 """
 
 
-SEMDEDUP_K = 8
+SEMDEDUP_K = 8  # floor = cells at the sf0.01 gate corpus (~500 vectors)
+# k ∝ n, IN CODE (r9): the per-cell pair join costs Σ cell² ≈ n²/k,
+# so a fixed k bends the scale curve super-linearly — measured on the
+# derived sf1.0 tier: the frozen-k pair stage grew 16.6× per 10×
+# rows (SCALE_r09.json) exactly as n²/k predicts. Holding the
+# EXPECTED CELL SIZE constant instead makes the stage linear in n
+# (10× rows → 10× cells of the same size). TARGET_CELL sets the
+# crossover: below it the fit+assignment overhead of more cells
+# costs more than the extra pairs save (measured at sf0.1/n=2000:
+# cell 64 ⇒ 14.6 s vs cell 250 ⇒ 8.5 s), above it the pair join
+# dominates (sf1.0/n=20000: fixed k=8 ⇒ 65 s vs k ∝ n ⇒ 28.6 s).
+# 256 keeps every sf ≤ 0.1 corpus on the exact flat path (k floors
+# to 8 — gate behavior unchanged) and engages the scale path one
+# decade up.
+SEMDEDUP_TARGET_CELL = 256  # expected vectors per cell
 SEMDEDUP_TAU = COSINE_THRESHOLD
+
+
+def semdedup_k(n: int) -> int:
+    """Cells for an n-vector corpus: n/TARGET_CELL, floored at
+    SEMDEDUP_K (paper: k ∝ n; Abbas et al. 2023 use n/⟨cell⟩≈const)."""
+    return max(SEMDEDUP_K, n // SEMDEDUP_TARGET_CELL)
 
 
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,33 +1283,75 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster centroid (ties → lower vec_id).
 
     This is the scale design point of the paper: the quadratic pair
-    join is bounded per-cluster (n/k per cell in expectation) instead
-    of corpus-wide, the cluster assignment is one scan against
-    broadcast centroids, and the group resolution is the repo's
-    fixpoint CC loop. (Rows-only: k-means centroid means carry a
-    run-dependent last float ulp, so no cross-engine value oracle —
-    the structural invariants are test-pinned: exactly one keeper per
-    component, thresholded pairs land in one component, singletons
-    keep.)"""
-    from proceso_de_etl_spark.operators.ml import assign_clusters, kmeans_fit
+    join is bounded per-cluster (TARGET_CELL rows per cell in
+    expectation — k ∝ n via semdedup_k, so the bound holds at every
+    corpus size instead of only at the size k was tuned for; the
+    fixed-k curve bend is measured in SCALE_r09.json), the cluster
+    assignment is one scan against broadcast centroids, and the group
+    resolution is the repo's fixpoint CC loop. Centroid matrix and
+    norms ride in as broadcast DATA, not literals — at k ∝ n the
+    literal form re-pays seconds of Catalyst analysis per invocation
+    (the ann_lsh_bucketed lesson). (Rows-only: k-means centroid means
+    carry a run-dependent last float ulp, so no cross-engine value
+    oracle — the structural invariants are test-pinned: exactly one
+    keeper per component, thresholded pairs land in one component,
+    singletons keep.)"""
+    from proceso_de_etl_spark.operators.ml import (
+        assign_clusters,
+        assign_clusters_lsh,
+        kmeans_fit,
+        with_broadcast_value,
+    )
 
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
-    centroids = kmeans_fit(emb, k=SEMDEDUP_K)
-    # centroid cosine per row: pick this row's centroid out of a
-    # k×dim literal array — stays in codegen, no join
+    n = emb.count()
+    k = semdedup_k(n)
+    if k == SEMDEDUP_K:
+        # gate regime: exact flat fit + exact assignment, byte-for-
+        # byte the pre-r9 behavior at the test/driver scale factors
+        centroids = kmeans_fit(emb, k=k)
+        assigned0 = assign_clusters(emb, centroids)
+    else:
+        # scale regime (k ∝ n): the fit runs on a deterministic
+        # md5-sampled subset sized 16 points/cell (fit cost ∝ k·S,
+        # not k·n — flat k-means over the full corpus measured 70 s
+        # at sf1.0, SCALE_r09.json), and assignment is LSH-pruned
+        # (per-row work ∝ log k; exact argmin only over bucket-mate
+        # candidates — see ml.assign_clusters_lsh for why co-
+        # assignment of near-dups, the property pair recall rides
+        # on, survives the approximation). Remaining 100 TB knob,
+        # documented not implemented: the sample fit is ∝ k² once
+        # S = 16k dominates — a two-level (coarse-then-refine)
+        # hierarchical fit bounds it; the assignment side is already
+        # sub-linear per row.
+        s = max(4096, 16 * k)
+        m = max(1, n // s)
+        sample = emb.filter(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % m
+            == 0
+        )
+        centroids = kmeans_fit(sample, k=k)
+        assigned0 = assign_clusters_lsh(emb, centroids)
     cnorms = [sum(v * v for v in c) ** 0.5 for c in centroids]
-    carr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centroids])
-    cnarr = F.array(*[F.lit(float(n)) for n in cnorms])
     assigned = (
-        assign_clusters(emb, centroids)
-        .withColumn("_c", F.element_at(carr, F.col("cluster").cast("int") + 1))
+        with_broadcast_value(
+            with_broadcast_value(
+                assigned0, centroids, "_cm", "array<array<double>>"
+            ),
+            cnorms,
+            "_cn",
+            "array<double>",
+        )
+        .withColumn("_c", F.element_at("_cm", F.col("cluster").cast("int") + 1))
         .withColumn(
             "centroid_sim",
             dot_cosine(
                 F.col("embedding"),
                 F.col("_c"),
                 F.col("norm"),
-                F.element_at(cnarr, F.col("cluster").cast("int") + 1),
+                F.element_at("_cn", F.col("cluster").cast("int") + 1),
             ),
         )
         .select("vec_id", "cluster", "embedding", "norm", "centroid_sim")

@@ -75,6 +75,125 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]], emb_col: str = 
     )
 
 
+def assign_clusters_lsh(
+    df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    n_tables: int = 4,
+    cand_target: int = 8,
+    n_anchors: int = 16,
+) -> DataFrame:
+    """Approximate argmin assignment with per-row work ∝ log k instead
+    of k — the scale path for k ∝ n clustering (SemDeDup at corpus
+    scale): flat assignment is O(n·k·d), which with the k ∝ n knob
+    makes the whole operator quadratic in n (measured: 14 s for ONE
+    20k×312 assignment pass at sf1.0, SCALE_r09.json). Here each row
+    computes ``n_tables`` random-hyperplane signatures (``bits`` =
+    ⌈log2(k/cand_target)⌉ sign bits each), looks its buckets up in a
+    BROADCAST bucket→centroid-id index (built driver-side in numpy —
+    k·bits·d flops once), and runs the exact distance argmin only
+    over bucket-mate centroids plus ``n_anchors`` always-included
+    anchor centroids (the non-empty fallback). Everything happens in
+    ONE projection — no explode, no join, no shuffle; the broadcast
+    payload is the k×d matrix the exact path already ships plus a
+    few KB of index.
+
+    Approximation contract: a row may land in a near-best cell
+    instead of the best. For dedup-style consumers this is benign —
+    two near-identical vectors share signatures, hence candidates,
+    hence the argmin, so they stay CO-assigned (the property pair
+    recall depends on); tie-break matches assign_clusters (lower id).
+    Not for the pinned value-oracled keys — those stay on the exact
+    path by design."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    k, dim = len(centroids), len(centroids[0])
+    bits = min(16, max(4, math.ceil(math.log2(max(2, k // cand_target)))))
+    planes = np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"assign:{t}:{j}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+                else -1.0
+                for i in range(dim)
+            ]
+            for t in range(n_tables)
+            for j in range(bits)
+        ]
+    )  # (n_tables*bits) x dim
+    cmat = np.array(centroids)  # k x dim
+    sigs = cmat @ planes.T > 0  # k x (n_tables*bits)
+    index: list[dict[int, list[int]]] = []
+    for t in range(n_tables):
+        buckets: dict[int, list[int]] = {}
+        for cid in range(k):
+            b = sum(1 << j for j in range(bits) if sigs[cid, t * bits + j])
+            buckets.setdefault(b, []).append(cid)
+        index.append(buckets)
+    anchors = list(range(min(n_anchors, k)))
+
+    out = with_broadcast_value(df, centroids, "_cm", "array<array<double>>")
+    out = with_broadcast_value(out, [[float(v) for v in p] for p in planes], "_pm", "array<array<double>>")
+    out = with_broadcast_value(out, index, "_ix", "array<map<bigint,array<bigint>>>")
+    dots = F.transform(
+        F.col("_pm"),
+        lambda p: F.aggregate(
+            F.zip_with(F.col(emb_col), p, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bucket_cols = [
+        sum(
+            (
+                F.when(
+                    F.element_at(F.col("_dots"), t * bits + j + 1) > 0,
+                    F.lit(1 << j).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                for j in range(bits)
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        for t in range(n_tables)
+    ]
+    cands = F.array_distinct(
+        F.concat(
+            F.array(*[F.lit(a).cast("bigint") for a in anchors]),
+            F.flatten(
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.element_at(F.element_at(F.col("_ix"), t + 1), bucket_cols[t]),
+                            F.array().cast("array<bigint>"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ),
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cands"),
+            lambda c: F.struct(
+                _sq_dist(F.col(emb_col), F.element_at(F.col("_cm"), (c + 1).cast("int"))).alias(
+                    "d"
+                ),
+                c.alias("c"),
+            ),
+        )
+    )
+    return (
+        out.withColumn("_dots", dots)
+        .withColumn("_cands", cands)
+        .withColumn("cluster", best.getField("c").cast("bigint"))
+        .drop("_cm", "_pm", "_ix", "_dots", "_cands")
+    )
+
+
 def kmeans_fit(df: DataFrame, k: int = K, n_iter: int = N_ITER, emb_col: str = "embedding") -> list[list[float]]:
     """Lloyd iterations; centroids round-trip through the driver
     (k × dim values), the data stays distributed. Stops early at the

@@ -171,6 +171,10 @@ def gen_derived(spark: SparkSession) -> None:
 
 def main() -> None:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    # optional trailing args: measure only these keys and MERGE into
+    # the existing SCALE artifact (re-measuring after a knob change)
+    only = tuple(sys.argv[2:]) or None
+    curve_keys = only or CURVE_KEYS
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"SCALE_r{rnd:02d}.json"
     )
@@ -191,11 +195,11 @@ def main() -> None:
     ).save()
 
     samples: dict[str, dict[str, list[float]]] = {
-        k: {sf: [] for sf, _ in SF_DIRS} for k in CURVE_KEYS
+        k: {sf: [] for sf, _ in SF_DIRS} for k in curve_keys
     }
     for rep in range(REPS):
         for sf, sf_dir in SF_DIRS:
-            for key in CURVE_KEYS:
+            for key in curve_keys:
                 t0 = time.perf_counter()
                 queries[key](spark, sf_dir).write.mode("overwrite").format(
                     "noop"
@@ -212,7 +216,7 @@ def main() -> None:
 
     med = lambda xs: sorted(xs)[(len(xs) - 1) // 2]  # noqa: E731
     curves = {}
-    for key in CURVE_KEYS:
+    for key in curve_keys:
         m = {sf: med(samples[key][sf]) for sf, _ in SF_DIRS}
         curves[key] = {
             "median_sec": m,
@@ -228,6 +232,11 @@ def main() -> None:
         "reps": REPS,
         "curves": curves,
     }
+    if only and os.path.exists(out_path):
+        prior = json.load(open(out_path))
+        merged = prior.get("curves", {})
+        merged.update(curves)
+        payload["curves"] = merged
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(

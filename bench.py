@@ -147,6 +147,12 @@ HEADLINE = (
     # pays the supported-edge build cold in isolation; in the pass it
     # rides warm behind graph_connected_components like LPA/modularity
     "graph_assortativity",
+    # r9 additions: the IVF insert/drift report (one assignment scan +
+    # one 16-group aggregate — benched so the exact-integer report
+    # stays one-pass) and the vault PIT build (broadcast snapshot
+    # spine + one hash-keyed aggregate)
+    "ann_ivf_incremental_pinned",
+    "etl_data_vault_pit",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -248,7 +254,15 @@ BASELINE = {
     # re-seeded r8: codebooks as broadcast data (was 7.059)
     "ann_pq_pinned_topk": 1.988,
     "sketch_cms_portable": 1.602,
-    "sketch_kmv_setops": 1.43,
+    # re-seeded r9: the 1.43 floor predates the r7 collision-semantics
+    # fix (hash BEFORE dedup, so md5 runs per input row — the
+    # correctness contract the oracle replays). r9 folded the double
+    # distinct into one shuffle (1.97 → ~1.75 s) but the per-row md5
+    # is irreducible without giving the collision semantics back; new
+    # floor = settled-instant samples (1.736/1.770) from a
+    # median-of-5 probe whose interleaved sentinel read 1.028/1.019
+    # at those instants (evidence: r9 build log)
+    "sketch_kmv_setops": 1.75,
     # --- r7 third-pass floors: median-of-5 idle-box runs at add time
     #     (hits measured in bench order, warm behind pagerank_ladder
     #     on the shared purchase_edges persist) ---
@@ -270,6 +284,16 @@ BASELINE = {
     #     1.036) — the two recursion-ladder folds ---
     "events_exp_smoothing": 0.538,
     "events_holt_trend": 0.358,
+    # --- r9 floors for the three r8 edge-build entries (r8 verdict
+    #     item 4: timed since r8 but floorless — regressions were
+    #     invisible). Seeded min(r8 DRIVER median at sentinel 1.024,
+    #     settled-instant local median-of-5 at sentinel ~1.02) ---
+    "graph_copurchase_edges": 2.146,
+    "graph_copurchase_supported": 1.99,
+    "graph_purchase_edges": 1.754,
+    # --- r9 additions: settled-instant medians from the same probe ---
+    "ann_ivf_incremental_pinned": 1.651,
+    "etl_data_vault_pit": 1.135,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -1300,6 +1300,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_clusters,
         assign_clusters_lsh,
         kmeans_fit,
+        kmeans_fit_two_level,
         with_broadcast_value,
     )
 
@@ -1312,27 +1313,16 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = kmeans_fit(emb, k=k)
         assigned0 = assign_clusters(emb, centroids)
     else:
-        # scale regime (k ∝ n): the fit runs on a deterministic
-        # md5-sampled subset sized 16 points/cell (fit cost ∝ k·S,
-        # not k·n — flat k-means over the full corpus measured 70 s
-        # at sf1.0, SCALE_r09.json), and assignment is LSH-pruned
-        # (per-row work ∝ log k; exact argmin only over bucket-mate
-        # candidates — see ml.assign_clusters_lsh for why co-
-        # assignment of near-dups, the property pair recall rides
-        # on, survives the approximation). Remaining 100 TB knob,
-        # documented not implemented: the sample fit is ∝ k² once
-        # S = 16k dominates — a two-level (coarse-then-refine)
-        # hierarchical fit bounds it; the assignment side is already
-        # sub-linear per row.
-        s = max(4096, 16 * k)
-        m = max(1, n // s)
-        sample = emb.filter(
-            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
-            .cast("bigint")
-            % m
-            == 0
-        )
-        centroids = kmeans_fit(sample, k=k)
+        # scale regime (k ∝ n): the fit is the two-level
+        # coarse-then-refine form — one deterministic sample scan,
+        # local vectorized Lloyd (flat distributed k-means measured
+        # 70 s at sf1.0/k=312, SCALE_r09.json; the two-level fit is
+        # sub-second there) — and assignment is LSH-pruned (per-row
+        # work ∝ log k; exact argmin only over bucket-mate candidates
+        # — see ml.assign_clusters_lsh for why co-assignment of
+        # near-dups, the property pair recall rides on, survives the
+        # approximation).
+        centroids = kmeans_fit_two_level(emb, k)
         assigned0 = assign_clusters_lsh(emb, centroids)
     cnorms = [sum(v * v for v in c) ** 0.5 for c in centroids]
     assigned = (

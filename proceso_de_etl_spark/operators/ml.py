@@ -194,6 +194,96 @@ def assign_clusters_lsh(
     )
 
 
+def kmeans_fit_two_level(
+    df: DataFrame,
+    k: int,
+    emb_col: str = "embedding",
+    pts_per_cell: int = 16,
+    n_iter: int = 3,
+) -> list[list[float]]:
+    """Two-level (coarse-then-refine) k-means fit with BOUNDED
+    distributed cost — the 100 TB fit knob SURVEY §4 names: flat
+    Lloyd over the corpus is O(n·k·d) per iteration (70 s measured at
+    sf1.0/k=312, SCALE_r09.json) and even a proportional sample fit
+    is ∝ k² once the sample must hold pts_per_cell·k rows. Here the
+    CLUSTER-side cost is one deterministic sample scan (md5-keyed,
+    pushdown-able): Spark collects a pts_per_cell·k-row sample
+    (driver state ∝ k — the same bound kmeans_fit's centroid
+    round-trip already accepts) and the fit itself runs driver-side
+    in vectorized numpy, faiss-style: √k coarse cells flat-fitted on
+    a sub-sample, sample assigned to coarse cells, each cell refined
+    with its population-proportional share of the k budget. Total
+    local flops ∝ S·√k·d — milliseconds where the distributed flat
+    fit took minutes — and no stage ever materializes an S×k
+    distance matrix.
+
+    Determinism: sample = md5(vec_id) residue class, rows sorted by
+    vec_id, init = first rows in vec_id order, argmin ties to the
+    lower index — the kmeans_fit discipline throughout, so the same
+    data always yields the same centroids. May return FEWER than k
+    centroids when a coarse cell has fewer sample rows than its
+    allocation (k is a partitioning target, not a contract — the
+    consumers are rows-only clustering operators). Assignment of the
+    full corpus stays distributed (assign_clusters_lsh)."""
+    import numpy as np
+
+    def lloyd(X: "np.ndarray", kk: int, iters: int) -> "np.ndarray":
+        C = X[:kk].copy()
+        for _ in range(iters):
+            # argmin over |x|²-2x·c+|c|² ; S_cell × kk matrix, both bounded
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+            a = d2.argmin(1)
+            for j in range(kk):
+                m = a == j
+                if m.any():
+                    C[j] = X[m].mean(0)
+        return C
+
+    n = df.count()
+    s_target = max(pts_per_cell * k, 1024)
+    m = max(1, n // s_target)
+    rows = (
+        df.filter(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            % m
+            == 0
+        )
+        .select("vec_id", emb_col)
+        .collect()
+    )
+    X = np.array(
+        [[float(v) for v in r[1]] for r in sorted(rows, key=lambda r: r[0])]
+    )
+    if len(X) <= k:  # degenerate: sample IS the centroid set
+        return [list(map(float, x)) for x in X]
+    k1 = max(2, int(k**0.5))
+    C1 = lloyd(X[: min(len(X), pts_per_cell * k1)], k1, n_iter)
+    d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C1.T) + (C1 * C1).sum(1)[None, :]
+    coarse = d2.argmin(1)
+    counts = np.bincount(coarse, minlength=k1)
+    # population-proportional sub-budgets, ≥1 per non-empty cell,
+    # capped by cell size; round-robin the remainder to cells with
+    # spare capacity (largest first — deterministic)
+    alloc = np.maximum(1, np.floor(k * counts / max(1, counts.sum())).astype(int))
+    alloc = np.minimum(alloc, np.maximum(counts, 1))
+    for j in np.argsort(-counts):
+        if alloc.sum() >= k:
+            break
+        spare = counts[j] - alloc[j]
+        if spare > 0:
+            alloc[j] += min(spare, k - alloc.sum())
+    out: list[list[float]] = []
+    for j in range(k1):
+        cell = X[coarse == j]
+        if len(cell) == 0:
+            continue
+        out.extend(
+            [list(map(float, c)) for c in lloyd(cell, min(int(alloc[j]), len(cell)), n_iter)]
+        )
+    return out
+
+
 def kmeans_fit(df: DataFrame, k: int = K, n_iter: int = N_ITER, emb_col: str = "embedding") -> list[list[float]]:
     """Lloyd iterations; centroids round-trip through the driver
     (k × dim values), the data stays distributed. Stops early at the

@@ -2777,3 +2777,42 @@ def test_ivf_incremental_pinned_consistency(spark):
         max(r.mean_qdist_corpus or 0, r.mean_qdist_batch or 0) for r in rows
     )
     assert mean_shifted > healthy_max, (mean_shifted, healthy_max)
+
+
+def test_kmeans_fit_two_level_partitions_and_is_deterministic(spark):
+    """The two-level fit must (a) be deterministic on the same data,
+    (b) return at most k centroids of the right dimension, and (c)
+    partition comparably to the flat fit: assigning the corpus to its
+    centroids yields cells whose mean squared distance is within 2×
+    of the flat-fit cells' (it trades a little quality for a fit cost
+    bound of ∝ √k distributed + local-numpy work)."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.dedup import with_norm
+    from proceso_de_etl_spark.operators.ml import (
+        assign_clusters,
+        kmeans_fit,
+        kmeans_fit_two_level,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = with_norm(load_table(spark, SF_CORRECT, "embeddings"))
+    k = 16
+    c1 = kmeans_fit_two_level(emb, k)
+    c2 = kmeans_fit_two_level(emb, k)
+    assert c1 == c2, "two-level fit not deterministic"
+    assert 0 < len(c1) <= k
+    assert all(len(c) == 64 for c in c1)
+
+    def mean_d2(cents):
+        from proceso_de_etl_spark.operators.ml import dists_over_matrix, with_broadcast_value
+
+        a = with_broadcast_value(
+            assign_clusters(emb, cents), cents, "_m", "array<array<double>>"
+        ).withColumn("d2", F.array_min(dists_over_matrix(F.col("embedding"), F.col("_m"))))
+        return a.agg(F.avg("d2")).first()[0]
+
+    flat = mean_d2(kmeans_fit(emb, k=k, n_iter=3))
+    two = mean_d2(c1)
+    assert two <= 2.0 * flat, (two, flat)

@@ -618,3 +618,42 @@ def test_float_margin_guards_for_logreg_pinned():
             assert abs(z) > 1e-10, (sf, n_chars, z)
             frac = abs((z * 1e6) % 1 - 0.5)
             assert frac > 1e-8, (sf, z)
+
+
+def test_lsh_assignment_coassigns_duplicates():
+    """assign_clusters_lsh's approximation contract (SemDeDup's scale
+    path rides on it): identical vectors share hyperplane signatures,
+    hence candidate sets, hence the argmin — so duplicates are ALWAYS
+    co-assigned regardless of which (possibly non-optimal) cell wins.
+    Planted: every sf0.01 embedding duplicated under a shifted id;
+    each (original, twin) pair must land in the same cluster."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.dedup import with_norm
+    from proceso_de_etl_spark.operators.ml import (
+        assign_clusters_lsh,
+        kmeans_fit_two_level,
+    )
+    from proceso_de_etl_spark.session import get_spark
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    spark = get_spark(app_name="tests", cpus="8")
+    emb = with_norm(load_table(spark, SF_CORRECT, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    twins = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    planted = emb.unionByName(twins)
+    cents = kmeans_fit_two_level(emb, 64)
+    a = assign_clusters_lsh(planted, cents).select("vec_id", "cluster")
+    orig = a.filter(F.col("vec_id") < 10_000_000).select(
+        F.col("vec_id").alias("k"), F.col("cluster").alias("c1")
+    )
+    twin = a.filter(F.col("vec_id") >= 10_000_000).select(
+        (F.col("vec_id") - 10_000_000).alias("k"), F.col("cluster").alias("c2")
+    )
+    j = orig.join(twin, "k")
+    n = j.count()
+    mismatched = j.filter(F.col("c1") != F.col("c2")).count()
+    assert n == emb.count()
+    assert mismatched == 0, f"{mismatched}/{n} duplicate pairs split across cells"

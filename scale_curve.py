@@ -46,8 +46,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 DERIVED = "/tmp/spark_graft_derived/sf1.0"
+DERIVED10 = "/tmp/spark_graft_derived/sf10"
 FACTOR = 10
-REPS = 3
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 # key offsets: beyond every key's max at sf1.0-equivalent
 OFF = {
@@ -86,6 +87,10 @@ SF_DIRS = (
     ("0.1", SRC),
     ("1.0", DERIVED),
 )
+# third derived decade (100x replication of sf0.1): enabled by
+# SPARK_GRAFT_SF10=1 for the focused flagship pass — one more
+# measured decade on top of the 14+19-key sf1.0 sweeps
+SF_DIRS_10 = SF_DIRS + (("10", DERIVED10),)
 
 
 def _shift(df: DataFrame, i: int, cols: dict[str, int]) -> DataFrame:
@@ -94,11 +99,13 @@ def _shift(df: DataFrame, i: int, cols: dict[str, int]) -> DataFrame:
     return df
 
 
-def gen_derived(spark: SparkSession) -> None:
-    os.makedirs(DERIVED, exist_ok=True)
+def gen_derived(
+    spark: SparkSession, out_dir: str = DERIVED, factor: int = FACTOR
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
     read = lambda t: spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))  # noqa: E731
     write = lambda df, t, n: df.repartition(n).write.mode("overwrite").parquet(  # noqa: E731
-        os.path.join(DERIVED, f"{t}.parquet")
+        os.path.join(out_dir, f"{t}.parquet")
     )
 
     for t in ("region", "nation"):
@@ -107,11 +114,11 @@ def gen_derived(spark: SparkSession) -> None:
     def replicate(t: str, n_files: int, fn) -> None:
         src = read(t)
         out = None
-        for i in range(FACTOR):
+        for i in range(factor):
             rep = fn(src, i)
             out = rep if out is None else out.unionByName(rep)
         write(out, t, n_files)
-        print(f"  {t}: {FACTOR}x", flush=True)
+        print(f"  {t}: {factor}x", flush=True)
 
     replicate("customer", 4, lambda df, i: _shift(df, i, {"c_custkey": OFF["custkey"]}))
     replicate("supplier", 1, lambda df, i: _shift(df, i, {"s_suppkey": OFF["suppkey"]}))
@@ -156,13 +163,18 @@ def gen_derived(spark: SparkSession) -> None:
 
     def emb_rep(df: DataFrame, i: int) -> DataFrame:
         df = _shift(df, i, {"vec_id": OFF["vec_id"]})
-        if i:
-            dim = 64
+        rot = i % 64
+        if rot:
             df = df.withColumn(
                 "embedding",
                 F.concat(
-                    F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
+                    F.slice("embedding", rot + 1, 64 - rot), F.slice("embedding", 1, rot)
                 ),
+            )
+        if i >= 64:  # rotation period exhausted: sign-flip keeps the
+            # replica decorrelated (norms/within-replica geometry exact)
+            df = df.withColumn(
+                "embedding", F.transform("embedding", lambda x: (-x).cast("float"))
             )
         return df
 
@@ -178,11 +190,21 @@ def main() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"SCALE_r{rnd:02d}.json"
     )
+    sf_dirs = SF_DIRS
+    if os.environ.get("SPARK_GRAFT_SF10"):
+        sf_dirs = SF_DIRS_10
     spark = get_spark(app_name="scale_curve")
     if not os.path.exists(os.path.join(DERIVED, "embeddings.parquet")):
         print("generating derived sf1.0 ...", flush=True)
         t0 = time.time()
         gen_derived(spark)
+        print(f"generated in {time.time() - t0:.0f}s", flush=True)
+    if sf_dirs is SF_DIRS_10 and not os.path.exists(
+        os.path.join(DERIVED10, "embeddings.parquet")
+    ):
+        print("generating derived sf10 ...", flush=True)
+        t0 = time.time()
+        gen_derived(spark, DERIVED10, FACTOR * 10)
         print(f"generated in {time.time() - t0:.0f}s", flush=True)
 
     from proceso_de_etl_spark import cachereg
@@ -195,10 +217,10 @@ def main() -> None:
     ).save()
 
     samples: dict[str, dict[str, list[float]]] = {
-        k: {sf: [] for sf, _ in SF_DIRS} for k in curve_keys
+        k: {sf: [] for sf, _ in sf_dirs} for k in curve_keys
     }
     for rep in range(REPS):
-        for sf, sf_dir in SF_DIRS:
+        for sf, sf_dir in sf_dirs:
             for key in curve_keys:
                 t0 = time.perf_counter()
                 queries[key](spark, sf_dir).write.mode("overwrite").format(
@@ -217,7 +239,7 @@ def main() -> None:
     med = lambda xs: sorted(xs)[(len(xs) - 1) // 2]  # noqa: E731
     curves = {}
     for key in curve_keys:
-        m = {sf: med(samples[key][sf]) for sf, _ in SF_DIRS}
+        m = {sf: med(samples[key][sf]) for sf, _ in sf_dirs}
         curves[key] = {
             "median_sec": m,
             "samples": samples[key],
@@ -226,6 +248,8 @@ def main() -> None:
             "ratio_001_to_01": round(m["0.1"] / m["0.01"], 2),
             "ratio_01_to_10": round(m["1.0"] / m["0.1"], 2),
         }
+        if "10" in m:
+            curves[key]["ratio_10_to_100"] = round(m["10"] / m["1.0"], 2)
     payload = {
         "derived_dir": DERIVED,
         "factor": FACTOR,

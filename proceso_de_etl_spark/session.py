@@ -50,6 +50,11 @@ def get_spark(app_name: str = "proceso_de_etl_spark", cpus: str | None = None) -
         # catalog.load_table converts whichever shows up.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # write timestamps as INT64 TIMESTAMP(MICROS), not the legacy
+        # INT96 default: INT96 is deprecated in the parquet spec,
+        # unreadable through the nanosAsLong long-path, and a trap for
+        # any downstream engine reading this engine's output
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # stage progress bars corrupt captured stdout/stderr records

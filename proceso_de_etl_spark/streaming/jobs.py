@@ -32,22 +32,38 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     pinned to UTC the naive micros read as the intended instant).
     Sniff the footer once driver-side; returns (schema, ts_is_long).
     """
+    import glob
     import os
 
     import pyarrow.parquet as pq
 
     import pyarrow.types as pat
 
-    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    # fail fast on unrecognized encodings instead of silently reading
-    # a wrong schema (e.g. a future regeneration storing ts as int64)
-    if not pat.is_timestamp(arrow_ts):
-        raise ValueError(
-            f"events.parquet ts column has unsupported arrow type {arrow_ts!r}; "
-            "expected timestamp(ns|us|ms|s) — regenerate testdata or extend "
-            "_events_raw_schema for this encoding"
-        )
-    ts_is_long = arrow_ts.unit == "ns"
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):  # multi-file table (production layout):
+        # every part carries the same footer schema — sniff the first
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    pf = pq.ParquetFile(path)
+    phys = {
+        pf.schema.column(i).name: pf.schema.column(i).physical_type
+        for i in range(len(pf.schema))
+    }.get("ts")
+    if phys == "INT96":
+        # legacy INT96 timestamps (old writers / pre-r9 derived data):
+        # arrow reports timestamp[ns] but the nanosAsLong long-path is
+        # INT64-only — Spark reads INT96 directly as TimestampType
+        ts_is_long = False
+    else:
+        arrow_ts = pq.read_schema(path).field("ts").type
+        # fail fast on unrecognized encodings instead of silently
+        # reading a wrong schema (e.g. a regeneration storing ts int64)
+        if not pat.is_timestamp(arrow_ts):
+            raise ValueError(
+                f"events.parquet ts column has unsupported arrow type {arrow_ts!r}; "
+                "expected timestamp(ns|us|ms|s) — regenerate testdata or extend "
+                "_events_raw_schema for this encoding"
+            )
+        ts_is_long = arrow_ts.unit == "ns"
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -75,7 +91,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_session_confs(spark)  # host-built sessions lack nanosAsLong/UTC
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):  # multi-file table: link each part flat
+        # into the stage (the file source lists one level, so a
+        # nested directory symlink would be skipped)
+        import glob
+
+        for p in sorted(glob.glob(os.path.join(src, "*.parquet"))):
+            os.symlink(p, os.path.join(stage, os.path.basename(p)))
+    else:
+        os.symlink(src, os.path.join(stage, "events.parquet"))
     schema, ts_is_long = _events_raw_schema(sf_dir)
     raw = spark.readStream.schema(schema).parquet(stage)
     if ts_is_long:
@@ -655,14 +680,37 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     _ensure_session_confs(spark)
     stage = tempfile.mkdtemp(prefix="stream_dedup_wm_")
-    src_file = os.path.join(sf_dir, "events.parquet")
-    os.symlink(src_file, os.path.join(stage, "b1_events.parquet"))
-    _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    src = os.path.join(sf_dir, "events.parquet")
+    # single-file table OR multi-file directory (production layout):
+    # pass 1 symlinks every part (original mtimes), pass 2 re-copies
+    # them after a sleep so every replayed row is a CROSS-BATCH
+    # duplicate arriving at a strictly later modification time
+    import glob
     import shutil
 
-    shutil.copyfile(src_file, os.path.join(stage, "b2_replay.parquet"))
+    parts = (
+        sorted(glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    for j, p in enumerate(parts):
+        os.symlink(p, os.path.join(stage, f"b1_{j:05d}_events.parquet"))
+    _time.sleep(1.1)  # distinct mtime → deterministic replay order
+    for j, p in enumerate(parts):
+        shutil.copyfile(p, os.path.join(stage, f"b2_{j:05d}_replay.parquet"))
     schema, ts_is_long = _events_raw_schema(sf_dir)
-    raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    # one trigger per PASS, not per file: the source batches the
+    # len(parts) oldest files (all of b1 — earlier mtimes) into
+    # trigger 1 and the replay into trigger 2, so the cross-batch
+    # contract is file-count-independent and the wall doesn't scale
+    # with how many parts the table happens to have (measured: 32-part
+    # sf1.0 at maxFilesPerTrigger=1 paid 64 trigger rounds — 27 s of
+    # pure trigger overhead on 1.6 s of state work)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", len(parts))
+        .parquet(stage)
+    )
     if ts_is_long:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     deduped = (

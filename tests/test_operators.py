@@ -2816,3 +2816,34 @@ def test_kmeans_fit_two_level_partitions_and_is_deterministic(spark):
     flat = mean_d2(kmeans_fit(emb, k=k, n_iter=3))
     two = mean_d2(c1)
     assert two <= 2.0 * flat, (two, flat)
+
+
+def test_cachereg_memo_repins_after_external_clearcache(spark):
+    """cachereg.memo must re-persist a memoized frame whose storage an
+    EXTERNAL spark.catalog.clearCache() dropped (r8 advisor: a cleared
+    hit silently recomputes per consumer — the fan-out cost the memo
+    exists to avoid), and release_all() must leave the registry empty."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark import cachereg
+
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("y"))
+
+    df1 = cachereg.memo(spark, "test_repin", "/none", build)
+    assert builds["n"] == 1
+    assert df1.storageLevel.useMemory or df1.storageLevel.useDisk
+    # hit: no rebuild, same frame
+    df2 = cachereg.memo(spark, "test_repin", "/none", build)
+    assert builds["n"] == 1 and df2 is df1
+    # external clear drops storage without going through release_all
+    spark.catalog.clearCache()
+    assert not (df1.storageLevel.useMemory or df1.storageLevel.useDisk)
+    df3 = cachereg.memo(spark, "test_repin", "/none", build)
+    assert builds["n"] == 1, "memo rebuilt instead of re-pinning"
+    assert df3.storageLevel.useMemory or df3.storageLevel.useDisk, "not re-pinned"
+    cachereg.release_all()
+    assert cachereg._CACHE == {}

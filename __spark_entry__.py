@@ -106,9 +106,10 @@ _PRIORITY = (
     # --- 2. new or plan-changed in r9 ---
     "ann_ivf_incremental_pinned",
     "etl_data_vault_pit",
+    "etl_data_vault_same_as_link",
     "sketch_kmv_setops",
-    # --- 3. freshness re-checks: oldest full-pass rows (r3); 31 of
-    #     39 fit under the 50-row cap (16 + 3 + 31), the other 8
+    # --- 3. freshness re-checks: oldest full-pass rows (r3); 30 of
+    #     39 fit under the 50-row cap (16 + 4 + 30), the other 9
     #     (samples + the short text matrices, all heavily
     #     pytest-replayed) lead the r10 queue ---
     "etl_extract_conform",
@@ -141,9 +142,9 @@ _PRIORITY = (
     "stream_stateful_totals",
     "text_lang_id",
     "text_quality_score",
-    "text_sentiment",
-    # ---- 50-row gate cap lands here (16 + 3 + 31) ----
+    # ---- 50-row gate cap lands here (16 + 4 + 30) ----
     # --- r3 overflow → head of the r10 queue ---
+    "text_sentiment",
     "text_tfidf_topterms",
     "text_token_count",
     "text_fingerprint",

@@ -1890,24 +1890,11 @@ ER_VARIANT_MOD = 50  # every 50th customer gets a dirty duplicate
 ER_VARIANT_OFFSET = 10_000_000
 
 
-def etl_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E35 — entity resolution end-to-end: a dirty roster (customers
-    plus planted typo'd re-registrations — mutated name AND phone,
-    new surrogate id) is resolved back to canonical entities via the
-    classic three-stage pipeline: (1) BLOCKING on a name prefix
-    (sorted-neighborhood family, A58 — candidate pairs only within a
-    block, never all-pairs), (2) fuzzy MATCH rule combining a strong
-    attribute (phone levenshtein ≤ 1) with a fuzzy one (name
-    levenshtein ≤ 2) — the conjunction kills the serial-name trap
-    where distinct customers' names differ by one digit, because
-    their phones differ by many — and (3) connected components over
-    match edges (T4b's machinery) labeling every record with its
-    entity = least member id. The summary pins record/entity/merge
-    counts and an id checksum, so one wrong merge moves a value.
-    Scale: block sizes bound the pair join (choose the blocking key
-    so blocks stay O(100) — here a 16-char prefix); CC is the
-    bounded fixpoint loop. Upgrades the reference's exact-equality
-    duplicate email rule (main.py:128-129) to fuzzy identity."""
+def _er_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35's resolution pipeline factored out for reuse (E51 builds
+    the vault same-as link from the same labeling): returns
+    (rid, entity) for the planted dirty roster — blocking, fuzzy
+    match, connected components, entity = least member id."""
     from proceso_de_etl_spark.operators.dedup import connected_components
 
     cust = load_table(spark, sf_dir, "customer")
@@ -1938,9 +1925,30 @@ def etl_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(edges).select(
         F.col("doc_id").alias("rid"), F.col("cluster").alias("entity")
     )
-    labeled = roster.join(clusters, "rid", "left").select(
+    return roster.join(clusters, "rid", "left").select(
         "rid", F.coalesce("entity", F.col("rid")).alias("entity")
     )
+
+
+def etl_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35 — entity resolution end-to-end: a dirty roster (customers
+    plus planted typo'd re-registrations — mutated name AND phone,
+    new surrogate id) is resolved back to canonical entities via the
+    classic three-stage pipeline: (1) BLOCKING on a name prefix
+    (sorted-neighborhood family, A58 — candidate pairs only within a
+    block, never all-pairs), (2) fuzzy MATCH rule combining a strong
+    attribute (phone levenshtein ≤ 1) with a fuzzy one (name
+    levenshtein ≤ 2) — the conjunction kills the serial-name trap
+    where distinct customers' names differ by one digit, because
+    their phones differ by many — and (3) connected components over
+    match edges (T4b's machinery) labeling every record with its
+    entity = least member id. The summary pins record/entity/merge
+    counts and an id checksum, so one wrong merge moves a value.
+    Scale: block sizes bound the pair join (choose the blocking key
+    so blocks stay O(100) — here a 16-char prefix); CC is the
+    bounded fixpoint loop. Upgrades the reference's exact-equality
+    duplicate email rule (main.py:128-129) to fuzzy identity."""
+    labeled = _er_labeled(spark, sf_dir)
     per_entity = labeled.groupBy("entity").agg(F.count("*").alias("sz"))
     return (
         labeled.agg(F.count("*").alias("n_records"))
@@ -1957,8 +1965,9 @@ def etl_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["etl_entity_resolution"] = f"""
-WITH roster AS (
+# E35's resolution CTE chain, shared verbatim by the E51 same-as-link
+# oracle (the vault view of the SAME labeling)
+_ER_LABELED_CTES = f"""roster AS (
   SELECT c_custkey AS rid, c_name AS name, c_acctbal AS bal FROM customer
   UNION ALL
   SELECT c_custkey + {ER_VARIANT_OFFSET},
@@ -1987,7 +1996,10 @@ clusters AS (
 labeled AS (
   SELECT roster.rid, COALESCE(entity, roster.rid) AS entity
   FROM roster LEFT JOIN clusters ON roster.rid = clusters.rid
-),
+)"""
+
+ORACLES["etl_entity_resolution"] = f"""
+WITH {_ER_LABELED_CTES},
 per_entity AS (SELECT entity, COUNT(*) AS sz FROM labeled GROUP BY entity)
 SELECT (SELECT COUNT(*) FROM labeled) AS n_records,
        COUNT(*) AS n_entities,
@@ -2792,6 +2804,80 @@ ORDER BY 1, 2
 """
 
 
+def etl_data_vault_same_as_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E51 — same-as link (SAL): entity resolution absorbed into the
+    Data Vault. The vault never updates a hub — when E35's fuzzy
+    pipeline decides two party records are the same real-world
+    entity, the finding is recorded as a LINK from each record's hub
+    key to its entity master's hub key (master = least member id,
+    E35's convention), leaving every source record auditable and the
+    merge reversible. Composition: _er_labeled (blocking → fuzzy
+    match → CC) feeds the hash-key layer of E49.
+
+    Report = E49's per-vault-table shape: hub_party (one row per
+    source record), sal_party (every record → its master, self-links
+    included — the idempotent full-population form), and
+    sal_nontrivial (merges only — the rows an auditor reads). Counts,
+    distinct-hash audit, and the order-free Σ(hk div 2^DV_DIGEST_
+    SHIFT) digest value-pin every link without shipping them.
+
+    Scale: resolution is E35's bounded-block pair join + CC fixpoint;
+    the vault layer adds one projection and three aggregates keyed on
+    the uniform surrogate hash — no skew by construction."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    labeled = _er_labeled(spark, sf_dir)
+    hub = labeled.select(h60(F.concat(F.lit("p"), F.col("rid"))).alias("hk"))
+    sal = labeled.select(
+        h60(
+            F.concat(F.lit("sal"), F.col("rid"), F.lit("|"), F.col("entity"))
+        ).alias("hk"),
+        (F.col("rid") != F.col("entity")).alias("nontrivial"),
+    )
+
+    def summarize(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("vault_table"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
+            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
+                "hk_digest"
+            ),
+        )
+
+    return (
+        summarize(hub, "hub_party")
+        .unionByName(summarize(sal, "sal_party"))
+        .unionByName(summarize(sal.filter("nontrivial"), "sal_nontrivial"))
+        .orderBy("vault_table")
+    )
+
+
+def _dv_sal_block(name: str, src_sql: str) -> str:
+    return f"""SELECT '{name}' AS vault_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_hk,
+       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest
+FROM ({src_sql})"""
+
+
+ORACLES["etl_data_vault_same_as_link"] = f"""
+WITH {_ER_LABELED_CTES},
+hub AS (SELECT {_dv_h60_sql("'p' || rid")} AS hk FROM labeled),
+sal AS (
+  SELECT {_dv_h60_sql("'sal' || rid || '|' || entity")} AS hk,
+         rid <> entity AS nontrivial
+  FROM labeled
+)
+{_dv_sal_block("hub_party", "SELECT hk FROM hub")}
+UNION ALL
+{_dv_sal_block("sal_party", "SELECT hk FROM sal")}
+UNION ALL
+{_dv_sal_block("sal_nontrivial", "SELECT hk FROM sal WHERE nontrivial")}
+ORDER BY vault_table
+"""
+
+
 def _dv_block(name: str, hk_sql: str, src: str, distinct: bool) -> str:
     inner = f"SELECT {'DISTINCT ' if distinct else ''}{hk_sql} AS hk FROM {src}"
     return f"""SELECT '{name}' AS vault_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2829,6 +2915,7 @@ ORACLES["etl_data_vault_build"] = "\nUNION ALL\n".join(
 QUERIES = {
     "etl_data_vault_build": etl_data_vault_build,
     "etl_data_vault_pit": etl_data_vault_pit,
+    "etl_data_vault_same_as_link": etl_data_vault_same_as_link,
     "etl_fk_discovery": etl_fk_discovery,
     "etl_key_discovery": etl_key_discovery,
     "etl_calendar_gaps": etl_calendar_gaps,

@@ -2847,3 +2847,58 @@ def test_cachereg_memo_repins_after_external_clearcache(spark):
     assert df3.storageLevel.useMemory or df3.storageLevel.useDisk, "not re-pinned"
     cachereg.release_all()
     assert cachereg._CACHE == {}
+
+
+def test_data_vault_same_as_link_replays_resolution(spark):
+    """E51: rebuild the same-as link in pure Python — on this plant,
+    E35's match rule (name levenshtein ≤ 2 within a 16-char block AND
+    equal balance) links each variant to exactly its origin — and pin
+    the vault summary: hub rows = roster size, sal_party = the full
+    population (self-links included, the idempotent form), and
+    sal_nontrivial = exactly the planted variants (origins are their
+    own masters since master = least member id)."""
+    import hashlib
+
+    from proceso_de_etl_spark.operators.etl import (
+        DV_DIGEST_SHIFT,
+        ER_VARIANT_MOD,
+        ER_VARIANT_OFFSET,
+        etl_data_vault_same_as_link,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer").collect()
+    # replay the plant: each %MOD customer gains a variant whose name
+    # differs by 1 char and balance matches — the conjunction matches
+    # it to its origin and nothing else (E35's driver-green labeling)
+    labeled = {r.c_custkey: r.c_custkey for r in cust}
+    for r in cust:
+        if r.c_custkey % ER_VARIANT_MOD == 0:
+            labeled[r.c_custkey + ER_VARIANT_OFFSET] = r.c_custkey
+    hub = [h60(f"p{rid}") for rid in labeled]
+    sal = [(h60(f"sal{rid}|{ent}"), rid != ent) for rid, ent in labeled.items()]
+    want = {
+        "hub_party": (len(hub), len(set(hub)), sum(h >> DV_DIGEST_SHIFT for h in hub)),
+        "sal_party": (
+            len(sal),
+            len({h for h, _ in sal}),
+            sum(h >> DV_DIGEST_SHIFT for h, _ in sal),
+        ),
+        "sal_nontrivial": (
+            sum(1 for _, nt in sal if nt),
+            len({h for h, nt in sal if nt}),
+            sum(h >> DV_DIGEST_SHIFT for h, nt in sal if nt),
+        ),
+    }
+    got = {
+        r.vault_table: (r.n_rows, r.n_distinct_hk, r.hk_digest)
+        for r in etl_data_vault_same_as_link(spark, sf).collect()
+    }
+    assert got == want
+    n_variants = sum(1 for r in cust if r.c_custkey % ER_VARIANT_MOD == 0)
+    assert got["sal_nontrivial"][0] == n_variants
+    assert got["hub_party"][0] == len(cust) + n_variants

@@ -79,12 +79,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # r8 verdict's item 1, and the head of this rotation. Next, the keys
 # that are NEW or CHANGED in r9: ann_ivf_incremental_pinned (T50's
 # value-oracled twin — closes the last twin-less rows-only key, r8
-# item 6), etl_data_vault_pit (E50, the vault PIT build, r8 item 7),
-# and sketch_kmv_setops (same values, but the double-distinct fold
-# is a plan change — r8 item 3 — so it earns a fresh row). The
-# remaining 31 slots go to the oldest full-pass rows (r3); the 8
-# r3 keys that miss the cap lead the r10 queue. After this gate no
-# green key in the ledger is older than r3, and r10 closes the rest.
+# item 6), the vault trio E50/E51/E52 (PIT build — r8 item 7 — plus
+# the same-as link and effectivity satellites that complete the
+# family), and sketch_kmv_setops (same values, but the
+# double-distinct fold is a plan change — r8 item 3 — so it earns a
+# fresh row). The remaining 29 slots go to the oldest full-pass rows
+# (r3); the 10 r3 keys that miss the cap lead the r10 queue. After
+# this gate no green key in the ledger is older than r3, and r10
+# closes the rest.
 _PRIORITY = (
     # --- 1. the 16 r1-stale keys (r8 verdict item 1) ---
     "agg_grouping_sets",
@@ -107,9 +109,10 @@ _PRIORITY = (
     "ann_ivf_incremental_pinned",
     "etl_data_vault_pit",
     "etl_data_vault_same_as_link",
+    "etl_data_vault_effectivity",
     "sketch_kmv_setops",
-    # --- 3. freshness re-checks: oldest full-pass rows (r3); 30 of
-    #     39 fit under the 50-row cap (16 + 4 + 30), the other 9
+    # --- 3. freshness re-checks: oldest full-pass rows (r3); 29 of
+    #     39 fit under the 50-row cap (16 + 5 + 29), the other 10
     #     (samples + the short text matrices, all heavily
     #     pytest-replayed) lead the r10 queue ---
     "etl_extract_conform",
@@ -141,9 +144,9 @@ _PRIORITY = (
     "stream_static_enrichment",
     "stream_stateful_totals",
     "text_lang_id",
-    "text_quality_score",
-    # ---- 50-row gate cap lands here (16 + 4 + 30) ----
+    # ---- 50-row gate cap lands here (16 + 5 + 29) ----
     # --- r3 overflow → head of the r10 queue ---
+    "text_quality_score",
     "text_sentiment",
     "text_tfidf_topterms",
     "text_token_count",

@@ -2804,6 +2804,116 @@ ORDER BY 1, 2
 """
 
 
+DV_EFF_MOD = 7  # orders with o_orderkey % 7 == 0 are reassigned at wave 2
+DV_EFF_D1 = "2024-01-01"  # initial link load
+DV_EFF_D2 = "2024-06-01"  # driving-key change wave (reassignments)
+DV_EFF_SNAPSHOTS = ("2024-03-01", "2024-09-01")  # one per side of the change
+
+
+def etl_data_vault_effectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E52 — effectivity satellite: link VALIDITY over time, the
+    vault's answer to a driving-key change (an order reassigned to a
+    different customer). Links, like hubs, are insert-only — the
+    reassignment does not delete the old order→customer link; an
+    effectivity satellite records open/close EVENTS against link hash
+    keys, and "which links are in effect as of date X" is the same
+    greatest-event ≤ snapshot resolution as E50's PIT, on event rows
+    instead of attribute versions. Completes the vault quartet:
+    E49 build, E50 PIT, E51 same-as link, E52 effectivity.
+
+    Plant: wave 1 (2024-01-01) opens every order→customer link; wave
+    2 (2024-06-01) closes the link of every DV_EFF_MOD-th order and
+    opens a link to custkey+1. The first snapshot predates wave 2 —
+    every original link open, nothing closed; the second postdates it
+    — reassigned old links CLOSED, their replacements open. Output =
+    one row per (snapshot, status): link count + the order-free
+    Σ(hk div 2^DV_DIGEST_SHIFT) digest, so the exact membership of
+    each status set is value-pinned.
+
+    Scale: one scan builds the event rows (≤ 1 + 2/MOD per order), a
+    BROADCAST snapshot spine joins events at load_date ≤ snapshot,
+    and one aggregate keyed on (snapshot, link hk) resolves the
+    latest event — uniform hash keys, no skew; max_by in-aggregate,
+    no window (the E50 discipline)."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    link = lambda ck: h60(  # noqa: E731
+        F.concat(F.lit("oc"), F.col("o_orderkey"), F.lit("|"), ck)
+    )
+    open1 = orders.select(
+        link(F.col("o_custkey")).alias("hk"),
+        F.lit(DV_EFF_D1).cast("date").alias("event_date"),
+        F.lit(True).alias("is_open"),
+    )
+    moved = orders.filter(F.col("o_orderkey") % DV_EFF_MOD == 0)
+    close2 = moved.select(
+        link(F.col("o_custkey")).alias("hk"),
+        F.lit(DV_EFF_D2).cast("date").alias("event_date"),
+        F.lit(False).alias("is_open"),
+    )
+    open2 = moved.select(
+        link(F.col("o_custkey") + 1).alias("hk"),
+        F.lit(DV_EFF_D2).cast("date").alias("event_date"),
+        F.lit(True).alias("is_open"),
+    )
+    events = open1.unionByName(close2).unionByName(open2)
+    snaps = spark.createDataFrame(
+        [(s,) for s in DV_EFF_SNAPSHOTS], "snapshot_date string"
+    ).select(F.col("snapshot_date").cast("date"))
+    state = (
+        events.join(F.broadcast(snaps), F.col("event_date") <= F.col("snapshot_date"))
+        .groupBy("snapshot_date", "hk")
+        .agg(F.max_by("is_open", "event_date").alias("is_open"))
+    )
+    return (
+        state.groupBy("snapshot_date", "is_open")
+        .agg(
+            F.count("*").cast("bigint").alias("n_links"),
+            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
+                "hk_digest"
+            ),
+        )
+        .select(
+            F.col("snapshot_date").cast("string").alias("snapshot_date"),
+            "is_open",
+            "n_links",
+            "hk_digest",
+        )
+        .orderBy("snapshot_date", "is_open")
+    )
+
+
+ORACLES["etl_data_vault_effectivity"] = f"""
+WITH events AS (
+  SELECT {_dv_h60_sql("'oc' || o_orderkey || '|' || o_custkey")} AS hk,
+         DATE '{DV_EFF_D1}' AS event_date, TRUE AS is_open
+  FROM orders
+  UNION ALL
+  SELECT {_dv_h60_sql("'oc' || o_orderkey || '|' || o_custkey")},
+         DATE '{DV_EFF_D2}', FALSE
+  FROM orders WHERE o_orderkey % {DV_EFF_MOD} = 0
+  UNION ALL
+  SELECT {_dv_h60_sql("'oc' || o_orderkey || '|' || (o_custkey + 1)")},
+         DATE '{DV_EFF_D2}', TRUE
+  FROM orders WHERE o_orderkey % {DV_EFF_MOD} = 0
+),
+snaps(snapshot_date) AS (VALUES {", ".join(f"(DATE '{s}')" for s in DV_EFF_SNAPSHOTS)}),
+state AS (
+  SELECT s.snapshot_date, e.hk, arg_max(e.is_open, e.event_date) AS is_open
+  FROM events e JOIN snaps s ON e.event_date <= s.snapshot_date
+  GROUP BY 1, 2
+)
+SELECT CAST(snapshot_date AS VARCHAR) AS snapshot_date, is_open,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest
+FROM state
+GROUP BY snapshot_date, is_open
+ORDER BY 1, 2
+"""
+
+
 def etl_data_vault_same_as_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E51 — same-as link (SAL): entity resolution absorbed into the
     Data Vault. The vault never updates a hub — when E35's fuzzy
@@ -2916,6 +3026,7 @@ QUERIES = {
     "etl_data_vault_build": etl_data_vault_build,
     "etl_data_vault_pit": etl_data_vault_pit,
     "etl_data_vault_same_as_link": etl_data_vault_same_as_link,
+    "etl_data_vault_effectivity": etl_data_vault_effectivity,
     "etl_fk_discovery": etl_fk_discovery,
     "etl_key_discovery": etl_key_discovery,
     "etl_calendar_gaps": etl_calendar_gaps,

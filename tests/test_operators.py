@@ -2902,3 +2902,53 @@ def test_data_vault_same_as_link_replays_resolution(spark):
     n_variants = sum(1 for r in cust if r.c_custkey % ER_VARIANT_MOD == 0)
     assert got["sal_nontrivial"][0] == n_variants
     assert got["hub_party"][0] == len(cust) + n_variants
+
+
+def test_data_vault_effectivity_routes_reassignment(spark):
+    """E52: replay the effectivity resolution in pure Python and pin
+    the full report; assert the routing — the pre-change snapshot
+    sees every original link open and nothing closed, the post-change
+    snapshot closes exactly the reassigned links and opens their
+    replacements (total open links stays the order count)."""
+    import hashlib
+
+    from proceso_de_etl_spark.operators.etl import (
+        DV_DIGEST_SHIFT,
+        DV_EFF_MOD,
+        DV_EFF_SNAPSHOTS,
+        etl_data_vault_effectivity,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").collect()
+    s1, s2 = DV_EFF_SNAPSHOTS
+    want = {}
+    for r in orders:
+        moved = r.o_orderkey % DV_EFF_MOD == 0
+        old = h60(f"oc{r.o_orderkey}|{r.o_custkey}")
+        # snapshot 1: only wave-1 events — every original link open
+        k = (s1, True)
+        acc = want.setdefault(k, [0, 0]); acc[0] += 1; acc[1] += old >> DV_DIGEST_SHIFT
+        # snapshot 2: reassigned old links closed, replacements open
+        if moved:
+            k = (s2, False)
+            acc = want.setdefault(k, [0, 0]); acc[0] += 1; acc[1] += old >> DV_DIGEST_SHIFT
+            new = h60(f"oc{r.o_orderkey}|{r.o_custkey + 1}")
+            k = (s2, True)
+            acc = want.setdefault(k, [0, 0]); acc[0] += 1; acc[1] += new >> DV_DIGEST_SHIFT
+        else:
+            k = (s2, True)
+            acc = want.setdefault(k, [0, 0]); acc[0] += 1; acc[1] += old >> DV_DIGEST_SHIFT
+    got = {
+        (r.snapshot_date, r.is_open): (r.n_links, r.hk_digest)
+        for r in etl_data_vault_effectivity(spark, sf).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert (s1, False) not in got, "nothing closed before the change"
+    assert got[(s2, True)][0] == len(orders), "open-link count preserved"
+    n_moved = sum(1 for r in orders if r.o_orderkey % DV_EFF_MOD == 0)
+    assert got[(s2, False)][0] == n_moved

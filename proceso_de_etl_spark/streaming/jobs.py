@@ -1767,8 +1767,10 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch's re-execution rewrites its own partition instead of
     double-appending — idempotent under foreachBatch's at-least-once
     contract; at scale a compacted state table, same join shape):
-    each epoch attributes ITS purchases against store ∪ current-batch
-    touches with the exact batch credit arithmetic (integer linear
+    each epoch attributes ITS purchases against PRIOR-epoch store
+    partitions ∪ current-batch touches (the store read filters
+    epoch_id < N, so a replayed epoch never sees its own first
+    attempt's touches) with the exact batch credit arithmetic (integer linear
     shares, (nc·SCALE) div k), writes the epoch's per-channel
     partials to its credit-ledger partition, then writes the batch's
     touches to its store partition. Per-channel integer partials sum
@@ -1782,9 +1784,8 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from proceso_de_etl_spark.operators.events import ATTR_SCALE, ATTR_WINDOW_US
+    from proceso_de_etl_spark.operators.events import ATTR_SCALE
     from proceso_de_etl_spark.sources.catalog import load_table
-    from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
@@ -1798,6 +1799,42 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="stream_attr_")
     touch_dir = os.path.join(root, "touches")
     credit_dir = os.path.join(root, "credits")
+    attribute_epoch = _attribution_epoch_fn(touch_dir, credit_dir)
+
+    q = raw.writeStream.outputMode("append").foreachBatch(attribute_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ledger = spark.read.parquet(credit_dir)
+    return (
+        ledger.groupBy("channel")
+        .agg(
+            F.sum("first_touch").cast("bigint").alias("first_touch"),
+            F.sum("last_touch").cast("bigint").alias("last_touch"),
+            F.sum("linear_scaled").cast("bigint").alias("linear_scaled"),
+        )
+        .select(
+            "channel",
+            "first_touch",
+            "last_touch",
+            "linear_scaled",
+            F.round(F.col("linear_scaled") / F.lit(float(ATTR_SCALE)), 6).alias(
+                "linear_credit"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+def _attribution_epoch_fn(touch_dir: str, credit_dir: str):
+    """ST22's per-epoch body as a module-level factory so the replay
+    contract (re-executing epoch N leaves the ledger byte-identical —
+    foreachBatch is at-least-once) is directly testable."""
+    import os
+
+    from proceso_de_etl_spark.operators.events import ATTR_SCALE, ATTR_WINDOW_US
+    from pyspark.sql import Window as W
 
     def attribute_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -1814,8 +1851,18 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         touches = batch_touches
         if os.path.exists(touch_dir):
+            # store read excludes THIS epoch's partition: on a
+            # foreachBatch re-execution of epoch N the store already
+            # holds N's touches from the first attempt, and
+            # store ∪ batch would double every current-batch touch —
+            # inflating k and the first/last flags before the (wrong)
+            # recomputed credit overwrote the correct partition. The
+            # epoch_id partition column makes the exclusion a
+            # partition-pruned filter, not a data scan
+            # (replay-idempotency pinned in test_streaming).
             touches = (
                 sess.read.parquet(touch_dir)
+                .filter(F.col("epoch_id") < int(epoch_id))
                 .select("user_id", "channel", "tt", "tid")
                 .unionByName(batch_touches)
             )
@@ -1882,30 +1929,7 @@ def stream_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(touch_dir)
             )
 
-    q = raw.writeStream.outputMode("append").foreachBatch(attribute_epoch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    ledger = spark.read.parquet(credit_dir)
-    return (
-        ledger.groupBy("channel")
-        .agg(
-            F.sum("first_touch").cast("bigint").alias("first_touch"),
-            F.sum("last_touch").cast("bigint").alias("last_touch"),
-            F.sum("linear_scaled").cast("bigint").alias("linear_scaled"),
-        )
-        .select(
-            "channel",
-            "first_touch",
-            "last_touch",
-            "linear_scaled",
-            F.round(F.col("linear_scaled") / F.lit(float(ATTR_SCALE)), 6).alias(
-                "linear_credit"
-            ),
-        )
-        .orderBy("channel")
-    )
+    return attribute_epoch
 
 
 def stream_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -412,6 +412,42 @@ def test_stream_attribution_boundary_coverage(spark):
     assert spanning > 0, "no purchase's lookback spans the replay boundary"
 
 
+def test_stream_attribution_epoch_replay_is_idempotent(spark, tmp_path):
+    """ST22's idempotency contract under foreachBatch's at-least-once
+    delivery: RE-executing an epoch (same batch, same epoch_id —
+    exactly what Spark does after a mid-epoch failure) must leave the
+    credit ledger byte-identical. The failure mode this pins: epoch
+    N's first attempt already wrote N's touches to the store, so a
+    replay that reads store ∪ batch would see every current-batch
+    touch TWICE — duplicated join rows inflate k and the first/last
+    flags, and the wrong credit then overwrites the correct
+    partition. The store read's epoch_id < N filter is the fix."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from proceso_de_etl_spark.streaming.jobs import _attribution_epoch_fn
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    mid = (mm["lo"] + mm["hi"]) // 2
+    b0 = ev.filter(F.unix_micros("ts") <= mid)
+    b1 = ev.filter(F.unix_micros("ts") > mid)
+    touch_dir = str(tmp_path / "touches")
+    credit_dir = str(tmp_path / "credits")
+    fn = _attribution_epoch_fn(touch_dir, credit_dir)
+    fn(b0, 0)
+    fn(b1, 1)
+    first = sorted(map(tuple, spark.read.parquet(credit_dir).collect()))
+    fn(b1, 1)  # the at-least-once replay: epoch 1 re-executes in full
+    replayed = sorted(map(tuple, spark.read.parquet(credit_dir).collect()))
+    assert replayed == first
+
+
 def test_stream_cohort_ltv_boundary_coverage(spark):
     """ST23's cross-trigger claim: some user first seen in batch 1
     (ts <= midpoint) must purchase in batch 2 — the user a per-batch

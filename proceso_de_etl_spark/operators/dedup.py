@@ -1318,10 +1318,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # local vectorized Lloyd (flat distributed k-means measured
         # 70 s at sf1.0/k=312, SCALE_r09.json; the two-level fit is
         # sub-second there) — and assignment is LSH-pruned (per-row
-        # work ∝ log k; exact argmin only over bucket-mate candidates
-        # — see ml.assign_clusters_lsh for why co-assignment of
-        # near-dups, the property pair recall rides on, survives the
-        # approximation).
+        # work ∝ log k; exact argmin only over bucket-mate
+        # candidates). Recall note: only BIT-IDENTICAL vectors are
+        # guaranteed co-assigned; near-dup pairs co-assign at a
+        # measured 98.6%/88.6% (ε = 0.01/0.1 of ‖x‖, test-pinned
+        # floors in test_properties) — the scale regime trades those
+        # few points of pair recall for the ∝ log k assignment cost.
         centroids = kmeans_fit_two_level(emb, k)
         assigned0 = assign_clusters_lsh(emb, centroids)
     cnorms = [sum(v * v for v in c) ** 0.5 for c in centroids]

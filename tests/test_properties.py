@@ -657,3 +657,64 @@ def test_lsh_assignment_coassigns_duplicates():
     mismatched = j.filter(F.col("c1") != F.col("c2")).count()
     assert n == emb.count()
     assert mismatched == 0, f"{mismatched}/{n} duplicate pairs split across cells"
+
+
+def test_lsh_assignment_near_dup_coassignment_rate():
+    """The r9 advisor's gap: the exact-duplicate guarantee above says
+    nothing about GENUINE near-duplicates, which can straddle a
+    hyperplane in every table and split across cells — silently
+    dropping the pair from SemDeDup's per-cell join at scale. Measure
+    the rate the scale path actually delivers: ε-perturb every sf0.01
+    embedding (deterministic md5 sign pattern, ‖δ‖ = ε·‖x‖) and pin
+    floors under the measured rates (0.986 at ε=0.01, 0.886 at
+    ε=0.1 on this data/geometry)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.dedup import with_norm
+    from proceso_de_etl_spark.operators.ml import (
+        assign_clusters_lsh,
+        kmeans_fit_two_level,
+    )
+    from proceso_de_etl_spark.session import get_spark
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    spark = get_spark(app_name="tests", cpus="8")
+    emb = with_norm(load_table(spark, SF_CORRECT, "embeddings")).select(
+        "vec_id", "embedding", "norm"
+    )
+    dim = 64
+    signs = [
+        1.0 if int(hashlib.md5(f"p:{i}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+    sarr = F.array(*[F.lit(s) for s in signs])
+    cents = kmeans_fit_two_level(emb, 64)
+    for eps, floor in ((0.01, 0.95), (0.1, 0.80)):
+        pert = (
+            emb.withColumn(
+                "embedding",
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    sarr,
+                    lambda x, s: x + F.lit(eps) * s * F.col("norm") / F.lit(dim**0.5),
+                ),
+            )
+            .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+            .select("vec_id", "embedding")
+        )
+        planted = emb.select("vec_id", "embedding").unionByName(pert)
+        a = assign_clusters_lsh(planted, cents).select("vec_id", "cluster")
+        orig = a.filter(F.col("vec_id") < 10_000_000).select(
+            F.col("vec_id").alias("k"), F.col("cluster").alias("c1")
+        )
+        twin = a.filter(F.col("vec_id") >= 10_000_000).select(
+            (F.col("vec_id") - 10_000_000).alias("k"), F.col("cluster").alias("c2")
+        )
+        j = orig.join(twin, "k")
+        n = j.count()
+        co = n - j.filter(F.col("c1") != F.col("c2")).count()
+        assert n == emb.count()
+        assert co / n >= floor, f"eps={eps}: co-assignment {co}/{n} below floor {floor}"

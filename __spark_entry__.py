@@ -73,79 +73,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. The r8 gate passed
-# 50/50 (the exact r7-verdict rotation), leaving the cumulative
-# ledger with exactly 16 keys whose latest green is still r1 — the
-# r8 verdict's item 1, and the head of this rotation. Next, the keys
-# that are NEW or CHANGED in r9: ann_ivf_incremental_pinned (T50's
-# value-oracled twin — closes the last twin-less rows-only key, r8
-# item 6), the vault trio E50/E51/E52 (PIT build — r8 item 7 — plus
-# the same-as link and effectivity satellites that complete the
-# family), and sketch_kmv_setops (same values, but the
-# double-distinct fold is a plan change — r8 item 3 — so it earns a
-# fresh row). The remaining 29 slots go to the oldest full-pass rows
-# (r3); the 10 r3 keys that miss the cap lead the r10 queue. After
-# this gate no green key in the ledger is older than r3, and r10
-# closes the rest.
+# whatever keys most need a FRESH driver row. The r9 gate passed
+# 50/50 (the exact r8-verdict rotation); the cumulative ledger's
+# oldest green rows are now the 10 r3 keys the r9 cap displaced (the
+# r9 verdict's item 1 — they lead here and close the freshness
+# program begun in r7), then the keys NEW or plan-CHANGED in r10:
+# etl_data_vault_bridge (E53, the consumption-side close of the
+# vault family — r9 item 6) and stream_attribution_models (the
+# replay-idempotency fix filters the touch-store read to prior
+# epochs — a plan change, so it earns a fresh row). The remaining 38
+# slots take the oldest r4 rows in deterministic (alphabetical)
+# order; the 4 r4 keys past the cap lead the r11 queue. After this
+# gate no green key in the ledger is older than r4.
 _PRIORITY = (
-    # --- 1. the 16 r1-stale keys (r8 verdict item 1) ---
-    "agg_grouping_sets",
-    "scalar_function_matrix",
-    "array_function_matrix",
-    "null_semantics_matrix",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q16_parts_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    # --- 2. new or plan-changed in r9 ---
-    "ann_ivf_incremental_pinned",
-    "etl_data_vault_pit",
-    "etl_data_vault_same_as_link",
-    "etl_data_vault_effectivity",
-    "sketch_kmv_setops",
-    # --- 3. freshness re-checks: oldest full-pass rows (r3); 29 of
-    #     39 fit under the 50-row cap (16 + 5 + 29), the other 10
-    #     (samples + the short text matrices, all heavily
-    #     pytest-replayed) lead the r10 queue ---
-    "etl_extract_conform",
-    "etl_scd2_merge",
-    "etl_load_audit",
-    "etl_cdc_apply",
-    "etl_zorder_write",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "agg_pivot",
-    "agg_unpivot",
-    "set_ops_customers",
-    "agg_distinct_exact",
-    "agg_percentiles",
-    "ann_cosine_topk",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "events_interval_join_bucketed",
-    "skew_salted_join",
-    "pipeline_clean_corpus",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_static_enrichment",
-    "stream_stateful_totals",
-    "text_lang_id",
-    # ---- 50-row gate cap lands here (16 + 5 + 29) ----
-    # --- r3 overflow → head of the r10 queue ---
+    # --- 1. the 10 r3-stale keys (r9 verdict item 1) ---
     "text_quality_score",
     "text_sentiment",
     "text_tfidf_topterms",
@@ -156,6 +97,55 @@ _PRIORITY = (
     "text_vocab_topk",
     "sample_stratified",
     "sample_cap_per_source",
+    # --- 2. new or plan-changed in r10 ---
+    "etl_data_vault_bridge",
+    "stream_attribution_models",
+    # --- 3. freshness re-checks: oldest full-pass rows (r4),
+    #     alphabetical; 38 of 42 fit under the cap (10 + 2 + 38) ---
+    "agg_histogram",
+    "agg_stats_matrix",
+    "bucketed_colocated_join",
+    "dedup_containment",
+    "dedup_decontaminate",
+    "dedup_incremental",
+    "etl_aggregate_upsert",
+    "etl_clean_id",
+    "etl_compact_small_files",
+    "etl_conflict_resolve",
+    "etl_dedup_keep_first",
+    "etl_dim_extract",
+    "etl_dpp_join",
+    "etl_dropna_load",
+    "etl_fk_map",
+    "etl_incremental_antijoin",
+    "etl_partition_prune",
+    "etl_placeholders",
+    "etl_profile_table",
+    "etl_semi_filter",
+    "etl_star_flagship",
+    "etl_time_travel_read",
+    "events_hopping_window",
+    "join_type_matrix",
+    "q11_important_parts",
+    "q14_promo_effect_v2",
+    "q1_pricing_summary",
+    "q1_pricing_summary_v2",
+    "q20_excess_shippers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q3_shipping_priority_v2",
+    "q4_order_priority",
+    "q5_local_supplier_v2",
+    "q6_forecast_revenue_v2",
+    "q9_product_profit",
+    "sample_mixture_rebalance",
+    "sample_split_train_eval",
+    # ---- 50-row gate cap lands here (10 + 2 + 38) ----
+    # --- r4 overflow → head of the r11 queue ---
+    "sample_weighted_aes",
+    "stream_cdc_apply",
+    "text_bigram_pairs",
+    "text_unigram_lm_score",
     # --- never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable
@@ -168,10 +158,6 @@ _PRIORITY = (
     "ml_logreg_quality",
     "stream_late_data_accounting",
     "sketch_count_min_tokens",
-    # --- tail: r4+-passed keys keep their driver signal; pytest
-    #     re-verifies all oracles locally every round ---
-    "sample_weighted_aes",
-    "text_bigram_pairs",
 )
 
 

@@ -2914,6 +2914,162 @@ ORDER BY 1, 2
 """
 
 
+def etl_data_vault_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E53 — Data Vault bridge table (r10): the consumption-side
+    close of the vault family. E49-E52 built hubs, links, satellites,
+    PIT, SAL, and effectivity; what a BI user actually queries is a
+    BRIDGE — the hub→link→hub path chain pre-flattened to one row per
+    path (here customer→order→part via link_order_customer and the
+    order's lineitems) so a report does ONE join to the bridge
+    instead of walking the raw vault. Because links are insert-only,
+    a bridge is only meaningful AS OF a snapshot: the driving-key
+    resolution is E50's PIT rule applied to E52's reassignment plant
+    — per (snapshot, order), the customer in effect = the open event
+    with the greatest event_date ≤ snapshot (wave 1 opens every
+    order→customer link; wave 2 re-points every DV_EFF_MOD-th order
+    to custkey+1).
+
+    Report = one row per (snapshot, is_reassigned): path count
+    (paths are DISTINCT on the natural key — the source plants
+    duplicate lineitem rows for the dedup family, and a bridge row
+    is a path, not a fact row), the distinct-hash collision audit
+    (n_rows must equal n_distinct_hk), the order-free path-key digest
+    Σ(hk div 2^DV_DIGEST_SHIFT), and the customer-hub digest of the
+    path anchors. The split pins the PIT composition sharply: the
+    reassigned group has IDENTICAL path counts at both snapshots but
+    a different customer digest — exactly the custkey→custkey+1
+    re-anchoring, nothing else (hashlib replay + those invariants
+    pinned in test).
+
+    Scale: event build = one orders scan (1 + 1/MOD rows per order);
+    snapshot spine BROADCAST; effectivity resolution = one aggregate
+    keyed on (snapshot, orderkey) — uniform keys, max_by
+    in-aggregate, no window; the bridge expansion is an equi-join on
+    orderkey, lineitem's natural clustering key, so at 100 TB it
+    co-partitions with the fact instead of shuffling it; the report
+    is one partial-agged aggregate. A materialized bridge would be
+    written partitioned by snapshot_date (E12's discipline)."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    open1 = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.lit(DV_EFF_D1).cast("date").alias("event_date"),
+    )
+    open2 = (
+        orders.filter(F.col("o_orderkey") % DV_EFF_MOD == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1).alias("custkey"),
+            F.lit(DV_EFF_D2).cast("date").alias("event_date"),
+        )
+    )
+    events = open1.unionByName(open2)
+    snaps = spark.createDataFrame(
+        [(s,) for s in DV_EFF_SNAPSHOTS], "snapshot_date string"
+    ).select(F.col("snapshot_date").cast("date"))
+    eff = (
+        events.join(F.broadcast(snaps), F.col("event_date") <= F.col("snapshot_date"))
+        .groupBy("snapshot_date", "o_orderkey")
+        .agg(F.max_by("custkey", "event_date").alias("custkey"))
+    )
+    # a bridge row is a PATH, not a fact row: the source carries
+    # planted duplicate lineitem rows (the dedup-family fixtures), so
+    # dedup on the NATURAL path key BEFORE hashing — that keeps
+    # n_rows == n_distinct_hk a true hash-collision audit instead of
+    # a duplicate-row artifact
+    paths = (
+        eff.join(
+            lineitem.select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_linenumber"
+            ),
+            "o_orderkey",
+        )
+        .select("snapshot_date", "custkey", "o_orderkey", "l_partkey", "l_linenumber")
+        .distinct()
+    )
+    bridge = paths.select(
+        "snapshot_date",
+        (F.col("o_orderkey") % DV_EFF_MOD == 0).alias("is_reassigned"),
+        h60(
+            F.concat(
+                F.lit("br"),
+                F.col("custkey"),
+                F.lit("|"),
+                F.col("o_orderkey"),
+                F.lit("|"),
+                F.col("l_partkey"),
+                F.lit("|"),
+                F.col("l_linenumber"),
+            )
+        ).alias("hk"),
+        h60(F.concat(F.lit("c"), F.col("custkey"))).alias("hk_customer"),
+    )
+    return (
+        bridge.groupBy("snapshot_date", "is_reassigned")
+        .agg(
+            F.count("*").cast("bigint").alias("n_paths"),
+            F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
+            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
+                "path_digest"
+            ),
+            F.sum(F.expr(f"hk_customer div {1 << DV_DIGEST_SHIFT}"))
+            .cast("bigint")
+            .alias("customer_digest"),
+        )
+        .select(
+            F.col("snapshot_date").cast("string").alias("snapshot_date"),
+            "is_reassigned",
+            "n_paths",
+            "n_distinct_hk",
+            "path_digest",
+            "customer_digest",
+        )
+        .orderBy("snapshot_date", "is_reassigned")
+    )
+
+
+ORACLES["etl_data_vault_bridge"] = f"""
+WITH events AS (
+  SELECT o_orderkey, o_custkey AS custkey, DATE '{DV_EFF_D1}' AS event_date
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey + 1, DATE '{DV_EFF_D2}'
+  FROM orders WHERE o_orderkey % {DV_EFF_MOD} = 0
+),
+snaps(snapshot_date) AS (VALUES {", ".join(f"(DATE '{s}')" for s in DV_EFF_SNAPSHOTS)}),
+eff AS (
+  SELECT s.snapshot_date, e.o_orderkey,
+         arg_max(e.custkey, e.event_date) AS custkey
+  FROM events e JOIN snaps s ON e.event_date <= s.snapshot_date
+  GROUP BY 1, 2
+),
+paths AS (
+  SELECT DISTINCT eff.snapshot_date, eff.custkey, eff.o_orderkey,
+         l_partkey, l_linenumber
+  FROM eff JOIN lineitem ON l_orderkey = eff.o_orderkey
+),
+bridge AS (
+  SELECT snapshot_date,
+         (o_orderkey % {DV_EFF_MOD} = 0) AS is_reassigned,
+         {_dv_h60_sql("'br' || custkey || '|' || o_orderkey || '|' || l_partkey || '|' || l_linenumber")} AS hk,
+         {_dv_h60_sql("'c' || custkey")} AS hk_customer
+  FROM paths
+)
+SELECT CAST(snapshot_date AS VARCHAR) AS snapshot_date, is_reassigned,
+       CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_hk,
+       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS path_digest,
+       CAST(SUM(hk_customer // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS customer_digest
+FROM bridge
+GROUP BY snapshot_date, is_reassigned
+ORDER BY 1, 2
+"""
+
+
 def etl_data_vault_same_as_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E51 — same-as link (SAL): entity resolution absorbed into the
     Data Vault. The vault never updates a hub — when E35's fuzzy
@@ -3024,6 +3180,7 @@ ORACLES["etl_data_vault_build"] = "\nUNION ALL\n".join(
 
 QUERIES = {
     "etl_data_vault_build": etl_data_vault_build,
+    "etl_data_vault_bridge": etl_data_vault_bridge,
     "etl_data_vault_pit": etl_data_vault_pit,
     "etl_data_vault_same_as_link": etl_data_vault_same_as_link,
     "etl_data_vault_effectivity": etl_data_vault_effectivity,

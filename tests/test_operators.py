@@ -2818,6 +2818,70 @@ def test_kmeans_fit_two_level_partitions_and_is_deterministic(spark):
     assert two <= 2.0 * flat, (two, flat)
 
 
+def test_data_vault_bridge_composes_pit_over_reassignment(spark):
+    """E53: replay the bridge in pure Python — per (snapshot, order)
+    the effective customer is the latest open event ≤ snapshot (E50's
+    PIT rule on E52's reassignment plant), then every lineitem of the
+    order becomes a path row — and pin the full report. The PIT
+    composition invariants: the reassigned group's path COUNT is
+    identical at both snapshots while its customer digest differs
+    (the custkey→custkey+1 re-anchoring and nothing else), and the
+    never-reassigned group is byte-identical across snapshots."""
+    import hashlib
+
+    from proceso_de_etl_spark.operators.etl import (
+        DV_DIGEST_SHIFT,
+        DV_EFF_MOD,
+        DV_EFF_SNAPSHOTS,
+        etl_data_vault_bridge,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sf = "/root/testdata/sf0.001"
+    orders = {r.o_orderkey: r.o_custkey for r in load_table(spark, sf, "orders").collect()}
+    lines = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    ).collect()
+    s1, s2 = DV_EFF_SNAPSHOTS
+    # distinct natural path keys first — the source plants duplicate
+    # lineitem rows, and a bridge row is a path, not a fact row
+    nat = {(r.l_orderkey, r.l_partkey, r.l_linenumber) for r in lines}
+    want: dict[tuple, list] = {}
+    for ok, pk, ln in nat:
+        ck0 = orders[ok]
+        moved = ok % DV_EFF_MOD == 0
+        for snap in (s1, s2):
+            ck = ck0 + 1 if (moved and snap == s2) else ck0
+            hk = h60(f"br{ck}|{ok}|{pk}|{ln}")
+            hc = h60(f"c{ck}")
+            acc = want.setdefault((snap, moved), [0, set(), 0, 0])
+            acc[0] += 1
+            acc[1].add(hk)
+            acc[2] += hk >> DV_DIGEST_SHIFT
+            acc[3] += hc >> DV_DIGEST_SHIFT
+    got = {
+        (r.snapshot_date, r.is_reassigned): (
+            r.n_paths,
+            r.n_distinct_hk,
+            r.path_digest,
+            r.customer_digest,
+        )
+        for r in etl_data_vault_bridge(spark, sf).collect()
+    }
+    assert got == {
+        k: (v[0], len(v[1]), v[2], v[3]) for k, v in want.items()
+    }
+    # PIT invariants
+    assert got[(s1, True)][0] == got[(s2, True)][0], "reassignment must not change path count"
+    assert got[(s1, True)][3] != got[(s2, True)][3], "customer anchors must move"
+    assert got[(s1, False)] == got[(s2, False)], "untouched orders identical across snapshots"
+    for v in got.values():
+        assert v[0] == v[1], "path hash collision"
+
+
 def test_kmeans_fit_two_level_skewed_cells_respect_k(spark):
     """The ≤ k return contract under a SKEWED coarse partition (r9
     advisor): per-cell floors of 1 plus proportional flooring can

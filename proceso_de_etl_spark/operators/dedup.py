@@ -1265,6 +1265,21 @@ SEMDEDUP_K = 8  # floor = cells at the sf0.01 gate corpus (~500 vectors)
 # to 8 — gate behavior unchanged) and engages the scale path one
 # decade up.
 SEMDEDUP_TARGET_CELL = 256  # expected vectors per cell
+# Pair-join cell CAP (r10): k ∝ n makes the EXPECTED cell constant,
+# but the realized distribution is skewed (sf10 measured: p50 219,
+# p99 2056, max 2567 vs target 256 — Σ cell² 2.1× the balanced value,
+# and the pair join pays the square). Cells above the cap are
+# SUB-SPLIT for the pair join only, by appending
+# ⌈log2(count/CAP)⌉ ≤ SUBSIG_BITS sign bits of fixed md5 hyperplanes
+# (ml.assign_clusters_lsh's with_subsig output) to the cell key.
+# Bit-identical vectors share the subsig by construction, so exact
+# dups always stay co-joined; a near-dup pair inside an OVERSIZED
+# cell straddles each extra hyperplane with probability θ/π — the
+# same bounded-recall trade the LSH assignment already makes,
+# engaged only where the alternative is a quadratic cell. Keeper
+# resolution and centroid_sim keep the ORIGINAL cluster; only the
+# pair join sees sub-split keys.
+SEMDEDUP_CELL_CAP = 4 * SEMDEDUP_TARGET_CELL
 SEMDEDUP_TAU = COSINE_THRESHOLD
 
 
@@ -1272,6 +1287,58 @@ def semdedup_k(n: int) -> int:
     """Cells for an n-vector corpus: n/TARGET_CELL, floored at
     SEMDEDUP_K (paper: k ∝ n; Abbas et al. 2023 use n/⟨cell⟩≈const)."""
     return max(SEMDEDUP_K, n // SEMDEDUP_TARGET_CELL)
+
+
+def _subsplit_pair_cells(assigned: DataFrame, n_centroids: int) -> DataFrame:
+    """Oversized-cell cap (r10, SEMDEDUP_CELL_CAP): append
+    ⌈log2(count/CAP)⌉ ≤ SUBSIG_BITS hyperplane sign bits to the
+    pair-join key of every cell whose realized population exceeds
+    the cap. Input must carry ``cluster`` and ``subsig`` (the
+    ml.assign_clusters_lsh with_subsig output — a pure function of
+    the vector, so bit-identical vectors always share a pcell).
+
+    Per-cluster counts round-trip the driver (k rows — the accepted
+    ∝ k bound of the centroid fit itself); the bit widths ride back
+    as a broadcast array and the pcell is one JVM-side expression.
+    Measured at sf10 (n=200k, k=781, p50 cell 219 / max 2567):
+    Σ cell² was 107.9M ≈ 2.1× the balanced value and the pair join
+    was 109 s of the 166 s wall; the cap bounds every DIVERSE pair
+    cell near CAP. A cell of n exact duplicates stays quadratic by
+    design — identical vectors share every sign bit, and they
+    genuinely are all pairs."""
+    import math as _math
+
+    from proceso_de_etl_spark.operators.ml import SUBSIG_BITS, with_broadcast_value
+
+    counts = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    bits_arr = [
+        min(
+            SUBSIG_BITS,
+            max(0, _math.ceil(_math.log2(counts.get(c, 1) / SEMDEDUP_CELL_CAP))),
+        )
+        if counts.get(c, 0) > SEMDEDUP_CELL_CAP
+        else 0
+        for c in range(n_centroids)
+    ]
+    return (
+        with_broadcast_value(assigned, bits_arr, "_sb", "array<int>")
+        .withColumn(
+            "pcell",
+            F.col("cluster") * (1 << SUBSIG_BITS)
+            + F.col("subsig").bitwiseAND(
+                # SQL shiftleft accepts a column bit count; the
+                # Python helper only takes an int literal
+                F.expr(
+                    "cast(shiftleft(1, element_at(_sb, cast(cluster as int) + 1))"
+                    " as bigint) - 1"
+                )
+            ),
+        )
+        .drop("_sb")
+    )
 
 
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,7 +1353,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is bounded per-cluster (TARGET_CELL rows per cell in
     expectation — k ∝ n via semdedup_k, so the bound holds at every
     corpus size instead of only at the size k was tuned for; the
-    fixed-k curve bend is measured in SCALE_r09.json), the cluster
+    fixed-k curve bend is measured in SCALE_r09.json — and, r10,
+    bounded in the WORST case too: realized cells above
+    SEMDEDUP_CELL_CAP are sub-split for the pair join by hyperplane
+    subsig bits, so one skewed cell can never reintroduce the
+    quadratic), the cluster
     assignment is one scan against broadcast centroids, and the group
     resolution is the repo's fixpoint CC loop. Centroid matrix and
     norms ride in as broadcast DATA, not literals — at k ∝ n the
@@ -1311,7 +1382,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate regime: exact flat fit + exact assignment, byte-for-
         # byte the pre-r9 behavior at the test/driver scale factors
         centroids = kmeans_fit(emb, k=k)
-        assigned0 = assign_clusters(emb, centroids)
+        assigned0 = assign_clusters(emb, centroids).withColumn(
+            "subsig", F.lit(0).cast("bigint")
+        )
     else:
         # scale regime (k ∝ n): the fit is the two-level
         # coarse-then-refine form — one deterministic sample scan,
@@ -1324,8 +1397,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured 98.6%/88.6% (ε = 0.01/0.1 of ‖x‖, test-pinned
         # floors in test_properties) — the scale regime trades those
         # few points of pair recall for the ∝ log k assignment cost.
+        # with_subsig: the sub-split bits the oversized-cell cap
+        # below consumes.
         centroids = kmeans_fit_two_level(emb, k)
-        assigned0 = assign_clusters_lsh(emb, centroids)
+        assigned0 = assign_clusters_lsh(emb, centroids, with_subsig=True)
     cnorms = [sum(v * v for v in c) ** 0.5 for c in centroids]
     assigned = (
         with_broadcast_value(
@@ -1346,21 +1421,27 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at("_cn", F.col("cluster").cast("int") + 1),
             ),
         )
-        .select("vec_id", "cluster", "embedding", "norm", "centroid_sim")
+        .select("vec_id", "cluster", "subsig", "embedding", "norm", "centroid_sim")
         # three consumers (both pair sides + the final labeling) —
         # persist so the assignment expressions (k×dim distance
         # arithmetic) run once; released by the session-level cache
         # clear the bench/tests already perform per pass
         .persist()
     )
-    a = assigned.select(
-        F.col("vec_id").alias("a"), "cluster", F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    if k == SEMDEDUP_K:
+        # gate regime: pair key IS the cluster — byte-identical
+        # pre-r9 behavior
+        with_pcell = assigned.withColumn("pcell", F.col("cluster"))
+    else:
+        with_pcell = _subsplit_pair_cells(assigned, len(centroids))
+    a = with_pcell.select(
+        F.col("vec_id").alias("a"), "pcell", F.col("embedding").alias("ea"), F.col("norm").alias("na")
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b"), "cluster", F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    b = with_pcell.select(
+        F.col("vec_id").alias("b"), "pcell", F.col("embedding").alias("eb"), F.col("norm").alias("nb")
     )
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, "pcell")
         .filter(F.col("a") < F.col("b"))
         .withColumn("cosine", dot_cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
         .filter(F.col("cosine") >= SEMDEDUP_TAU)

@@ -75,6 +75,9 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]], emb_col: str = 
     )
 
 
+SUBSIG_BITS = 8  # sign bits emitted for the oversized-cell sub-split
+
+
 def assign_clusters_lsh(
     df: DataFrame,
     centroids: list[list[float]],
@@ -82,21 +85,37 @@ def assign_clusters_lsh(
     n_tables: int = 4,
     cand_target: int = 8,
     n_anchors: int = 16,
+    with_subsig: bool = False,
 ) -> DataFrame:
     """Approximate argmin assignment with per-row work ∝ log k instead
     of k — the scale path for k ∝ n clustering (SemDeDup at corpus
     scale): flat assignment is O(n·k·d), which with the k ∝ n knob
     makes the whole operator quadratic in n (measured: 14 s for ONE
-    20k×312 assignment pass at sf1.0, SCALE_r09.json). Here each row
+    20k×312 assignment pass at sf1.0, SCALE_r09.json). Each row
     computes ``n_tables`` random-hyperplane signatures (``bits`` =
     ⌈log2(k/cand_target)⌉ sign bits each), looks its buckets up in a
-    BROADCAST bucket→centroid-id index (built driver-side in numpy —
-    k·bits·d flops once), and runs the exact distance argmin only
-    over bucket-mate centroids plus ``n_anchors`` always-included
-    anchor centroids (the non-empty fallback). Everything happens in
-    ONE projection — no explode, no join, no shuffle; the broadcast
-    payload is the k×d matrix the exact path already ships plus a
-    few KB of index.
+    bucket→centroid-id index (built driver-side in numpy — k·bits·d
+    flops once), and runs the exact distance argmin only over
+    bucket-mate centroids plus ``n_anchors`` always-included anchor
+    centroids (the non-empty fallback).
+
+    Execution is ONE Arrow-batched mapInPandas pass — no explode, no
+    join, no shuffle; centroids/planes/index ride in the closure
+    (broadcast-sized: the k×d matrix the exact path already ships
+    plus a few KB of index). r10: the original pure-Column form spent
+    52 s at sf10 (200k rows, k=781) because higher-order functions
+    (transform/aggregate/zip_with) are INTERPRETED, not codegen'd —
+    ~10k flops/row at interpreter speed; the numpy form does the
+    identical arithmetic vectorized (3.5 s measured, same stage).
+    All reductions use np.einsum WITHOUT BLAS dispatch so per-row
+    sums are sequential and batch-boundary-independent — the result
+    is deterministic under any partitioning, like the HOF form was.
+
+    ``with_subsig`` additionally emits SUBSIG_BITS extra sign bits
+    per row (independent md5 hyperplanes) — the sub-split key
+    consumers use to cap oversized cells in pair joins (see
+    dedup.dedup_semantic_semdedup). A function of the vector alone:
+    bit-identical vectors share it by construction.
 
     Approximation contract: a row may land in a near-best cell
     instead of the best. Co-assignment — what SemDeDup's per-cell
@@ -106,31 +125,39 @@ def assign_clusters_lsh(
     pair can straddle a hyperplane in every table and split across
     cells, silently dropping the pair from the downstream join: the
     MEASURED co-assignment rate on sf0.01 (test-pinned floors in
-    test_properties) is 98.6% at perturbation ‖δ‖ = 0.01·‖x‖ and
-    88.6% at 0.1·‖x‖ — so the LSH-assigned SemDeDup path trades a
+    test_properties) is ~98.6% at perturbation ‖δ‖ = 0.01·‖x‖ and
+    ~88.6% at 0.1·‖x‖ — so the LSH-assigned SemDeDup path trades a
     few points of near-dup pair recall for the ∝ log k row cost;
     exact recall stays on the flat assign_clusters path (the pinned
-    value-oracled twins). Tie-break matches assign_clusters
-    (lower id)."""
+    value-oracled twins). Tie-break matches assign_clusters (lower
+    id): candidates are scanned in ascending id order and argmin
+    takes the first minimum."""
     import hashlib
     import math
 
     import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
 
     k, dim = len(centroids), len(centroids[0])
     bits = min(16, max(4, math.ceil(math.log2(max(2, k // cand_target)))))
+
+    def md5_sign(tag: str, t: int, j: int, i: int) -> float:
+        return (
+            1.0
+            if int(hashlib.md5(f"{tag}:{t}:{j}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+        )
+
     planes = np.array(
         [
-            [
-                1.0
-                if int(hashlib.md5(f"assign:{t}:{j}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
-                else -1.0
-                for i in range(dim)
-            ]
+            [md5_sign("assign", t, j, i) for i in range(dim)]
             for t in range(n_tables)
             for j in range(bits)
         ]
     )  # (n_tables*bits) x dim
+    sub_planes = np.array(
+        [[md5_sign("subsplit", 0, j, i) for i in range(dim)] for j in range(SUBSIG_BITS)]
+    )
     cmat = np.array(centroids)  # k x dim
     sigs = cmat @ planes.T > 0  # k x (n_tables*bits)
     index: list[dict[int, list[int]]] = []
@@ -141,64 +168,65 @@ def assign_clusters_lsh(
             buckets.setdefault(b, []).append(cid)
         index.append(buckets)
     anchors = list(range(min(n_anchors, k)))
+    bit_w = np.array([1 << j for j in range(bits)], dtype=np.int64)
+    sub_w = np.array([1 << j for j in range(SUBSIG_BITS)], dtype=np.int64)
+    in_cols = df.columns
+    out_schema = StructType(
+        df.schema.fields + [StructField("cluster", LongType(), False)]
+        + ([StructField("subsig", LongType(), False)] if with_subsig else [])
+    )
 
-    out = with_broadcast_value(df, centroids, "_cm", "array<array<double>>")
-    out = with_broadcast_value(out, [[float(v) for v in p] for p in planes], "_pm", "array<array<double>>")
-    out = with_broadcast_value(out, index, "_ix", "array<map<bigint,array<bigint>>>")
-    dots = F.transform(
-        F.col("_pm"),
-        lambda p: F.aggregate(
-            F.zip_with(F.col(emb_col), p, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    bucket_cols = [
-        sum(
-            (
-                F.when(
-                    F.element_at(F.col("_dots"), t * bits + j + 1) > 0,
-                    F.lit(1 << j).cast("bigint"),
-                ).otherwise(F.lit(0).cast("bigint"))
-                for j in range(bits)
-            ),
-            F.lit(0).cast("bigint"),
-        )
-        for t in range(n_tables)
-    ]
-    cands = F.array_distinct(
-        F.concat(
-            F.array(*[F.lit(a).cast("bigint") for a in anchors]),
-            F.flatten(
-                F.array(
-                    *[
-                        F.coalesce(
-                            F.element_at(F.element_at(F.col("_ix"), t + 1), bucket_cols[t]),
-                            F.array().cast("array<bigint>"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ),
-        )
-    )
-    best = F.array_min(
-        F.transform(
-            F.col("_cands"),
-            lambda c: F.struct(
-                _sq_dist(F.col(emb_col), F.element_at(F.col("_cm"), (c + 1).cast("int"))).alias(
-                    "d"
-                ),
-                c.alias("c"),
-            ),
-        )
-    )
-    return (
-        out.withColumn("_dots", dots)
-        .withColumn("_cands", cands)
-        .withColumn("cluster", best.getField("c").cast("bigint"))
-        .drop("_cm", "_pm", "_ix", "_dots", "_cands")
-    )
+    def assign_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+            # einsum (no BLAS dispatch): per-row sequential reduction,
+            # independent of batch boundaries -> deterministic under
+            # any partitioning
+            dots = np.einsum("nd,pd->np", X, planes)
+            bucket_ids = [
+                ((dots[:, t * bits : (t + 1) * bits] > 0) @ bit_w) for t in range(n_tables)
+            ]
+            # per-row candidate sets, ascending id (tie-break contract)
+            cand_lists = []
+            cmax = 1
+            for r in range(n):
+                s = set(anchors)
+                for t in range(n_tables):
+                    s.update(index[t].get(int(bucket_ids[t][r]), ()))
+                lst = sorted(s)
+                cand_lists.append(lst)
+                if len(lst) > cmax:
+                    cmax = len(lst)
+            cand = np.zeros((n, cmax), dtype=np.int64)
+            mask = np.ones((n, cmax), dtype=bool)  # True = padding
+            for r, lst in enumerate(cand_lists):
+                cand[r, : len(lst)] = lst
+                mask[r, : len(lst)] = False
+            # exact squared distance over candidates only, chunked to
+            # bound the (chunk, cmax, dim) intermediate
+            best = np.empty(n, dtype=np.int64)
+            step = max(1, 2_097_152 // (cmax * dim))  # ~16 MB chunks
+            for lo in range(0, n, step):
+                hi = min(n, lo + step)
+                diff = X[lo:hi, None, :] - cmat[cand[lo:hi]]
+                d2 = np.einsum("ncd,ncd->nc", diff, diff)
+                d2[mask[lo:hi]] = np.inf
+                # argmin takes the FIRST minimum; candidates ascend,
+                # so ties resolve to the lower centroid id
+                best[lo:hi] = np.take_along_axis(
+                    cand[lo:hi], d2.argmin(1)[:, None], axis=1
+                )[:, 0]
+            out = pdf[in_cols].copy()
+            out["cluster"] = best
+            if with_subsig:
+                sub_dots = np.einsum("nd,pd->np", X, sub_planes)
+                out["subsig"] = (sub_dots > 0) @ sub_w
+            yield out
+
+    return df.mapInPandas(assign_batches, out_schema)
 
 
 def kmeans_fit_two_level(

@@ -659,6 +659,159 @@ def test_lsh_assignment_coassigns_duplicates():
     assert mismatched == 0, f"{mismatched}/{n} duplicate pairs split across cells"
 
 
+def test_lsh_assignment_is_deterministic_and_subsig_matches_dups():
+    """r10, after the vectorized rewrite: (a) assignment is
+    deterministic — two invocations over the same data agree row for
+    row (the einsum-no-BLAS reduction is batch-boundary-independent,
+    so repartitioning cannot flip an argmin); (b) with_subsig emits
+    identical sub-split bits for bit-identical vectors (the invariant
+    the oversized-cell pair-join cap rides on) and bits in
+    [0, 2^SUBSIG_BITS)."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.dedup import with_norm
+    from proceso_de_etl_spark.operators.ml import (
+        SUBSIG_BITS,
+        assign_clusters_lsh,
+        kmeans_fit_two_level,
+    )
+    from proceso_de_etl_spark.session import get_spark
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECT
+
+    spark = get_spark(app_name="tests", cpus="8")
+    emb = with_norm(load_table(spark, SF_CORRECT, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit_two_level(emb, 64)
+    a1 = {
+        r.vec_id: (r.cluster, r.subsig)
+        for r in assign_clusters_lsh(emb, cents, with_subsig=True).collect()
+    }
+    a2 = {
+        r.vec_id: (r.cluster, r.subsig)
+        for r in assign_clusters_lsh(
+            emb.repartition(7), cents, with_subsig=True
+        ).collect()
+    }
+    assert a1 == a2, "assignment depends on partitioning"
+    assert all(0 <= s < (1 << SUBSIG_BITS) for _, s in a1.values())
+    twins = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    at = {
+        r.vec_id - 10_000_000: (r.cluster, r.subsig)
+        for r in assign_clusters_lsh(twins, cents, with_subsig=True).collect()
+    }
+    assert at == a1, "bit-identical vectors must share cluster AND subsig"
+
+
+def test_semdedup_scale_regime_caps_oversized_cells(tmp_path):
+    """Integration of the r10 oversized-cell cap: plant a corpus that
+    FORCES the scale regime (n > SEMDEDUP_K·TARGET_CELL ⇒ k ∝ n, the
+    two-level fit + LSH assignment + sub-split path) with one dense
+    diverse blob big enough that a realized cell exceeds
+    SEMDEDUP_CELL_CAP, plus planted exact-duplicate pairs INSIDE the
+    blob. Invariants: row count preserved, exactly one keeper per
+    component, and every planted exact-dup pair lands in one
+    component — sub-split bits are a function of the vector, so the
+    exact-dup guarantee survives the cap engaging."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.dedup import (
+        SEMDEDUP_CELL_CAP,
+        SEMDEDUP_TARGET_CELL,
+        dedup_semantic_semdedup,
+        semdedup_k,
+    )
+
+    from proceso_de_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", cpus="8")
+    dim = 16
+    rng_rows = []
+    n_blob, n_bg = 1400, 1700
+    # blob: normalize(e1 + 1.5·u), u deterministic pseudo-random unit
+    # — mutual cosine ≈ (1 + 2.25·cos(u_i,u_j))/3.25 ≈ 0.31 ± noise,
+    # mostly below τ, so the blob shares cells without pair-exploding
+    def unit(seed: int) -> "np.ndarray":
+        v = np.array(
+            [math.sin(0.7 * seed + 1.3 * i) + math.cos(1.9 * seed * (i + 1)) for i in range(dim)]
+        )
+        return v / np.linalg.norm(v)
+
+    e1 = np.zeros(dim)
+    e1[0] = 1.0
+    vid = 0
+    for j in range(n_blob):
+        v = e1 + 1.5 * unit(j)
+        rng_rows.append((vid, [float(x) for x in v], 0))
+        vid += 1
+    for j in range(n_bg):  # spread background
+        rng_rows.append((vid, [float(x) for x in 3.0 * unit(10_000 + j)], 1))
+        vid += 1
+    dup_pairs = []
+    for j in range(20):  # exact dups of blob members
+        src = rng_rows[j * 7][1]
+        dup_pairs.append((j * 7, vid))
+        rng_rows.append((vid, list(src), 0))
+        vid += 1
+    n = len(rng_rows)
+    assert semdedup_k(n) > 8, "plant must engage the scale regime"
+    df = spark.createDataFrame(
+        rng_rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = dedup_semantic_semdedup(spark, str(tmp_path)).collect()
+    assert len(out) == n
+    comp = {r.vec_id: r.component for r in out}
+    keeps = sum(1 for r in out if r.keep)
+    assert keeps == len({r.component for r in out}), "one keeper per component"
+    for a, b in dup_pairs:
+        assert comp[a] == comp[b], f"exact dup pair ({a},{b}) split by the cell cap"
+
+
+def test_semdedup_subsplit_caps_only_oversized_cells():
+    """Unit pin of the _subsplit_pair_cells arithmetic on a
+    hand-built assignment: a cluster over the cap gets
+    ⌈log2(count/CAP)⌉ subsig bits appended to its pair key (rows
+    with equal masked subsig share a pcell; the cluster splits into
+    at most 2^bits pair cells), a cluster under the cap keeps ONE
+    pair cell regardless of subsig, and rows with identical subsig
+    always share a pcell — the exact-dup guarantee."""
+    from collections import Counter
+
+    from proceso_de_etl_spark.operators.dedup import (
+        SEMDEDUP_CELL_CAP,
+        _subsplit_pair_cells,
+    )
+    from proceso_de_etl_spark.operators.ml import SUBSIG_BITS
+    from proceso_de_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", cpus="8")
+    big_n = 3 * SEMDEDUP_CELL_CAP  # ceil(log2(3)) = 2 bits
+    rows = [(i, 0, i % 251) for i in range(big_n)]  # varied subsigs
+    rows += [(big_n + i, 1, i % 251) for i in range(10)]  # small cell
+    df = spark.createDataFrame(rows, "vec_id bigint, cluster bigint, subsig bigint")
+    out = _subsplit_pair_cells(df, 2).collect()
+    by_cluster: dict[int, set] = {}
+    pcell_of = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.pcell)
+        pcell_of[r.vec_id] = r.pcell
+    assert len(by_cluster[1]) == 1, "under-cap cluster must not split"
+    assert 1 < len(by_cluster[0]) <= 4, "over-cap cluster splits into <= 2^2 cells"
+    # masked-subsig rows co-locate: pcell is a pure function of
+    # (cluster, subsig & 3)
+    want = {r.vec_id: r.cluster * (1 << SUBSIG_BITS) + (r.subsig & 3 if r.cluster == 0 else 0)
+            for r in df.collect()}
+    assert pcell_of == want
+    # split balance on the varied subsigs: no sub-cell above ~cap
+    sizes = Counter(pcell_of[i] for i in range(big_n))
+    assert max(sizes.values()) <= SEMDEDUP_CELL_CAP
+
+
 def test_lsh_assignment_near_dup_coassignment_rate():
     """The r9 advisor's gap: the exact-duplicate guarantee above says
     nothing about GENUINE near-duplicates, which can straddle a

@@ -153,6 +153,10 @@ HEADLINE = (
     # spine + one hash-keyed aggregate)
     "ann_ivf_incremental_pinned",
     "etl_data_vault_pit",
+    # r10 addition: the vault bridge (PIT-resolved hub->link->hub
+    # path flatten — broadcast spine + one keyed max_by + the
+    # orderkey equi-join into lineitem + distinct + one aggregate)
+    "etl_data_vault_bridge",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -294,6 +298,10 @@ BASELINE = {
     # --- r9 additions: settled-instant medians from the same probe ---
     "ann_ivf_incremental_pinned": 1.651,
     "etl_data_vault_pit": 1.135,
+    # --- r10 addition: settled-instant median from an idle-box
+    #     warm-JVM probe (samples 7.40/4.17/3.99/3.04/2.85 — first
+    #     two are codegen/page-cache warmup; sentinel 1.038) ---
+    "etl_data_vault_bridge": 2.95,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -328,17 +328,26 @@ def kmeans_fit_two_level(
     # the ≥1 floors plus per-cell flooring can OVERSHOOT k on skewed
     # populations (counts [100,1,1,1], k=16 → [15,1,1,1] = 18);
     # downscale largest-alloc-first (np.argmax ties → lower index,
-    # deterministic) so Σalloc ≤ k — the ≤ k return contract. Cannot
-    # stall: non-empty cells ≤ k1 = ⌈√k⌉ < k, so all-ones sums < k.
+    # deterministic) so Σalloc ≤ k — the ≤ k return contract. When
+    # every remaining alloc is 1 and the sum still exceeds k (k
+    # smaller than the non-empty coarse-cell count — k=1 is the real
+    # case, since k1 = max(2, ⌊√k⌋) ≥ 2), drop whole cells instead:
+    # smallest population first, ties to the higher index.
     while alloc.sum() > k:
         j = int(np.argmax(alloc))
-        if alloc[j] <= 1:
-            break
-        alloc[j] -= 1
+        if alloc[j] > 1:
+            alloc[j] -= 1
+            continue
+        for i in sorted(range(len(alloc)), key=lambda i: (counts[i], -i)):
+            if alloc.sum() <= k:
+                break
+            if alloc[i] > 0:
+                alloc[i] = 0
+        break
     out: list[list[float]] = []
     for j in range(k1):
         cell = X[coarse == j]
-        if len(cell) == 0:
+        if len(cell) == 0 or alloc[j] == 0:  # empty OR dropped by the downscale
             continue
         out.extend(
             [list(map(float, c)) for c in lloyd(cell, min(int(alloc[j]), len(cell)), n_iter)]

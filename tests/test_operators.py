@@ -2912,9 +2912,15 @@ def test_kmeans_fit_two_level_skewed_cells_respect_k(spark):
 def test_kmeans_fit_two_level_sample_cap_bounds_driver_state(spark):
     """The fit sample must be bounded by fit_sample_max, NOT grow as
     pts_per_cell·k (with the k ∝ n SemDeDup knob an uncapped sample
-    is n/16 driver rows — the r9 judge's scale finding). Pin the
-    graceful-degradation contract: a tiny cap still fits usable
-    centroids and respects ≤ k."""
+    is n/16 driver rows — the r9 judge's scale finding). Behavioral
+    pin (reviewer catch: the first version asserted an arithmetic
+    identity that held even if the cap were ignored): a cap that
+    BINDS (n // cap >= 2, so the md5 residue filter keeps a strict
+    subset of rows) must change the fitted centroids relative to the
+    uncapped fit — if fit_sample_max were silently dropped, the two
+    fits would see the same sample and return identical centroids.
+    The capped fit still respects ≤ k and the right dimension
+    (graceful degradation, FAISS-style)."""
     from proceso_de_etl_spark.operators.dedup import with_norm
     from proceso_de_etl_spark.operators.ml import kmeans_fit_two_level
     from proceso_de_etl_spark.sources.catalog import load_table
@@ -2923,12 +2929,32 @@ def test_kmeans_fit_two_level_sample_cap_bounds_driver_state(spark):
     emb = with_norm(load_table(spark, SF_CORRECT, "embeddings"))
     n = emb.count()
     k = 16
-    cap = 256  # << pts_per_cell·k·(anything); forces the capped path
-    c = kmeans_fit_two_level(emb, k, fit_sample_max=cap)
-    assert 0 < len(c) <= k
-    # the md5 residue sample at m = n // cap keeps the collected set
-    # near the cap, far below n — the O(cap·d) driver bound
-    assert n // max(1, n // cap) <= 2 * cap
+    cap = 128
+    assert n // cap >= 2, "cap must bind on this corpus for the pin to mean anything"
+    capped = kmeans_fit_two_level(emb, k, fit_sample_max=cap)
+    uncapped = kmeans_fit_two_level(emb, k)
+    assert 0 < len(capped) <= k
+    assert all(len(c) == 64 for c in capped)
+    assert capped != uncapped, (
+        "capped fit saw the same sample as the uncapped fit — "
+        "fit_sample_max is being ignored"
+    )
+
+
+def test_kmeans_fit_two_level_k1_returns_single_centroid(spark):
+    """k=1 edge of the ≤ k contract (reviewer catch): k1 coarse cells
+    = max(2, ⌊√k⌋) = 2, so both cells floor to alloc 1 and the
+    largest-first downscale cannot decrement below 1 — the r10
+    whole-cell drop (smallest population first) must bring the total
+    back to exactly one centroid."""
+    from proceso_de_etl_spark.operators.ml import kmeans_fit_two_level
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    c = kmeans_fit_two_level(df, 1)
+    assert len(c) == 1
+    assert len(c[0]) == 4
+    assert c == kmeans_fit_two_level(df, 1), "k=1 fit not deterministic"
 
 
 def test_cachereg_memo_repins_after_external_clearcache(spark):

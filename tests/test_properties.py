@@ -704,29 +704,35 @@ def test_lsh_assignment_is_deterministic_and_subsig_matches_dups():
     assert at == a1, "bit-identical vectors must share cluster AND subsig"
 
 
-def test_semdedup_scale_regime_caps_oversized_cells(tmp_path):
+def test_semdedup_scale_regime_caps_oversized_cells(tmp_path, monkeypatch):
     """Integration of the r10 oversized-cell cap: plant a corpus that
     FORCES the scale regime (n > SEMDEDUP_K·TARGET_CELL ⇒ k ∝ n, the
-    two-level fit + LSH assignment + sub-split path) with one dense
-    diverse blob big enough that a realized cell exceeds
-    SEMDEDUP_CELL_CAP, plus planted exact-duplicate pairs INSIDE the
-    blob. Invariants: row count preserved, exactly one keeper per
-    component, and every planted exact-dup pair lands in one
-    component — sub-split bits are a function of the vector, so the
-    exact-dup guarantee survives the cap engaging."""
+    two-level fit + LSH assignment + sub-split path) with a dense
+    diverse blob and planted exact-duplicate pairs INSIDE it, and
+    LOWER the cap under the blob's realized cell sizes so the
+    sub-split actually engages (reviewer catch: at the default cap
+    the k-means fit keeps every cell under it and the old assertion
+    passed vacuously — a guard below now proves nonzero bits fired).
+    Invariants under an ENGAGED cap: row count preserved, exactly
+    one keeper per component, and every planted exact-dup pair lands
+    in one component — sub-split bits are a function of the vector,
+    so the exact-dup guarantee survives the cap engaging."""
     import math
 
     import numpy as np
-    from pyspark.sql import functions as F
 
+    from proceso_de_etl_spark.operators import dedup as dedup_mod
     from proceso_de_etl_spark.operators.dedup import (
-        SEMDEDUP_CELL_CAP,
-        SEMDEDUP_TARGET_CELL,
         dedup_semantic_semdedup,
         semdedup_k,
     )
-
     from proceso_de_etl_spark.session import get_spark
+
+    # lower the cap under the plant's realized cell sizes (measured
+    # max ~399 at the default fit geometry) so bits_arr is nonzero
+    # and the engaged-cap path actually runs
+    cap = 128
+    monkeypatch.setattr(dedup_mod, "SEMDEDUP_CELL_CAP", cap)
 
     spark = get_spark(app_name="tests", cpus="8")
     dim = 16
@@ -765,6 +771,16 @@ def test_semdedup_scale_regime_caps_oversized_cells(tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     out = dedup_semantic_semdedup(spark, str(tmp_path)).collect()
     assert len(out) == n
+    # the cap must actually have ENGAGED: at least one realized cell
+    # above the patched cap, i.e. nonzero sub-split bits fired
+    # (guards the test against a fit-geometry change that re-balances
+    # every cell under the cap and makes the dup assertion vacuous)
+    from collections import Counter
+
+    cell_sizes = Counter(r.cluster for r in out)
+    assert max(cell_sizes.values()) > cap, (
+        f"plant no longer oversizes a cell: max {max(cell_sizes.values())} <= cap {cap}"
+    )
     comp = {r.vec_id: r.component for r in out}
     keeps = sum(1 for r in out if r.keep)
     assert keeps == len({r.component for r in out}), "one keeper per component"

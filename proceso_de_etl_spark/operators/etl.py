@@ -2603,9 +2603,35 @@ FROM (
 )
 
 
-DV_DIGEST_SHIFT = 20  # digest sums hk div 2^20 — 40-bit terms keep the
-# BIGINT sum safe to ~10^6 rows per vault table at gate SFs; at 100 TB
-# route the digest through DECIMAL(38,0) (the A105 overflow rule)
+DV_DIGEST_SHIFT = 20  # digest terms are hk div 2^20 (40-bit each)
+DV_DIGEST_MOD = (1 << 61) - 1  # Mersenne reduction of the digest sum
+# Digest law (r11): Σ(hk div 2^SHIFT) is accumulated in DECIMAL(38,0)
+# (the A105 overflow rule — a BIGINT sum of 40-bit terms wraps past
+# ~2^23 rows, which lineitem-scale keys exceed at sf10) and reduced
+# mod 2^61-1 so the emitted digest is BIGINT-ranged at ANY corpus
+# size. Spark wraps int64 silently (ANSI off) while DuckDB promotes
+# to HUGEINT, so without this the two engines silently diverge
+# exactly when the data gets big. Both engines see only non-negative
+# operands, so % is engine-identical.
+
+
+def _dv_digest_col(col: str) -> Column:
+    """Order-free vault digest of a 60-bit hash column, overflow-safe.
+
+    DECIMAL(38,0) partial sums survive ~1e26 rows of 40-bit terms;
+    the Mersenne reduction brings the result back into BIGINT."""
+    return F.expr(
+        f"CAST(SUM(CAST({col} div {1 << DV_DIGEST_SHIFT} AS DECIMAL(38,0)))"
+        f" % {DV_DIGEST_MOD} AS BIGINT)"
+    )
+
+
+def _dv_digest_sql(col: str) -> str:
+    """DuckDB leg of the digest law: SUM(BIGINT) is HUGEINT there
+    (never wraps), so only the Mersenne reduction is needed."""
+    return (
+        f"CAST(SUM({col} // {1 << DV_DIGEST_SHIFT}) % {DV_DIGEST_MOD} AS BIGINT)"
+    )
 
 
 def etl_data_vault_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2666,9 +2692,7 @@ def etl_data_vault_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("vault_table"),
             F.count("*").cast("bigint").alias("n_rows"),
             F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
-            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
-                "hk_digest"
-            ),
+            _dv_digest_col("hk").alias("hk_digest"),
         )
 
     out = None
@@ -2753,12 +2777,8 @@ def etl_data_vault_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pit.groupBy("snapshot_date", "version_load_date")
         .agg(
             F.count("*").cast("bigint").alias("n_keys"),
-            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
-                "hk_digest"
-            ),
-            F.sum(F.expr(f"hd div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
-                "hd_digest"
-            ),
+            _dv_digest_col("hk").alias("hk_digest"),
+            _dv_digest_col("hd").alias("hd_digest"),
         )
         # ISO strings, not DATE: the gate's pandas canonicalization
         # widens DuckDB dates to midnight timestamps
@@ -2796,8 +2816,8 @@ pit AS (
 SELECT CAST(snapshot_date AS VARCHAR) AS snapshot_date,
        CAST(version_load_date AS VARCHAR) AS version_load_date,
        CAST(COUNT(*) AS BIGINT) AS n_keys,
-       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest,
-       CAST(SUM(hd // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hd_digest
+       {_dv_digest_sql("hk")} AS hk_digest,
+       {_dv_digest_sql("hd")} AS hd_digest
 FROM pit
 GROUP BY snapshot_date, version_load_date
 ORDER BY 1, 2
@@ -2871,9 +2891,7 @@ def etl_data_vault_effectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.groupBy("snapshot_date", "is_open")
         .agg(
             F.count("*").cast("bigint").alias("n_links"),
-            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
-                "hk_digest"
-            ),
+            _dv_digest_col("hk").alias("hk_digest"),
         )
         .select(
             F.col("snapshot_date").cast("string").alias("snapshot_date"),
@@ -2907,7 +2925,7 @@ state AS (
 )
 SELECT CAST(snapshot_date AS VARCHAR) AS snapshot_date, is_open,
        CAST(COUNT(*) AS BIGINT) AS n_links,
-       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest
+       {_dv_digest_sql("hk")} AS hk_digest
 FROM state
 GROUP BY snapshot_date, is_open
 ORDER BY 1, 2
@@ -3013,12 +3031,8 @@ def etl_data_vault_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_paths"),
             F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
-            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
-                "path_digest"
-            ),
-            F.sum(F.expr(f"hk_customer div {1 << DV_DIGEST_SHIFT}"))
-            .cast("bigint")
-            .alias("customer_digest"),
+            _dv_digest_col("hk").alias("path_digest"),
+            _dv_digest_col("hk_customer").alias("customer_digest"),
         )
         .select(
             F.col("snapshot_date").cast("string").alias("snapshot_date"),
@@ -3062,8 +3076,8 @@ bridge AS (
 SELECT CAST(snapshot_date AS VARCHAR) AS snapshot_date, is_reassigned,
        CAST(COUNT(*) AS BIGINT) AS n_paths,
        CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_hk,
-       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS path_digest,
-       CAST(SUM(hk_customer // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS customer_digest
+       {_dv_digest_sql("hk")} AS path_digest,
+       {_dv_digest_sql("hk_customer")} AS customer_digest
 FROM bridge
 GROUP BY snapshot_date, is_reassigned
 ORDER BY 1, 2
@@ -3107,9 +3121,7 @@ def etl_data_vault_same_as_link(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("vault_table"),
             F.count("*").cast("bigint").alias("n_rows"),
             F.countDistinct("hk").cast("bigint").alias("n_distinct_hk"),
-            F.sum(F.expr(f"hk div {1 << DV_DIGEST_SHIFT}")).cast("bigint").alias(
-                "hk_digest"
-            ),
+            _dv_digest_col("hk").alias("hk_digest"),
         )
 
     return (
@@ -3123,7 +3135,7 @@ def etl_data_vault_same_as_link(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dv_sal_block(name: str, src_sql: str) -> str:
     return f"""SELECT '{name}' AS vault_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_hk,
-       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest
+       {_dv_digest_sql("hk")} AS hk_digest
 FROM ({src_sql})"""
 
 
@@ -3148,7 +3160,7 @@ def _dv_block(name: str, hk_sql: str, src: str, distinct: bool) -> str:
     inner = f"SELECT {'DISTINCT ' if distinct else ''}{hk_sql} AS hk FROM {src}"
     return f"""SELECT '{name}' AS vault_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_hk,
-       CAST(SUM(hk // {1 << DV_DIGEST_SHIFT}) AS BIGINT) AS hk_digest
+       {_dv_digest_sql("hk")} AS hk_digest
 FROM ({inner})"""
 
 

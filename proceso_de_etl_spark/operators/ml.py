@@ -100,9 +100,14 @@ def assign_clusters_lsh(
     centroids (the non-empty fallback).
 
     Execution is ONE Arrow-batched mapInPandas pass — no explode, no
-    join, no shuffle; centroids/planes/index ride in the closure
-    (broadcast-sized: the k×d matrix the exact path already ships
-    plus a few KB of index). r10: the original pure-Column form spent
+    join, no shuffle; centroids/planes/index ride in a REAL
+    sparkContext.broadcast (r11): with the k ∝ n knob the k×d
+    centroid matrix grows unboundedly (hundreds of MB at 10⁸-10⁹
+    rows), and a closure capture would re-pickle it into EVERY task,
+    while a broadcast ships it once per executor over the torrent
+    protocol and the closure carries only the handle. Dereferenced
+    once per mapInPandas partition, so the numpy fast path is
+    untouched. r10: the original pure-Column form spent
     52 s at sf10 (200k rows, k=781) because higher-order functions
     (transform/aggregate/zip_with) are INTERPRETED, not codegen'd —
     ~10k flops/row at interpreter speed; the numpy form does the
@@ -175,8 +180,14 @@ def assign_clusters_lsh(
         df.schema.fields + [StructField("cluster", LongType(), False)]
         + ([StructField("subsig", LongType(), False)] if with_subsig else [])
     )
+    # one broadcast for all O(k·d) state; the task closure keeps only
+    # the handle plus scalars (bits/dim/weights — a few hundred bytes)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cmat, planes, sub_planes, index, anchors)
+    )
 
     def assign_batches(batches):
+        cmat, planes, sub_planes, index, anchors = bc.value
         for pdf in batches:
             n = len(pdf)
             if n == 0:

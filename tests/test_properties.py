@@ -788,6 +788,85 @@ def test_semdedup_scale_regime_caps_oversized_cells(tmp_path, monkeypatch):
         assert comp[a] == comp[b], f"exact dup pair ({a},{b}) split by the cell cap"
 
 
+def test_semdedup_engaged_cap_near_dup_recall_floor(tmp_path, monkeypatch):
+    """r11 (advisor item): the oversized-cell cap's NEAR-dup recall is
+    floor-pinned, not just documented. A near-dup pair (cosine ≥ τ but
+    not bit-identical) inside a capped cell can additionally be lost to
+    the sub-split with probability ~bits·θ/π on top of the LSH
+    co-assignment loss; the 98.6%/88.6% floors in
+    test_lsh_assignment_coassigns_duplicates cover assignment only.
+    Here the full pipeline runs with the cap FORCED to engage (cap 128
+    under a realized max cell ~414) and ε-perturbed pairs planted
+    inside the oversized blob; survival through cluster + subsig +
+    pair join + components is measured end-to-end. Measured on this
+    deterministic plant: 59/60 at ε = 0.01·‖x‖ and 51/60 at
+    ε = 0.1·‖x‖ — floors pinned at 56/60 and 45/60 so a future
+    SUBSIG_BITS / cap / fit-geometry change cannot silently erode the
+    scale path's near-dup recall."""
+    import math
+
+    import numpy as np
+
+    from proceso_de_etl_spark.operators import dedup as dedup_mod
+    from proceso_de_etl_spark.operators.dedup import (
+        dedup_semantic_semdedup,
+        semdedup_k,
+    )
+    from proceso_de_etl_spark.session import get_spark
+
+    cap = 128
+    monkeypatch.setattr(dedup_mod, "SEMDEDUP_CELL_CAP", cap)
+    spark = get_spark(app_name="tests", cpus="8")
+    dim = 16
+
+    def unit(seed: int) -> "np.ndarray":
+        v = np.array(
+            [math.sin(0.7 * seed + 1.3 * i) + math.cos(1.9 * seed * (i + 1)) for i in range(dim)]
+        )
+        return v / np.linalg.norm(v)
+
+    e1 = np.zeros(dim)
+    e1[0] = 1.0
+    rows, vid = [], 0
+    blob_vecs = []
+    for j in range(1400):  # the oversized blob (same plant as above)
+        v = e1 + 1.5 * unit(j)
+        blob_vecs.append(v)
+        rows.append((vid, [float(x) for x in v], 0))
+        vid += 1
+    for j in range(1700):  # spread background
+        rows.append((vid, [float(x) for x in 3.0 * unit(10_000 + j)], 1))
+        vid += 1
+    pair_sets = {}
+    for eps in (0.01, 0.1):
+        pairs = []
+        for j in range(60):  # ε-perturbed near-dups of blob members
+            src = blob_vecs[j * 5]
+            pert = src + eps * np.linalg.norm(src) * unit(777_000 + j)
+            pairs.append((j * 5, vid))
+            rows.append((vid, [float(x) for x in pert], 0))
+            vid += 1
+        pair_sets[eps] = pairs
+    n = len(rows)
+    assert semdedup_k(n) > 8, "plant must engage the scale regime"
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = dedup_semantic_semdedup(spark, str(tmp_path)).collect()
+    from collections import Counter
+
+    cell_sizes = Counter(r.cluster for r in out)
+    assert max(cell_sizes.values()) > cap, "cap must actually engage"
+    comp = {r.vec_id: r.component for r in out}
+    floors = {0.01: 56, 0.1: 45}
+    for eps, pairs in pair_sets.items():
+        surv = sum(1 for a, b in pairs if comp[a] == comp[b])
+        assert surv >= floors[eps], (
+            f"near-dup recall eroded at eps={eps}: {surv}/60 < {floors[eps]}/60"
+        )
+
+
 def test_semdedup_subsplit_caps_only_oversized_cells():
     """Unit pin of the _subsplit_pair_cells arithmetic on a
     hand-built assignment: a cluster over the cap gets

@@ -73,79 +73,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. The r9 gate passed
-# 50/50 (the exact r8-verdict rotation); the cumulative ledger's
-# oldest green rows are now the 10 r3 keys the r9 cap displaced (the
-# r9 verdict's item 1 — they lead here and close the freshness
-# program begun in r7), then the keys NEW or plan-CHANGED in r10:
-# etl_data_vault_bridge (E53, the consumption-side close of the
-# vault family — r9 item 6) and stream_attribution_models (the
-# replay-idempotency fix filters the touch-store read to prior
-# epochs — a plan change, so it earns a fresh row). The remaining 38
-# slots take the oldest r4 rows in deterministic (alphabetical)
-# order; the 4 r4 keys past the cap lead the r11 queue. After this
-# gate no green key in the ledger is older than r4.
+# whatever keys most need a FRESH driver row. The r10 gate passed
+# 50/50 (cumulative ledger after it: r4:4, r5:47, r6:50, r7:49,
+# r8:49, r9:50, r10:50 — zero wrong answers in ten rounds). r11
+# rotation: the five Data Vault keys lead because their digest PLAN
+# changed this round (Σ(hk div 2^20) now accumulates in
+# DECIMAL(38,0) and reduces mod 2^61-1 — the advisor's sf10 int64
+# wrap fix; values are unchanged at gate SFs but a plan change earns
+# a fresh row), then the 4 r4-stale keys the r10 cap displaced, then
+# 41 of the 47 r5-stale rows alphabetically. The 6 r5 keys past the
+# cap lead the r12 queue. After this gate no green key in the ledger
+# is older than r5.
 _PRIORITY = (
-    # --- 1. the 10 r3-stale keys (r9 verdict item 1) ---
-    "text_quality_score",
-    "text_sentiment",
-    "text_tfidf_topterms",
-    "text_token_count",
-    "text_fingerprint",
-    "text_repetition_ratio",
-    "text_pii_redaction",
-    "text_vocab_topk",
-    "sample_stratified",
-    "sample_cap_per_source",
-    # --- 2. new or plan-changed in r10 ---
+    # --- 1. plan-changed in r11 (DECIMAL/Mersenne digest law) ---
+    "etl_data_vault_build",
+    "etl_data_vault_pit",
+    "etl_data_vault_effectivity",
+    "etl_data_vault_same_as_link",
     "etl_data_vault_bridge",
-    "stream_attribution_models",
-    # --- 3. freshness re-checks: oldest full-pass rows (r4),
-    #     alphabetical; 38 of 42 fit under the cap (10 + 2 + 38) ---
-    "agg_histogram",
-    "agg_stats_matrix",
-    "bucketed_colocated_join",
-    "dedup_containment",
-    "dedup_decontaminate",
-    "dedup_incremental",
-    "etl_aggregate_upsert",
-    "etl_clean_id",
-    "etl_compact_small_files",
-    "etl_conflict_resolve",
-    "etl_dedup_keep_first",
-    "etl_dim_extract",
-    "etl_dpp_join",
-    "etl_dropna_load",
-    "etl_fk_map",
-    "etl_incremental_antijoin",
-    "etl_partition_prune",
-    "etl_placeholders",
-    "etl_profile_table",
-    "etl_semi_filter",
-    "etl_star_flagship",
-    "etl_time_travel_read",
-    "events_hopping_window",
-    "join_type_matrix",
-    "q11_important_parts",
-    "q14_promo_effect_v2",
-    "q1_pricing_summary",
-    "q1_pricing_summary_v2",
-    "q20_excess_shippers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q3_shipping_priority_v2",
-    "q4_order_priority",
-    "q5_local_supplier_v2",
-    "q6_forecast_revenue_v2",
-    "q9_product_profit",
-    "sample_mixture_rebalance",
-    "sample_split_train_eval",
-    # ---- 50-row gate cap lands here (10 + 2 + 38) ----
-    # --- r4 overflow → head of the r11 queue ---
+    # --- 2. the 4 r4-stale keys (r10 cap overflow) ---
+
     "sample_weighted_aes",
     "stream_cdc_apply",
     "text_bigram_pairs",
     "text_unigram_lm_score",
+    # --- 3. freshness re-checks: oldest full-pass rows (r5),
+    #     alphabetical; 41 of 47 fit under the cap (5 + 4 + 41) ---
+    "ab_aa_calibration",
+    "ab_welch_ttest",
+    "agg_equidepth_histogram",
+    "agg_group_ols",
+    "agg_robust_outliers",
+    "agg_weighted_quantiles",
+    "customer_rfm_segments",
+    "customer_tier_migration",
+    "etl_benford_audit",
+    "etl_bitemporal_matrix",
+    "etl_calendar_gaps",
+    "etl_expectations_report",
+    "etl_freshness_report",
+    "etl_key_discovery",
+    "etl_lake_manifest",
+    "etl_merge_clause_matrix",
+    "etl_scd2_point_in_time",
+    "etl_scd2_validity_audit",
+    "events_conversion_lag",
+    "events_dau_wau_stickiness",
+    "events_markov_transitions",
+    "events_range_frame_window",
+    "events_rolling_distinct",
+    "events_seasonal_baseline",
+    "events_sequence_match",
+    "events_top_paths",
+    "fuzzy_distance_matrix",
+    "item_similarity_cf",
+    "market_basket_rules",
+    "pareto_abc_classes",
+    "pipeline_analytics_mart",
+    "revenue_gini_index",
+    "sales_growth_report",
+    "sample_importance_dsir",
+    "sample_softdedup_weights",
+    "sample_temperature_mix",
+    "source_corrupt_records",
+    "source_format_roundtrip",
+    "stream_freshness_monitor",
+    "stream_markov_transitions",
+    "stream_novelty_rate",
+    # ---- 50-row gate cap lands here (5 + 4 + 41) ----
+    # --- r5 overflow → head of the r12 queue ---
+    "stream_pit_enrichment",
+    "text_bigram_lm_score",
+    "text_bpe_roundtrip",
+    "text_chunk_udtf",
+    "text_novelty_decay",
+    "text_quality_psi",
     # --- never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

@@ -120,7 +120,23 @@ def gen_derived(
         write(out, t, n_files)
         print(f"  {t}: {factor}x", flush=True)
 
-    replicate("customer", 4, lambda df, i: _shift(df, i, {"c_custkey": OFF["custkey"]}))
+    def cust_rep(df: DataFrame, i: int) -> DataFrame:
+        df = _shift(df, i, {"c_custkey": OFF["custkey"]})
+        if i:
+            # names must be replica-unique IN THE BLOCK PREFIX (r11):
+            # the ER family (E35/E51) blocks on substring(c_name,1,16);
+            # a plain copy puts all 100 replicas of a customer in ONE
+            # block and the block pair join goes quadratic in replicas
+            # (measured: etl_data_vault_same_as_link 7.8 s at sf1.0 →
+            # 187 s at sf10 on name-identical replicas) — the same
+            # fabricated-near-dup trap doc_rep avoids for documents.
+            # A leading replica tag keeps blocks replica-disjoint and
+            # per-replica ER structure (variant plant, lev distances)
+            # exactly preserved.
+            df = df.withColumn("c_name", F.concat(F.format_string("r%02d~", F.lit(i)), F.col("c_name")))
+        return df
+
+    replicate("customer", 4, cust_rep)
     replicate("supplier", 1, lambda df, i: _shift(df, i, {"s_suppkey": OFF["suppkey"]}))
     replicate("part", 2, lambda df, i: _shift(df, i, {"p_partkey": OFF["partkey"]}))
     replicate(

@@ -157,6 +157,10 @@ HEADLINE = (
     # path flatten — broadcast spine + one keyed max_by + the
     # orderkey equi-join into lineitem + distinct + one aggregate)
     "etl_data_vault_bridge",
+    # r11 addition: ST28 streaming vault ingest (three-wave file
+    # stream -> insert-only anti-join merge per micro-batch; times
+    # the full land/stream/merge/report cycle)
+    "stream_data_vault_ingest",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from

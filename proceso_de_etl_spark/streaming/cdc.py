@@ -172,6 +172,227 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final state answers to the batch twin's oracle verbatim.
 ORACLES["stream_cdc_apply"] = _ETL_ORACLES["etl_cdc_apply"]
 
+
+INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("wave", T.IntegerType()),
+    ]
+)
+
+
+def _vault_candidates(batch: DataFrame) -> DataFrame:
+    """One micro-batch's candidate vault rows — the hash-key layer of
+    E49 computed over an ORDER feed: two hubs, the order→customer
+    link, and the order satellite (hashdiff over the descriptive
+    attributes; price rides as CENTS — ROUND(p*100) BIGINT — so the
+    hash input formats identically on both engines, the E49 rule of
+    never hashing a float's string form). hd is 0 for non-satellite
+    rows so every vault table shares one (vault_table, hk, hd) key.
+    Within the batch each key keeps its MIN wave: first-seen-wins
+    must hold even if several waves land in one trigger, which is
+    what makes the final state batch-boundary-independent."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    key_s = F.col("o_orderkey").cast("string")
+    cust_s = F.col("o_custkey").cast("string")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")
+    hub_o = batch.select(
+        F.lit("hub_order").alias("vault_table"),
+        h60(F.concat(F.lit("o"), key_s)).alias("hk"),
+        F.lit(0).cast("bigint").alias("hd"),
+        "wave",
+    )
+    hub_c = batch.select(
+        F.lit("hub_customer").alias("vault_table"),
+        h60(F.concat(F.lit("c"), cust_s)).alias("hk"),
+        F.lit(0).cast("bigint").alias("hd"),
+        "wave",
+    )
+    link = batch.select(
+        F.lit("link_order_customer").alias("vault_table"),
+        h60(F.concat(F.lit("l"), key_s, F.lit("|"), cust_s)).alias("hk"),
+        F.lit(0).cast("bigint").alias("hd"),
+        "wave",
+    )
+    sat = batch.select(
+        F.lit("sat_order").alias("vault_table"),
+        h60(F.concat(F.lit("o"), key_s)).alias("hk"),
+        h60(F.concat(F.col("o_orderstatus"), F.lit("|"), cents)).alias("hd"),
+        "wave",
+    )
+    return (
+        hub_o.unionByName(hub_c)
+        .unionByName(link)
+        .unionByName(sat)
+        .groupBy("vault_table", "hk", "hd")
+        .agg(F.min("wave").alias("wave"))
+    )
+
+
+def merge_vault_batch(store: DataFrame, batch: DataFrame) -> DataFrame:
+    """Insert-only vault merge: a candidate lands only if its
+    (vault_table, hk, hd) is NOT already in the store (left_anti) —
+    the Data Vault loading invariant. Re-delivered batches add
+    nothing (replay-idempotent under foreachBatch's at-least-once),
+    and a key's load_epoch is the wave it FIRST arrived in, forever."""
+    cand = _vault_candidates(batch)
+    new = cand.join(store, ["vault_table", "hk", "hd"], "left_anti").select(
+        "vault_table", "hk", "hd", F.col("wave").alias("load_epoch")
+    )
+    return store.unionByName(new)
+
+
+def stream_data_vault_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST28 — streaming Data Vault ingestion (the real-time vault):
+    E49's insert-only hub/link/satellite load run incrementally over
+    an arriving order feed instead of as one batch build. Three waves
+    land as files and stream one-per-trigger: wave 1 = the base
+    orders (CDC cutoff: o_orderdate < 1999-01-01), wave 2 = every
+    7th base order re-statused to U-REV at price+100 (same hub/link
+    keys — the insert-only anti-join must REJECT them — but a new
+    hashdiff, so each earns exactly one new satellite version), wave
+    3 = the post-cutoff orders (new hubs, links, and satellites).
+    foreachBatch merges each micro-batch insert-only into a
+    versioned parquet store (pointer-flip promotion, the
+    stream_cdc_apply pattern).
+
+    The final state is BATCH-BOUNDARY-INDEPENDENT by construction:
+    load_epoch is the key's min `wave` VALUE from the feed (not the
+    foreachBatch epoch_id), candidates keep min-wave within a batch,
+    and the anti-join makes re-delivery a no-op — so any batching of
+    the same files converges to the same store (pytest-pinned by
+    coalescing all three waves into one batch), and the result
+    answers to a pure batch SQL oracle. Report = per (vault_table,
+    load_epoch): row count + the overflow-safe Σ(hk div 2^20) mod
+    2⁶¹−1 digests of hk and hd (`_dv_digest_col`'s law, so the
+    report stays BIGINT-exact at any corpus size).
+
+    Scale: each micro-batch does one hash projection + one
+    key-partitioned anti-join against the store — no window over the
+    feed, no driver state beyond the version pointer; on a cluster
+    the store is a Delta/Iceberg table and the anti-join a MERGE
+    WHEN NOT MATCHED. Parity: the reference re-loads whole tables
+    per run (main.py:45-59); this is that load as a standing
+    incremental consumer, vault-shaped."""
+    from proceso_de_etl_spark.operators.etl import _dv_digest_col
+
+    workdir = tempfile.mkdtemp(prefix="stream_dv_")
+    landing = os.path.join(workdir, "landing")
+    os.makedirs(landing)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.expr(_CUTOFF)
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    waves = [
+        base.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.lit(1).alias("wave"),
+        ),
+        base.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", "o_custkey",
+            F.lit("U-REV").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+            F.lit(2).alias("wave"),
+        ),
+        orders.filter(F.col("o_orderdate") >= cutoff).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            F.lit(3).alias("wave"),
+        ),
+    ]
+    for i, wv in enumerate(waves, 1):
+        stage = os.path.join(workdir, f"_stage_{i}")
+        wv.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), os.path.join(landing, f"wave_{i}.parquet"))
+        shutil.rmtree(stage)
+
+    empty = spark.createDataFrame(
+        [], "vault_table string, hk bigint, hd bigint, load_epoch int"
+    )
+    state = {"cur": os.path.join(workdir, "store_v0")}
+    empty.write.parquet(state["cur"])
+
+    stream = (
+        spark.readStream.schema(INGEST_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        store = sess.read.parquet(state["cur"])
+        nxt = os.path.join(workdir, f"store_v{epoch_id + 1}")
+        merge_vault_batch(store, batch_df).write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt  # pointer flip = atomic promote
+
+    q = stream.writeStream.outputMode("update").foreachBatch(apply_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return (
+        spark.read.parquet(state["cur"])
+        .groupBy("vault_table", "load_epoch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            _dv_digest_col("hk").alias("hk_digest"),
+            _dv_digest_col("hd").alias("hd_digest"),
+        )
+        .orderBy("vault_table", "load_epoch")
+    )
+
+
+def _dv_ingest_oracle() -> str:
+    from proceso_de_etl_spark.operators.etl import _dv_digest_sql, _dv_h60_sql
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s, o_totalprice AS p
+  FROM orders WHERE o_orderdate < {_CUTOFF}
+),
+feed AS (
+  SELECT k, c, s, p, 1 AS wave FROM base
+  UNION ALL
+  SELECT k, c, 'U-REV', p + 100.0, 2 FROM base WHERE k % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 3
+  FROM orders WHERE o_orderdate >= {_CUTOFF}
+),
+cand AS (
+  SELECT 'hub_order' AS vault_table, {_dv_h60_sql("'o' || k")} AS hk,
+         CAST(0 AS BIGINT) AS hd, wave FROM feed
+  UNION ALL
+  SELECT 'hub_customer', {_dv_h60_sql("'c' || c")}, 0, wave FROM feed
+  UNION ALL
+  SELECT 'link_order_customer', {_dv_h60_sql("'l' || k || '|' || c")}, 0, wave FROM feed
+  UNION ALL
+  SELECT 'sat_order', {_dv_h60_sql("'o' || k")},
+         {_dv_h60_sql("s || '|' || CAST(ROUND(p * 100) AS BIGINT)")}, wave FROM feed
+),
+first_seen AS (
+  SELECT vault_table, hk, hd, MIN(wave) AS load_epoch
+  FROM cand GROUP BY vault_table, hk, hd
+)
+SELECT vault_table, load_epoch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_dv_digest_sql("hk")} AS hk_digest,
+       {_dv_digest_sql("hd")} AS hd_digest
+FROM first_seen
+GROUP BY vault_table, load_epoch
+ORDER BY vault_table, load_epoch
+"""
+
+
+ORACLES["stream_data_vault_ingest"] = _dv_ingest_oracle()
+
 QUERIES = {
     "stream_cdc_apply": stream_cdc_apply,
+    "stream_data_vault_ingest": stream_data_vault_ingest,
 }

@@ -170,6 +170,51 @@ def test_cdc_merge_is_idempotent_and_order_safe(spark):
     assert _sorted_rows(replayed) == _sorted_rows(forward)
 
 
+def test_vault_ingest_batch_boundary_independent_and_replay_idempotent(spark):
+    """ST28's two load invariants, pinned on the real sf feed:
+    (a) batch-boundary independence — merging the three waves
+    one-per-batch vs ALL coalesced into one batch converges to the
+    same store (load_epoch comes from the feed's wave VALUE with
+    min-wave-within-batch, never from epoch_id); (b) replay
+    idempotency — re-merging an already-applied wave adds zero rows
+    (the insert-only anti-join is the Data Vault loading invariant
+    under foreachBatch's at-least-once delivery)."""
+    from proceso_de_etl_spark.streaming.cdc import (
+        _CUTOFF,
+        merge_vault_batch,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.expr(_CUTOFF)
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    w1 = base.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit(1).alias("wave"),
+    )
+    w2 = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey",
+        F.lit("U-REV").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit(2).alias("wave"),
+    )
+    w3 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.lit(3).alias("wave"),
+    )
+    empty = spark.createDataFrame(
+        [], "vault_table string, hk bigint, hd bigint, load_epoch int"
+    )
+    per_wave = merge_vault_batch(
+        merge_vault_batch(merge_vault_batch(empty, w1), w2), w3
+    )
+    one_batch = merge_vault_batch(empty, w1.unionByName(w2).unionByName(w3))
+    assert _sorted_rows(per_wave) == _sorted_rows(one_batch)
+    replayed = merge_vault_batch(merge_vault_batch(per_wave, w2), w1)
+    assert _sorted_rows(replayed) == _sorted_rows(per_wave)
+
+
 def test_stream_approx_distinct_matches_batch_twin(spark):
     """ST9: the streaming HLL++ estimate must equal the batch
     approx_count_distinct on the same data bit-for-bit (register

@@ -310,6 +310,10 @@ BASELINE = {
     #     conservative for real regressions and robust to cold
     #     codegen) ---
     "etl_data_vault_bridge": 3.42,
+    # --- r11 addition: suite-context median at sentinel 1.0 (the
+    #     r10 rule: floors come from bench.py's own pass, never an
+    #     isolated probe) ---
+    "stream_data_vault_ingest": 4.79,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

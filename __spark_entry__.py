@@ -80,19 +80,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed this round (Σ(hk div 2^20) now accumulates in
 # DECIMAL(38,0) and reduces mod 2^61-1 — the advisor's sf10 int64
 # wrap fix; values are unchanged at gate SFs but a plan change earns
-# a fresh row) plus the NEW ST28 streaming vault ingest, then the 4
-# r4-stale keys the r10 cap displaced, then 40 of the 47 r5-stale
-# rows alphabetically. The 7 r5 keys past the cap lead the r12
-# queue. After this gate no green key in the ledger is older than r5.
+# a fresh row) plus the NEW r11 keys (ST28 streaming vault ingest,
+# E54 vault mart), then the 4 r4-stale keys the r10 cap displaced,
+# then 39 of the 47 r5-stale rows alphabetically. The 8 r5 keys past
+# the cap lead the r12 queue. After this gate no green key in the
+# ledger is older than r5.
 _PRIORITY = (
     # --- 1. plan-changed in r11 (DECIMAL/Mersenne digest law) +
-    #     NEW in r11 (ST28 streaming vault ingest) ---
+    #     NEW in r11 (ST28 streaming vault ingest, E54 vault mart) ---
     "etl_data_vault_build",
     "etl_data_vault_pit",
     "etl_data_vault_effectivity",
     "etl_data_vault_same_as_link",
     "etl_data_vault_bridge",
     "stream_data_vault_ingest",
+    "etl_data_vault_mart",
     # --- 2. the 4 r4-stale keys (r10 cap overflow) ---
 
     "sample_weighted_aes",
@@ -140,9 +142,9 @@ _PRIORITY = (
     "source_corrupt_records",
     "source_format_roundtrip",
     "stream_freshness_monitor",
-    "stream_markov_transitions",
-    # ---- 50-row gate cap lands here (6 + 4 + 40) ----
+    # ---- 50-row gate cap lands here (7 + 4 + 39) ----
     # --- r5 overflow → head of the r12 queue ---
+    "stream_markov_transitions",
     "stream_novelty_rate",
     "stream_pit_enrichment",
     "text_bigram_lm_score",

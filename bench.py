@@ -157,10 +157,12 @@ HEADLINE = (
     # path flatten — broadcast spine + one keyed max_by + the
     # orderkey equi-join into lineitem + distinct + one aggregate)
     "etl_data_vault_bridge",
-    # r11 addition: ST28 streaming vault ingest (three-wave file
+    # r11 additions: ST28 streaming vault ingest (three-wave file
     # stream -> insert-only anti-join merge per micro-batch; times
-    # the full land/stream/merge/report cycle)
+    # the full land/stream/merge/report cycle) and E54 vault mart
+    # (hash-keyed dim/fact reconstruction + current-version max_by)
     "stream_data_vault_ingest",
+    "etl_data_vault_mart",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -310,10 +312,11 @@ BASELINE = {
     #     conservative for real regressions and robust to cold
     #     codegen) ---
     "etl_data_vault_bridge": 3.42,
-    # --- r11 addition: suite-context median at sentinel 1.0 (the
+    # --- r11 additions: suite-context medians at sentinel 1.0 (the
     #     r10 rule: floors come from bench.py's own pass, never an
     #     isolated probe) ---
     "stream_data_vault_ingest": 4.79,
+    "etl_data_vault_mart": 1.94,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -3190,9 +3190,104 @@ ORACLES["etl_data_vault_build"] = "\nUNION ALL\n".join(
 )
 
 
+DV_MART_MOD = 5  # every 5th customer gets a second satellite version
+DV_MART_D1 = "2024-01-01"  # initial satellite load
+DV_MART_D2 = "2024-06-01"  # segment-change wave ('MOVED')
+
+
+def etl_data_vault_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E54 — information mart built FROM the vault (r11): the
+    consumption pattern that justifies the paradigm. E49 showed the
+    vault can be BUILT; this shows it can be QUERIED BACK OUT
+    losslessly — the mart reconstructed through hubs, a versioned
+    satellite, and the link answers the same question as a direct
+    query on the source, value-for-value. That round-trip property
+    IS the oracle: the DuckDB side never sees a vault structure, it
+    computes the report straight from customer ⋈ orders, so any
+    hash collision, wrong current-version pick, or dropped link row
+    breaks the match.
+
+    Vault layer (payload-bearing, unlike E49's audit projection):
+    hub_customer (hk_c, business key), sat_customer with TWO versions
+    — v1 = the source attributes at D1, v2 (every DV_MART_MOD-th
+    customer) re-segments to 'MOVED' at D2 — hub_order, link_oc, and
+    sat_order carrying status + the exact-decimal price. Mart layer:
+    dim_customer = hub ⋈ CURRENT satellite version (one max_by per
+    hk — satellites are insert-only, so "current" is an aggregate,
+    never an update); fact_orders = link ⋈ sat_order ⋈ dim. Report =
+    per (effective segment, order status): order count, distinct
+    customers, exact-decimal revenue (dsum's DECIMAL accumulation —
+    the A105 rule — cast back to double for the gate).
+
+    Scale: every join is an equi-join on the uniform md5-60
+    surrogate hash (no skew by construction, co-partitionable);
+    current-version resolution is ONE keyed aggregate, not a window
+    over history; the report is one partial-agged group-by. On a
+    cluster the dims broadcast and the fact never shuffles twice.
+    Parity: the reference materializes its mart by re-joining staged
+    tables per run (main.py:98-126); this is that mart derived from
+    an auditable raw vault instead of a staging area."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    hk_c = h60(F.concat(F.lit("c"), F.col("c_custkey")))
+    sat_c_v1 = customer.select(
+        hk_c.alias("hk_c"),
+        F.lit(DV_MART_D1).cast("date").alias("load_date"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    sat_c_v2 = customer.filter(F.col("c_custkey") % DV_MART_MOD == 0).select(
+        hk_c.alias("hk_c"),
+        F.lit(DV_MART_D2).cast("date").alias("load_date"),
+        F.lit("MOVED").alias("mktsegment"),
+    )
+    sat_c = sat_c_v1.unionByName(sat_c_v2)
+    # current version = max_by(load_date) per hub key: satellites are
+    # insert-only, so "current" is one aggregate, never an update
+    dim_customer = sat_c.groupBy("hk_c").agg(
+        F.max_by("mktsegment", "load_date").alias("mktsegment")
+    )
+    link_oc = orders.select(
+        h60(F.concat(F.lit("o"), F.col("o_orderkey"))).alias("hk_o"),
+        h60(F.concat(F.lit("c"), F.col("o_custkey"))).alias("hk_c"),
+    )
+    sat_order = orders.select(
+        h60(F.concat(F.lit("o"), F.col("o_orderkey"))).alias("hk_o"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        money("o_totalprice").alias("price"),
+    )
+    fact = link_oc.join(sat_order, "hk_o").join(dim_customer, "hk_c")
+    return (
+        fact.groupBy("mktsegment", "orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("hk_c").cast("bigint").alias("n_customers"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("mktsegment", "orderstatus")
+    )
+
+
+ORACLES["etl_data_vault_mart"] = f"""
+SELECT CASE WHEN c_custkey % {DV_MART_MOD} = 0 THEN 'MOVED' ELSE c_mktsegment END
+         AS mktsegment,
+       o_orderstatus AS orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "etl_data_vault_build": etl_data_vault_build,
     "etl_data_vault_bridge": etl_data_vault_bridge,
+    "etl_data_vault_mart": etl_data_vault_mart,
     "etl_data_vault_pit": etl_data_vault_pit,
     "etl_data_vault_same_as_link": etl_data_vault_same_as_link,
     "etl_data_vault_effectivity": etl_data_vault_effectivity,

@@ -2988,6 +2988,50 @@ def test_cachereg_memo_repins_after_external_clearcache(spark):
     assert cachereg._CACHE == {}
 
 
+def test_data_vault_mart_round_trips_the_source(spark):
+    """E54's round-trip property without DuckDB in the loop: the mart
+    reconstructed through hubs / versioned satellite / link must equal
+    the report computed directly from the source tables — and the
+    current-version rule must re-segment EXACTLY the DV_MART_MOD
+    customers (v2 wins by load_date, never by union order)."""
+    from proceso_de_etl_spark.operators.etl import (
+        DV_MART_MOD,
+        etl_data_vault_mart,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.mktsegment, r.orderstatus): (r.n_orders, r.n_customers, r.revenue)
+        for r in etl_data_vault_mart(spark, SF_SMOKE).collect()
+    }
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    direct = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.when(F.col("c_custkey") % DV_MART_MOD == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("mktsegment"),
+            F.col("o_orderstatus").alias("orderstatus"),
+            "c_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("mktsegment", "orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )
+    want = {
+        (r.mktsegment, r.orderstatus): (r.n_orders, r.n_customers, r.revenue)
+        for r in direct.collect()
+    }
+    assert got == want
+    assert any(k[0] == "MOVED" for k in got), "the v2 wave must surface"
+
+
 def test_data_vault_same_as_link_replays_resolution(spark):
     """E51: rebuild the same-as link in pure Python — on this plant,
     E35's match rule (name levenshtein ≤ 2 within a 16-char block AND

@@ -81,13 +81,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # DECIMAL(38,0) and reduces mod 2^61-1 — the advisor's sf10 int64
 # wrap fix; values are unchanged at gate SFs but a plan change earns
 # a fresh row) plus the NEW r11 keys (ST28 streaming vault ingest,
-# E54 vault mart), then the 4 r4-stale keys the r10 cap displaced,
-# then 39 of the 47 r5-stale rows alphabetically. The 8 r5 keys past
-# the cap lead the r12 queue. After this gate no green key in the
-# ledger is older than r5.
+# E54 vault mart, E55 mart refresh), then the 4 r4-stale keys the
+# r10 cap displaced, then 38 of the 47 r5-stale rows alphabetically.
+# The 9 r5 keys past the cap lead the r12 queue. After this gate no
+# green key in the ledger is older than r5.
 _PRIORITY = (
     # --- 1. plan-changed in r11 (DECIMAL/Mersenne digest law) +
-    #     NEW in r11 (ST28 streaming vault ingest, E54 vault mart) ---
+    #     NEW in r11 (ST28 ingest, E54 mart, E55 mart refresh) ---
     "etl_data_vault_build",
     "etl_data_vault_pit",
     "etl_data_vault_effectivity",
@@ -95,14 +95,14 @@ _PRIORITY = (
     "etl_data_vault_bridge",
     "stream_data_vault_ingest",
     "etl_data_vault_mart",
+    "etl_data_vault_mart_refresh",
     # --- 2. the 4 r4-stale keys (r10 cap overflow) ---
-
     "sample_weighted_aes",
     "stream_cdc_apply",
     "text_bigram_pairs",
     "text_unigram_lm_score",
     # --- 3. freshness re-checks: oldest full-pass rows (r5),
-    #     alphabetical; 41 of 47 fit under the cap (5 + 4 + 41) ---
+    #     alphabetical; 38 of 47 fit under the cap (8 + 4 + 38) ---
     "ab_aa_calibration",
     "ab_welch_ttest",
     "agg_equidepth_histogram",
@@ -141,9 +141,9 @@ _PRIORITY = (
     "sample_temperature_mix",
     "source_corrupt_records",
     "source_format_roundtrip",
-    "stream_freshness_monitor",
-    # ---- 50-row gate cap lands here (7 + 4 + 39) ----
+    # ---- 50-row gate cap lands here (8 + 4 + 38) ----
     # --- r5 overflow → head of the r12 queue ---
+    "stream_freshness_monitor",
     "stream_markov_transitions",
     "stream_novelty_rate",
     "stream_pit_enrichment",

@@ -159,10 +159,12 @@ HEADLINE = (
     "etl_data_vault_bridge",
     # r11 additions: ST28 streaming vault ingest (three-wave file
     # stream -> insert-only anti-join merge per micro-batch; times
-    # the full land/stream/merge/report cycle) and E54 vault mart
-    # (hash-keyed dim/fact reconstruction + current-version max_by)
+    # the full land/stream/merge/report cycle), E54 vault mart
+    # (hash-keyed dim/fact reconstruction + current-version max_by),
+    # and E55 incremental mart refresh (delta-proportional IVM)
     "stream_data_vault_ingest",
     "etl_data_vault_mart",
+    "etl_data_vault_mart_refresh",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from
@@ -317,6 +319,7 @@ BASELINE = {
     #     isolated probe) ---
     "stream_data_vault_ingest": 4.79,
     "etl_data_vault_mart": 1.94,
+    "etl_data_vault_mart_refresh": 1.14,
 }
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression

@@ -3284,10 +3284,143 @@ ORDER BY 1, 2
 """
 
 
+def etl_data_vault_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E55 — incremental mart maintenance over the vault (r11):
+    E54 rebuilds the mart from scratch; this REFRESHES a
+    materialized mart when a new satellite wave lands, touching only
+    the delta — E27's retraction discipline composed over E54's
+    structures, which is how a vault mart actually stays current at
+    100 TB (a full rebuild per satellite wave re-aggregates the
+    whole fact; the refresh re-aggregates only the CHANGED hub keys'
+    fact rows).
+
+    State 0 = the mart materialized under satellite v1 (original
+    segments). Delta input = the v2 wave alone (every DV_MART_MOD-th
+    customer re-segments to 'MOVED'): its hub keys select the
+    affected fact rows ONCE via the link, and each affected row
+    emits a RETRACTION (−1, −price) against its old group and an
+    INSERTION (+1, +price) into its new group. The refresh is one
+    outer-merge of the netted deltas into the base report; order
+    counts and exact-decimal revenue are additive under retraction
+    (distinct-customer counts are NOT — the refreshed mart reports
+    the additive measures, the standard IVM restriction E27 also
+    documents).
+
+    Output per refreshed (mktsegment, orderstatus): the maintained
+    n_orders / revenue — which must equal E54's full rebuild — PLUS
+    the net delta each group absorbed (positive for 'MOVED', negative
+    for donor groups, absent groups drop at n_orders = 0). The oracle
+    computes state 1 and state 0 DIRECTLY from the source and diffs
+    them, so a wrong retraction sign, a missed affected row, or a
+    double-applied delta all break the match.
+
+    Scale: the delta path scans only the moved customers' orders
+    (equi-join on the uniform hash key, delta-proportional — the
+    whole point of IVM); the base report is the already-materialized
+    aggregate (here rebuilt in-query for the self-contained gate
+    shape, one partial-agged group-by). DECIMAL accumulation
+    throughout (A105); doubles only at the gate boundary."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    hk_c = h60(F.concat(F.lit("c"), F.col("c_custkey")))
+    # state-0 dimension: satellite v1 only
+    dim_v1 = customer.select(
+        hk_c.alias("hk_c"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    link_fact = orders.select(
+        h60(F.concat(F.lit("c"), F.col("o_custkey"))).alias("hk_c"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        money("o_totalprice").alias("price"),
+    )
+    base = (
+        link_fact.join(dim_v1, "hk_c")
+        .groupBy("mktsegment", "orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("price").alias("revenue"),
+        )
+    )
+    # the v2 wave IS the delta input: affected hub keys + old segment
+    delta_dim = customer.filter(F.col("c_custkey") % DV_MART_MOD == 0).select(
+        hk_c.alias("hk_c"),
+        F.col("c_mktsegment").alias("old_seg"),
+        F.lit("MOVED").alias("new_seg"),
+    )
+    affected = link_fact.join(delta_dim, "hk_c")
+    retract = affected.select(
+        F.col("old_seg").alias("mktsegment"), "orderstatus",
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col("price")).alias("dp"),
+    )
+    insert = affected.select(
+        F.col("new_seg").alias("mktsegment"), "orderstatus",
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("price").alias("dp"),
+    )
+    net = (
+        retract.unionByName(insert)
+        .groupBy("mktsegment", "orderstatus")
+        .agg(F.sum("dn").alias("delta_orders"), F.sum("dp").alias("delta_revenue"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        base.join(net, ["mktsegment", "orderstatus"], "full_outer")
+        .select(
+            "mktsegment",
+            "orderstatus",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("delta_orders", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce(F.col("revenue"), zero) + F.coalesce(F.col("delta_revenue"), zero))
+            .cast("double")
+            .alias("revenue"),
+            F.coalesce("delta_orders", F.lit(0)).cast("bigint").alias("delta_orders"),
+            F.coalesce(F.col("delta_revenue"), zero).cast("double").alias("delta_revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("mktsegment", "orderstatus")
+    )
+
+
+ORACLES["etl_data_vault_mart_refresh"] = f"""
+WITH eff AS (
+  SELECT c_custkey,
+         c_mktsegment AS seg0,
+         CASE WHEN c_custkey % {DV_MART_MOD} = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg1
+  FROM customer
+),
+j AS (
+  SELECT e.seg0, e.seg1, o_orderstatus AS orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders JOIN eff e ON o_custkey = e.c_custkey
+),
+s1 AS (
+  SELECT seg1 AS mktsegment, orderstatus, COUNT(*) AS n, SUM(p) AS rev
+  FROM j GROUP BY 1, 2
+),
+s0 AS (
+  SELECT seg0 AS mktsegment, orderstatus, COUNT(*) AS n, SUM(p) AS rev
+  FROM j GROUP BY 1, 2
+)
+SELECT s1.mktsegment, s1.orderstatus,
+       CAST(s1.n AS BIGINT) AS n_orders,
+       CAST(s1.rev AS DOUBLE) AS revenue,
+       CAST(s1.n - COALESCE(s0.n, 0) AS BIGINT) AS delta_orders,
+       CAST(s1.rev - COALESCE(s0.rev, 0) AS DOUBLE) AS delta_revenue
+FROM s1 LEFT JOIN s0 ON s1.mktsegment = s0.mktsegment AND s1.orderstatus = s0.orderstatus
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "etl_data_vault_build": etl_data_vault_build,
     "etl_data_vault_bridge": etl_data_vault_bridge,
     "etl_data_vault_mart": etl_data_vault_mart,
+    "etl_data_vault_mart_refresh": etl_data_vault_mart_refresh,
     "etl_data_vault_pit": etl_data_vault_pit,
     "etl_data_vault_same_as_link": etl_data_vault_same_as_link,
     "etl_data_vault_effectivity": etl_data_vault_effectivity,

@@ -3032,6 +3032,34 @@ def test_data_vault_mart_round_trips_the_source(spark):
     assert any(k[0] == "MOVED" for k in got), "the v2 wave must surface"
 
 
+def test_data_vault_mart_refresh_equals_full_rebuild(spark):
+    """E55's IVM invariant without DuckDB in the loop: the
+    incrementally maintained mart (base under satellite v1 + netted
+    retract/insert deltas from the v2 wave only) must equal E54's
+    full rebuild on the additive measures, group for group — and the
+    deltas must net to zero orders (every retraction has a matching
+    insertion; segment moves relabel rows, never create them)."""
+    from proceso_de_etl_spark.operators.etl import (
+        etl_data_vault_mart,
+        etl_data_vault_mart_refresh,
+    )
+    from tests.conftest import SF_SMOKE
+
+    refreshed = {
+        (r.mktsegment, r.orderstatus): (r.n_orders, r.revenue)
+        for r in etl_data_vault_mart_refresh(spark, SF_SMOKE).collect()
+    }
+    rebuilt = {
+        (r.mktsegment, r.orderstatus): (r.n_orders, r.revenue)
+        for r in etl_data_vault_mart(spark, SF_SMOKE).collect()
+    }
+    assert refreshed == rebuilt
+    deltas = [
+        r.delta_orders for r in etl_data_vault_mart_refresh(spark, SF_SMOKE).collect()
+    ]
+    assert sum(deltas) == 0 and any(d != 0 for d in deltas)
+
+
 def test_data_vault_same_as_link_replays_resolution(spark):
     """E51: rebuild the same-as link in pure Python — on this plant,
     E35's match rule (name levenshtein ≤ 2 within a 16-char block AND

@@ -73,76 +73,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. The r10 gate passed
-# 50/50 (cumulative ledger after it: r4:4, r5:47, r6:50, r7:49,
-# r8:49, r9:50, r10:50 — zero wrong answers in ten rounds). r11
-# rotation: the five Data Vault keys lead because their digest PLAN
-# changed this round (Σ(hk div 2^20) now accumulates in
-# DECIMAL(38,0) and reduces mod 2^61-1 — the advisor's sf10 int64
-# wrap fix; values are unchanged at gate SFs but a plan change earns
-# a fresh row) plus the NEW r11 keys (ST28 streaming vault ingest,
-# E54 vault mart, E55 mart refresh), then the 4 r4-stale keys the
-# r10 cap displaced, then 38 of the 47 r5-stale rows alphabetically.
-# The 9 r5 keys past the cap lead the r12 queue. After this gate no
-# green key in the ledger is older than r5.
+# whatever keys most need a FRESH driver row. The r11 gate passed
+# 50/50 (zero wrong answers in eleven rounds; after it no green
+# ledger row is older than r5). r12 rotation: the 9 r5-overflow keys
+# lead (the last pre-r6 rows — gating them completes the freshness
+# program begun in r7: every oracle-paired key re-gated within the
+# last 6 rounds), then the 4 vault keys whose PLAN changed or that
+# are NEW this round (ST28's merge is now min-aware full_outer —
+# the r11 advisor's delivery-order fix; E54 counts distinct on the
+# business key through the hub — the r11 advisor's collision fix;
+# E53's path dedup moved before the snapshot expansion — the r11
+# third-decade fix; E56 vault deletes is NEW), then 37 of the 50
+# r6-stale rows alphabetically. The 13 r6 keys past the cap lead the
+# r13 queue.
 _PRIORITY = (
-    # --- 1. plan-changed in r11 (DECIMAL/Mersenne digest law) +
-    #     NEW in r11 (ST28 ingest, E54 mart, E55 mart refresh) ---
-    "etl_data_vault_build",
-    "etl_data_vault_pit",
-    "etl_data_vault_effectivity",
-    "etl_data_vault_same_as_link",
-    "etl_data_vault_bridge",
-    "stream_data_vault_ingest",
-    "etl_data_vault_mart",
-    "etl_data_vault_mart_refresh",
-    # --- 2. the 4 r4-stale keys (r10 cap overflow) ---
-    "sample_weighted_aes",
-    "stream_cdc_apply",
-    "text_bigram_pairs",
-    "text_unigram_lm_score",
-    # --- 3. freshness re-checks: oldest full-pass rows (r5),
-    #     alphabetical; 38 of 47 fit under the cap (8 + 4 + 38) ---
-    "ab_aa_calibration",
-    "ab_welch_ttest",
-    "agg_equidepth_histogram",
-    "agg_group_ols",
-    "agg_robust_outliers",
-    "agg_weighted_quantiles",
-    "customer_rfm_segments",
-    "customer_tier_migration",
-    "etl_benford_audit",
-    "etl_bitemporal_matrix",
-    "etl_calendar_gaps",
-    "etl_expectations_report",
-    "etl_freshness_report",
-    "etl_key_discovery",
-    "etl_lake_manifest",
-    "etl_merge_clause_matrix",
-    "etl_scd2_point_in_time",
-    "etl_scd2_validity_audit",
-    "events_conversion_lag",
-    "events_dau_wau_stickiness",
-    "events_markov_transitions",
-    "events_range_frame_window",
-    "events_rolling_distinct",
-    "events_seasonal_baseline",
-    "events_sequence_match",
-    "events_top_paths",
-    "fuzzy_distance_matrix",
-    "item_similarity_cf",
-    "market_basket_rules",
-    "pareto_abc_classes",
-    "pipeline_analytics_mart",
-    "revenue_gini_index",
-    "sales_growth_report",
-    "sample_importance_dsir",
-    "sample_softdedup_weights",
-    "sample_temperature_mix",
-    "source_corrupt_records",
-    "source_format_roundtrip",
-    # ---- 50-row gate cap lands here (8 + 4 + 38) ----
-    # --- r5 overflow → head of the r12 queue ---
+    # --- 1. the 9 r5-overflow keys (freshness close-out) ---
     "stream_freshness_monitor",
     "stream_markov_transitions",
     "stream_novelty_rate",
@@ -152,6 +97,65 @@ _PRIORITY = (
     "text_chunk_udtf",
     "text_novelty_decay",
     "text_quality_psi",
+    # --- 2. plan-changed in r12 + NEW in r12 (E56 deletes) ---
+    "stream_data_vault_ingest",
+    "etl_data_vault_mart",
+    "etl_data_vault_bridge",
+    "etl_data_vault_deletes",
+    # --- 3. freshness re-checks: oldest full-pass rows (r6),
+    #     alphabetical; 37 of 50 fit under the cap (9 + 4 + 37) ---
+    "agg_filter_clause_matrix",
+    "ann_sparse_tfidf_topk",
+    "datetime_function_matrix",
+    "dedup_duplicate_spans",
+    "dedup_leakproof_split",
+    "dedup_source_overlap",
+    "dedup_span_excise",
+    "dedup_threshold_curve",
+    "embedding_int8_quantize",
+    "etl_aggregate_retract",
+    "etl_backfill_plan",
+    "etl_dynamic_partition_overwrite",
+    "etl_entity_resolution",
+    "etl_erasure_propagation",
+    "etl_masked_export",
+    "etl_multisource_harmonize",
+    "etl_observed_load",
+    "etl_reject_routing",
+    "etl_ri_audit",
+    "etl_scd_type_matrix",
+    "etl_snapshot_diff",
+    "etl_surrogate_hwm",
+    "etl_write_audit_publish",
+    "graph_triangle_count",
+    "interval_islands",
+    "lateral_explode_matrix",
+    "map_function_matrix",
+    "multimodal_blob_dedup",
+    "pipeline_training_data",
+    "sample_group_aware_split",
+    "sample_mixture_epochs",
+    "sample_pack_sequences",
+    "skew_key_diagnostics",
+    "source_binary_files",
+    "source_federated_formats",
+    "stream_dedup_within_watermark",
+    "stream_funnel",
+    # ---- 50-row gate cap lands here (9 + 4 + 37) ----
+    # --- r6 overflow -> head of the r13 queue ---
+    "stream_left_outer_join",
+    "stream_quota_per_source",
+    "stream_topk",
+    "subquery_semantics_matrix",
+    "text_chunk_dedup_stats",
+    "text_chunk_documents",
+    "text_corpus_datasheet",
+    "text_gopher_quality",
+    "text_hashed_tf",
+    "text_lang_confusion",
+    "text_perplexity_buckets",
+    "text_quality_dedup_interaction",
+    "text_quality_terciles",
     # --- never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

@@ -2998,17 +2998,20 @@ def etl_data_vault_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planted duplicate lineitem rows (the dedup-family fixtures), so
     # dedup on the NATURAL path key BEFORE hashing — that keeps
     # n_rows == n_distinct_hk a true hash-collision audit instead of
-    # a duplicate-row artifact
-    paths = (
-        eff.join(
-            lineitem.select(
-                F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_linenumber"
-            ),
-            "o_orderkey",
-        )
-        .select("snapshot_date", "custkey", "o_orderkey", "l_partkey", "l_linenumber")
-        .distinct()
-    )
+    # a duplicate-row artifact. The dedup runs on lineitem's natural
+    # key BEFORE the snapshot join, not on the joined result: custkey
+    # is functionally determined by (snapshot, o_orderkey) through
+    # eff (one arg_max row per key), so distinct-after-join ≡
+    # distinct-before-join — but before, the shuffle carries 1× the
+    # lineitem rows at 3 narrow columns instead of |snapshots|× rows
+    # at 5 (the r11 third-decade finding: the post-join DISTINCT over
+    # 2× lineitem-scale wide rows was the super-linear spill at sf10).
+    paths = eff.join(
+        lineitem.select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_linenumber"
+        ).distinct(),
+        "o_orderkey",
+    ).select("snapshot_date", "custkey", "o_orderkey", "l_partkey", "l_linenumber")
     bridge = paths.select(
         "snapshot_date",
         (F.col("o_orderkey") % DV_EFF_MOD == 0).alias("is_reassigned"),
@@ -3246,9 +3249,19 @@ def etl_data_vault_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sat_c = sat_c_v1.unionByName(sat_c_v2)
     # current version = max_by(load_date) per hub key: satellites are
-    # insert-only, so "current" is one aggregate, never an update
-    dim_customer = sat_c.groupBy("hk_c").agg(
-        F.max_by("mktsegment", "load_date").alias("mktsegment")
+    # insert-only, so "current" is one aggregate, never an update.
+    # The hub carries the BUSINESS key into the dim (standard DV:
+    # business keys live on hubs, payload on satellites) so the
+    # report's n_customers counts distinct c_custkey exactly like the
+    # oracle — the r11 advisor's finding was that counting on the
+    # 60-bit md5 surrogate lets a hash collision silently shift a
+    # reported value instead of failing the family's collision audit.
+    hub_customer = customer.select(hk_c.alias("hk_c"), "c_custkey")
+    dim_customer = hub_customer.join(
+        sat_c.groupBy("hk_c").agg(
+            F.max_by("mktsegment", "load_date").alias("mktsegment")
+        ),
+        "hk_c",
     )
     link_oc = orders.select(
         h60(F.concat(F.lit("o"), F.col("o_orderkey"))).alias("hk_o"),
@@ -3264,7 +3277,7 @@ def etl_data_vault_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.groupBy("mktsegment", "orderstatus")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.countDistinct("hk_c").cast("bigint").alias("n_customers"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
             F.sum("price").cast("double").alias("revenue"),
         )
         .orderBy("mktsegment", "orderstatus")
@@ -3416,8 +3429,149 @@ ORDER BY 1, 2
 """
 
 
+DV_DEL_MOD = 5  # orders with o_orderkey % 5 == 0 are source-deleted at wave 2
+DV_DEL_REMOD = 3  # of those, every 3rd (orderkey % 15 == 0) re-inserts at wave 3
+DV_DEL_D1 = "2024-01-01"  # initial load: everything alive
+DV_DEL_D2 = "2024-06-01"  # source hard-delete wave → tombstones
+DV_DEL_D3 = "2024-10-01"  # re-insert wave → resurrections
+DV_DEL_SNAPSHOTS = ("2024-03-01", "2024-08-01", "2024-12-01")
+
+
+def etl_data_vault_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E56 — deletion handling in the Data Vault (r12): the close of
+    the vault family (E49 build → E50 PIT → E51 SAL → E52
+    effectivity → E53 bridge → E54/E55 marts → ST28 streaming
+    ingest). A source-system HARD delete never deletes a vault row —
+    hubs/links/satellites are insert-only history — it lands as a
+    TOMBSTONE event in a record-tracking (status) satellite, and
+    "is this key deleted as of date X?" is the same
+    greatest-event ≤ snapshot resolution as E52's effectivity. Three
+    properties distinguish deletes from a plain effectivity close,
+    and the plant exercises all three:
+
+    1. TOMBSTONE, not removal — wave 2 (D2) hard-deletes every
+       DV_DEL_MOD-th order in the source; the vault records
+       deleted=true events, total key count per table never drops.
+    2. PROPAGATION — an order's delete tombstones its dependent
+       order→customer LINK too (a dangling link would resurrect the
+       order through any bridge); events are emitted per vault table.
+    3. RESURRECTION — wave 3 (D3) re-inserts every
+       (DV_DEL_MOD·DV_DEL_REMOD)-th order (the key reappears in the
+       source feed); a later alive event reopens it, which is WHY
+       the tombstone must be an event with a date, not a flag on the
+       hub (a flag update would destroy the D2–D3 deleted period).
+
+    Snapshots straddle the waves: S1 < D2 (all alive), D2 < S2 < D3
+    (every 5th deleted in both tables), S3 > D3 (every 15th back
+    alive). Report = per (snapshot, vault_table, is_deleted): key
+    count + the order-free Σ(hk div 2^DV_DIGEST_SHIFT) digest, so
+    the exact membership of each status set — not just its size — is
+    value-pinned against the batch oracle.
+
+    Scale (the E52 discipline end-to-end): one orders scan builds
+    ≤ 2·(1 + 2/MOD) event rows per order; the snapshot spine is a
+    BROADCAST 3-row frame; status resolution is ONE aggregate keyed
+    on (snapshot, vault_table, hk) — uniform md5-60 keys, no skew,
+    max_by in-aggregate, no window; the report is one partial-agged
+    group-by. Parity: the reference reloads tables wholesale and
+    loses deleted rows entirely (main.py:45-59); this keeps them
+    queryable history."""
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    key_s = F.col("o_orderkey").cast("string")
+    cust_s = F.col("o_custkey").cast("string")
+
+    def both_tables(src: DataFrame, date: str, deleted: bool) -> DataFrame:
+        hub = src.select(
+            F.lit("hub_order").alias("vault_table"),
+            h60(F.concat(F.lit("o"), key_s)).alias("hk"),
+            F.lit(date).cast("date").alias("event_date"),
+            F.lit(deleted).alias("deleted"),
+        )
+        link = src.select(
+            F.lit("link_order_customer").alias("vault_table"),
+            h60(F.concat(F.lit("l"), key_s, F.lit("|"), cust_s)).alias("hk"),
+            F.lit(date).cast("date").alias("event_date"),
+            F.lit(deleted).alias("deleted"),
+        )
+        return hub.unionByName(link)
+
+    gone = orders.filter(F.col("o_orderkey") % DV_DEL_MOD == 0)
+    back = orders.filter(F.col("o_orderkey") % (DV_DEL_MOD * DV_DEL_REMOD) == 0)
+    events = (
+        both_tables(orders, DV_DEL_D1, False)
+        .unionByName(both_tables(gone, DV_DEL_D2, True))
+        .unionByName(both_tables(back, DV_DEL_D3, False))
+    )
+    snaps = spark.createDataFrame(
+        [(s,) for s in DV_DEL_SNAPSHOTS], "snapshot_date string"
+    ).select(F.col("snapshot_date").cast("date"))
+    state = (
+        events.join(F.broadcast(snaps), F.col("event_date") <= F.col("snapshot_date"))
+        .groupBy("snapshot_date", "vault_table", "hk")
+        .agg(F.max_by("deleted", "event_date").alias("is_deleted"))
+    )
+    return (
+        state.groupBy("snapshot_date", "vault_table", "is_deleted")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            _dv_digest_col("hk").alias("hk_digest"),
+        )
+        .select(
+            F.col("snapshot_date").cast("string").alias("snapshot_date"),
+            "vault_table",
+            "is_deleted",
+            "n_keys",
+            "hk_digest",
+        )
+        .orderBy("snapshot_date", "vault_table", "is_deleted")
+    )
+
+
+_DV_DEL_HUB_HK = _dv_h60_sql("'o' || o_orderkey")
+_DV_DEL_LINK_HK = _dv_h60_sql("'l' || o_orderkey || '|' || o_custkey")
+ORACLES["etl_data_vault_deletes"] = f"""
+WITH events AS (
+  SELECT 'hub_order' AS vault_table, {_DV_DEL_HUB_HK} AS hk,
+         DATE '{DV_DEL_D1}' AS event_date, FALSE AS deleted
+  FROM orders
+  UNION ALL
+  SELECT 'link_order_customer', {_DV_DEL_LINK_HK}, DATE '{DV_DEL_D1}', FALSE
+  FROM orders
+  UNION ALL
+  SELECT 'hub_order', {_DV_DEL_HUB_HK}, DATE '{DV_DEL_D2}', TRUE
+  FROM orders WHERE o_orderkey % {DV_DEL_MOD} = 0
+  UNION ALL
+  SELECT 'link_order_customer', {_DV_DEL_LINK_HK}, DATE '{DV_DEL_D2}', TRUE
+  FROM orders WHERE o_orderkey % {DV_DEL_MOD} = 0
+  UNION ALL
+  SELECT 'hub_order', {_DV_DEL_HUB_HK}, DATE '{DV_DEL_D3}', FALSE
+  FROM orders WHERE o_orderkey % {DV_DEL_MOD * DV_DEL_REMOD} = 0
+  UNION ALL
+  SELECT 'link_order_customer', {_DV_DEL_LINK_HK}, DATE '{DV_DEL_D3}', FALSE
+  FROM orders WHERE o_orderkey % {DV_DEL_MOD * DV_DEL_REMOD} = 0
+),
+snaps(snapshot_date) AS (VALUES {", ".join(f"(DATE '{s}')" for s in DV_DEL_SNAPSHOTS)}),
+state AS (
+  SELECT s.snapshot_date, e.vault_table, e.hk,
+         arg_max(e.deleted, e.event_date) AS is_deleted
+  FROM events e JOIN snaps s ON e.event_date <= s.snapshot_date
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(snapshot_date AS VARCHAR) AS snapshot_date, vault_table, is_deleted,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       {_dv_digest_sql("hk")} AS hk_digest
+FROM state
+GROUP BY snapshot_date, vault_table, is_deleted
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "etl_data_vault_build": etl_data_vault_build,
+    "etl_data_vault_deletes": etl_data_vault_deletes,
     "etl_data_vault_bridge": etl_data_vault_bridge,
     "etl_data_vault_mart": etl_data_vault_mart,
     "etl_data_vault_mart_refresh": etl_data_vault_mart_refresh,

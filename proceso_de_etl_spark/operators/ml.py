@@ -77,6 +77,10 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]], emb_col: str = 
 
 SUBSIG_BITS = 8  # sign bits emitted for the oversized-cell sub-split
 
+# assign_clusters_lsh broadcast handles, destroyed by
+# unpersist_copurchase() between passes (see lifecycle note there)
+_LSH_BROADCASTS: list = []
+
 
 def assign_clusters_lsh(
     df: DataFrame,
@@ -181,10 +185,20 @@ def assign_clusters_lsh(
         + ([StructField("subsig", LongType(), False)] if with_subsig else [])
     )
     # one broadcast for all O(k·d) state; the task closure keeps only
-    # the handle plus scalars (bits/dim/weights — a few hundred bytes)
+    # the handle plus scalars (bits/dim/weights — a few hundred bytes).
+    # Lifecycle (r11 advisor): the returned DataFrame is LAZY and may
+    # be re-evaluated, so the broadcast cannot be unpersisted here —
+    # it must outlive every future action on the plan. Cleanup is
+    # (a) GC-driven: when the plan dies, the closure's handle becomes
+    # unreachable and ContextCleaner reclaims the executor blocks; and
+    # (b) explicit for iterative/bench callers: the handle is tracked
+    # in _LSH_BROADCASTS and unpersist_copurchase() (the ml-module
+    # release hook bench/sweep/scale already call between passes)
+    # destroys all tracked broadcasts once their plans are done.
     bc = df.sparkSession.sparkContext.broadcast(
         (cmat, planes, sub_planes, index, anchors)
     )
+    _LSH_BROADCASTS.append(bc)
 
     def assign_batches(batches):
         cmat, planes, sub_planes, index, anchors = bc.value
@@ -767,8 +781,11 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def unpersist_copurchase() -> None:
-    """Release every cached graph edge set (co-purchase AND purchase);
-    safe on a stopped session (mirrors dedup.unpersist_shingles)."""
+    """Release every cached graph edge set (co-purchase AND purchase)
+    and destroy the tracked assign_clusters_lsh broadcasts; safe on a
+    stopped session (mirrors dedup.unpersist_shingles). Call between
+    passes, never mid-plan: a destroyed broadcast fails any LATER
+    action on a plan that closes over it."""
     for cache in (_EDGE_CACHE, _PURCHASE_EDGE_CACHE):
         for df in cache.values():
             try:
@@ -776,6 +793,12 @@ def unpersist_copurchase() -> None:
             except Exception:
                 pass  # session already gone - storage went with it
         cache.clear()
+    for bc in _LSH_BROADCASTS:
+        try:
+            bc.destroy()
+        except Exception:
+            pass
+    _LSH_BROADCASTS.clear()
 
 
 def graph_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

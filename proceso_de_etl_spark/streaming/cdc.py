@@ -235,16 +235,29 @@ def _vault_candidates(batch: DataFrame) -> DataFrame:
 
 
 def merge_vault_batch(store: DataFrame, batch: DataFrame) -> DataFrame:
-    """Insert-only vault merge: a candidate lands only if its
-    (vault_table, hk, hd) is NOT already in the store (left_anti) —
-    the Data Vault loading invariant. Re-delivered batches add
-    nothing (replay-idempotent under foreachBatch's at-least-once),
-    and a key's load_epoch is the wave it FIRST arrived in, forever."""
+    """Min-aware vault merge: a NEW (vault_table, hk, hd) lands with
+    its wave as load_epoch; a key already in the store keeps
+    least(stored load_epoch, candidate wave) — the Data Vault
+    insert-only invariant plus DELIVERY-ORDER independence. The r11
+    advisor's finding: a left_anti merge freezes whichever wave
+    arrives first, so an mtime tie in FileStreamSource (which orders
+    files by modification time) could deliver wave_3 before wave_1
+    and pin load_epoch=3 where the batch oracle says MIN(wave)=1.
+    least() makes the store the true global min under ANY delivery
+    permutation AND stays replay-idempotent (least(x, x) = x), so
+    at-least-once re-delivery is still a no-op. One full_outer
+    equi-join on the store key — the same single shuffle shape as
+    the anti-join + union it replaces."""
     cand = _vault_candidates(batch)
-    new = cand.join(store, ["vault_table", "hk", "hd"], "left_anti").select(
-        "vault_table", "hk", "hd", F.col("wave").alias("load_epoch")
+    return store.join(cand, ["vault_table", "hk", "hd"], "full_outer").select(
+        "vault_table",
+        "hk",
+        "hd",
+        F.least(
+            F.coalesce(F.col("load_epoch"), F.col("wave")),
+            F.coalesce(F.col("wave"), F.col("load_epoch")),
+        ).alias("load_epoch"),
     )
-    return store.unionByName(new)
 
 
 def stream_data_vault_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +321,10 @@ def stream_data_vault_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for i, wv in enumerate(waves, 1):
         stage = os.path.join(workdir, f"_stage_{i}")
+        # coalesce(1) is GATE-FIXTURE generation only (one landing
+        # file per wave so maxFilesPerTrigger=1 maps waves to
+        # micro-batches), never the operator's write path — keep it
+        # out of any bench decomposition, it charges fixture cost
         wv.coalesce(1).write.parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         shutil.move(os.path.join(stage, part), os.path.join(landing, f"wave_{i}.parquet"))

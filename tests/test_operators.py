@@ -3163,3 +3163,67 @@ def test_data_vault_effectivity_routes_reassignment(spark):
     assert got[(s2, True)][0] == len(orders), "open-link count preserved"
     n_moved = sum(1 for r in orders if r.o_orderkey % DV_EFF_MOD == 0)
     assert got[(s2, False)][0] == n_moved
+
+
+def test_data_vault_deletes_tombstone_propagate_resurrect(spark):
+    """E56: replay the tombstone resolution in pure Python and pin the
+    full report, then assert the three deletion properties by name —
+    tombstone (total key count per table never drops across
+    snapshots), propagation (hub and link delete counts identical at
+    every snapshot), resurrection (the D2–D3 deleted set shrinks by
+    exactly the re-inserted keys at S3, and never to zero)."""
+    import hashlib
+
+    from proceso_de_etl_spark.operators.etl import (
+        DV_DEL_MOD,
+        DV_DEL_REMOD,
+        DV_DEL_SNAPSHOTS,
+        DV_DIGEST_SHIFT,
+        etl_data_vault_deletes,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").collect()
+    s1, s2, s3 = DV_DEL_SNAPSHOTS
+    want: dict = {}
+
+    def acc(snap, table, deleted, hk):
+        a = want.setdefault((snap, table, deleted), [0, 0])
+        a[0] += 1
+        a[1] += hk >> DV_DIGEST_SHIFT
+
+    for r in orders:
+        gone = r.o_orderkey % DV_DEL_MOD == 0
+        back = r.o_orderkey % (DV_DEL_MOD * DV_DEL_REMOD) == 0
+        for table, hk in (
+            ("hub_order", h60(f"o{r.o_orderkey}")),
+            ("link_order_customer", h60(f"l{r.o_orderkey}|{r.o_custkey}")),
+        ):
+            acc(s1, table, False, hk)  # before the delete wave
+            acc(s2, table, gone, hk)  # deleted iff tombstoned
+            acc(s3, table, gone and not back, hk)  # resurrected
+    got = {
+        (r.snapshot_date, r.vault_table, r.is_deleted): (r.n_keys, r.hk_digest)
+        for r in etl_data_vault_deletes(spark, sf).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    n = len(orders)
+    for snap in (s1, s2, s3):
+        for table in ("hub_order", "link_order_customer"):
+            total = sum(
+                got.get((snap, table, d), (0, 0))[0] for d in (False, True)
+            )
+            assert total == n, "tombstone: key count never drops"
+        assert got.get((snap, "hub_order", True), (0, 0))[0] == got.get(
+            (snap, "link_order_customer", True), (0, 0)
+        )[0], "propagation: hub and link delete in lockstep"
+    n_gone = sum(1 for r in orders if r.o_orderkey % DV_DEL_MOD == 0)
+    n_back = sum(1 for r in orders if r.o_orderkey % (DV_DEL_MOD * DV_DEL_REMOD) == 0)
+    assert (s1, "hub_order", True) not in got, "nothing deleted before D2"
+    assert got[(s2, "hub_order", True)][0] == n_gone
+    assert got[(s3, "hub_order", True)][0] == n_gone - n_back, "resurrection"
+    assert n_back > 0, "fixture must exercise the re-insert wave"

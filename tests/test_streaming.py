@@ -176,9 +176,13 @@ def test_vault_ingest_batch_boundary_independent_and_replay_idempotent(spark):
     one-per-batch vs ALL coalesced into one batch converges to the
     same store (load_epoch comes from the feed's wave VALUE with
     min-wave-within-batch, never from epoch_id); (b) replay
-    idempotency — re-merging an already-applied wave adds zero rows
-    (the insert-only anti-join is the Data Vault loading invariant
-    under foreachBatch's at-least-once delivery)."""
+    idempotency — re-merging an already-applied wave changes nothing
+    (least(load_epoch, wave) is idempotent under foreachBatch's
+    at-least-once delivery); (c) DELIVERY-ORDER independence — the
+    r11 advisor's mtime-tie scenario: FileStreamSource may deliver
+    wave_3 before wave_1, and the min-aware merge must still
+    converge to the global MIN(wave) per key, not freeze the
+    first-arriving wave."""
     from proceso_de_etl_spark.streaming.cdc import (
         _CUTOFF,
         merge_vault_batch,
@@ -213,6 +217,10 @@ def test_vault_ingest_batch_boundary_independent_and_replay_idempotent(spark):
     assert _sorted_rows(per_wave) == _sorted_rows(one_batch)
     replayed = merge_vault_batch(merge_vault_batch(per_wave, w2), w1)
     assert _sorted_rows(replayed) == _sorted_rows(per_wave)
+    reversed_order = merge_vault_batch(
+        merge_vault_batch(merge_vault_batch(empty, w3), w2), w1
+    )
+    assert _sorted_rows(reversed_order) == _sorted_rows(per_wave)
 
 
 def test_stream_approx_distinct_matches_batch_twin(spark):

@@ -111,13 +111,24 @@ def gen_derived(
     for t in ("region", "nation"):
         write(read(t), t, 1)
 
+    # file counts scale WITH the replication factor (r12): each
+    # n_files below is sized for the sf1.0 tier (factor=10), so the
+    # sf10 tier (factor=100) gets 10x the files at the SAME per-file
+    # size. A fixed count would cap the sf10 scan at 8 unsplittable
+    # ~7 MB files — 8-way parallelism on a 32-core box — and every
+    # scan-bound curve would read ~superlinear for a reason that is
+    # an artifact of the GENERATOR, not the engine: real data at 10x
+    # the SF arrives as ~10x the files/splits (the driver's own
+    # sf0.01 -> sf0.1 tiers do exactly that).
+    files_scale = max(1, factor // FACTOR)
+
     def replicate(t: str, n_files: int, fn) -> None:
         src = read(t)
         out = None
         for i in range(factor):
             rep = fn(src, i)
             out = rep if out is None else out.unionByName(rep)
-        write(out, t, n_files)
+        write(out, t, n_files * files_scale)
         print(f"  {t}: {factor}x", flush=True)
 
     def cust_rep(df: DataFrame, i: int) -> DataFrame:

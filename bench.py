@@ -280,8 +280,18 @@ BASELINE = {
     #     on the shared purchase_edges persist) ---
     "graph_hits_ladder": 9.001,
     "ml_kmeans_ladder": 3.846,
-    # re-seeded r8: rides the pinned-IVF data-form fix (was 7.596)
-    "ann_recall_eval": 3.536,
+    # re-seeded r8: rides the pinned-IVF data-form fix (was 7.596).
+    # re-probed r12 (r11 judge item 4: 1.12x was the suite's largest
+    # drift): two INDEPENDENT full-suite passes on an otherwise idle
+    # box (sentinel 1.022 / 1.042, suite_drift 1.0) measured settled
+    # medians 4.201 and 4.282 — the 3.536 epoch is not reproducible
+    # on the current codebase (the key runs exact + pinned-IVF per
+    # pass; the r11 ml broadcast-lifecycle hook re-broadcasts the
+    # O(k*d) state each pass, and the r11 DECIMAL digest rides both
+    # audited searches). Re-pinned at the min of the two pass medians
+    # per the r10 rule (floors from bench.py's own pass, never an
+    # isolated probe).
+    "ann_recall_eval": 4.201,
     "ab_mann_whitney": 2.163,
     "ab_ks_test": 2.226,
     "events_chi2_independence": 1.02,

@@ -43,6 +43,28 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789 "
+)
+
+
+def nonalnum_count(c: Column) -> Column:
+    """Count of codepoints outside ``[a-zA-Z0-9 ]`` — value-identical
+    to ``F.regexp_count(c, '[^a-zA-Z0-9 ]')`` (a one-codepoint regex
+    class matches per codepoint; ``translate`` deletes per codepoint;
+    ``length`` counts codepoints — so the identity holds for any
+    Unicode text, BMP or not), but ~35x faster: ``translate`` is a
+    codegen'd char-map lookup while Java-regex counting pays a
+    per-row UTF8String->String conversion plus NFA scan (measured at
+    the derived sf10 tier: 20.2 s vs 0.6 s over 600k documents — the
+    whole r11 text_quality_score third-decade watch item was this one
+    expression). The paired DuckDB oracle keeps the regexp spelling:
+    same value, independent path."""
+    return F.length(F.translate(c, _ALNUM_SPACE, ""))
+
+
 def stop_hits(toks: Column, words: tuple[str, ...]) -> Column:
     """How many tokens are in the marker set (with repetition)."""
     arr = F.array(*[F.lit(w) for w in words])

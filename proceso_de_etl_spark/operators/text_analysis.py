@@ -15,6 +15,7 @@ from proceso_de_etl_spark.functions.text import (
     BPE_ISH_PATTERN,
     CJK_PATTERN,
     STOPWORDS,
+    nonalnum_count,
     shingles,
     shingles_sql,
     stop_hits,
@@ -86,7 +87,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("toks")
     n_chars = F.length("text").cast("double")
     n_tokens = F.size(t).cast("double")
-    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]")).cast("double")
+    punct = nonalnum_count(F.col("text")).cast("double")
     stops = stop_hits(t, STOPWORDS["en"]).cast("double")
     punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
     stop_ratio = stops / F.greatest(n_tokens, F.lit(1.0))

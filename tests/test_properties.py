@@ -61,6 +61,33 @@ def test_tokenizer_matches_python_reference(spark, texts):
     assert got == want
 
 
+@given(st.lists(st.text(
+    # adversarial mix: ASCII alnum/space, accents, CJK, symbols, and
+    # non-BMP (emoji / SMP) codepoints — the translate-based counter
+    # must agree with the regexp spelling on EVERY codepoint class,
+    # since the DuckDB oracle keeps the regexp definition
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x1F64F),
+    max_size=80,
+), min_size=1, max_size=20))
+@SET
+def test_nonalnum_count_matches_regexp_spelling(spark, texts):
+    from proceso_de_etl_spark.functions.text import nonalnum_count
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.n
+        for r in df.select(nonalnum_count(F.col("text")).alias("n")).collect()
+    ]
+    want = [
+        r.n
+        for r in df.select(
+            F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9 ]")).alias("n")
+        ).collect()
+    ]
+    py = [len(re.findall(r"[^a-zA-Z0-9 ]", t)) for t in texts]
+    assert got == want == py
+
+
 def _py_shingles(text: str, n: int = 3) -> list[str]:
     toks = _py_tokens(text)
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]

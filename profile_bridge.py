@@ -69,12 +69,15 @@ def bridge_prefixes(spark, sf_dir):
         events.join(F.broadcast(snaps), F.col("event_date") <= F.col("snapshot_date"))
         .groupBy("snapshot_date", "o_orderkey")
         .agg(F.max_by("custkey", "event_date").alias("custkey"))
+        # mirrors the shipped operator's r12 hoist (hash at eff rows)
+        .withColumn("hk_customer", h60(F.concat(F.lit("c"), F.col("custkey"))))
     )
     li_distinct = lineitem.select(
         F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_linenumber"
     ).distinct()
     paths = eff.join(li_distinct, "o_orderkey").select(
-        "snapshot_date", "custkey", "o_orderkey", "l_partkey", "l_linenumber"
+        "snapshot_date", "custkey", "o_orderkey", "l_partkey", "l_linenumber",
+        "hk_customer",
     )
     bridge = paths.select(
         "snapshot_date",

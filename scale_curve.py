@@ -287,6 +287,11 @@ def main() -> None:
         prior = json.load(open(out_path))
         merged = prior.get("curves", {})
         merged.update(curves)
+        # carry forward any non-curve sections other tools merged in
+        # (profile_bridge.py's stage_timings) instead of dropping them
+        for k, v in prior.items():
+            if k not in payload:
+                payload[k] = v
         payload["curves"] = merged
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

@@ -78,14 +78,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger row is older than r5). r12 rotation: the 9 r5-overflow keys
 # lead (the last pre-r6 rows — gating them completes the freshness
 # program begun in r7: every oracle-paired key re-gated within the
-# last 6 rounds), then the 4 vault keys whose PLAN changed or that
-# are NEW this round (ST28's merge is now min-aware full_outer —
-# the r11 advisor's delivery-order fix; E54 counts distinct on the
-# business key through the hub — the r11 advisor's collision fix;
-# E53's path dedup moved before the snapshot expansion — the r11
-# third-decade fix; E56 vault deletes is NEW), then 37 of the 50
-# r6-stale rows alphabetically. The 13 r6 keys past the cap lead the
-# r13 queue.
+# last 6 rounds), then the 6 keys whose PLAN changed or that are NEW
+# this round (ST28's merge is now min-aware full_outer — the r11
+# advisor's delivery-order fix; E54 counts distinct on the business
+# key through the hub — the r11 advisor's collision fix; E53's path
+# dedup moved before the snapshot expansion — the r11 third-decade
+# fix; E56 vault deletes, A110 BFS, A111 ACF are NEW), then 35 of the
+# 50 r6-stale rows alphabetically. The 15 r6 keys past the cap lead
+# the r13 queue.
 _PRIORITY = (
     # --- 1. the 9 r5-overflow keys (freshness close-out) ---
     "stream_freshness_monitor",
@@ -97,13 +97,16 @@ _PRIORITY = (
     "text_chunk_udtf",
     "text_novelty_decay",
     "text_quality_psi",
-    # --- 2. plan-changed in r12 + NEW in r12 (E56 deletes) ---
+    # --- 2. plan-changed in r12 + NEW in r12 (E56 deletes, A110 BFS,
+    #     A111 ACF) — new keys outrank r6 re-checks for a fresh row ---
     "stream_data_vault_ingest",
     "etl_data_vault_mart",
     "etl_data_vault_bridge",
     "etl_data_vault_deletes",
+    "graph_bfs_distance",
+    "events_autocorrelation",
     # --- 3. freshness re-checks: oldest full-pass rows (r6),
-    #     alphabetical; 37 of 50 fit under the cap (9 + 4 + 37) ---
+    #     alphabetical; 35 of 50 fit under the cap (9 + 6 + 35) ---
     "agg_filter_clause_matrix",
     "ann_sparse_tfidf_topk",
     "datetime_function_matrix",
@@ -139,10 +142,10 @@ _PRIORITY = (
     "skew_key_diagnostics",
     "source_binary_files",
     "source_federated_formats",
+    # ---- 50-row gate cap lands here (9 + 6 + 35) ----
+    # --- r6 overflow -> head of the r13 queue ---
     "stream_dedup_within_watermark",
     "stream_funnel",
-    # ---- 50-row gate cap lands here (9 + 4 + 37) ----
-    # --- r6 overflow -> head of the r13 queue ---
     "stream_left_outer_join",
     "stream_quota_per_source",
     "stream_topk",

@@ -2061,7 +2061,136 @@ WHERE s1.t = s1.n
 """
 
 
+ACF_MAX_LAG = 6  # hours — unrolled identically in the DuckDB oracle
+ACF_HOUR_US = 3_600_000_000  # one hour of epoch-microseconds
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A111 — autocorrelation function of the per-type hourly count
+    series at lags 1..ACF_MAX_LAG, the standard seasonality/memory
+    diagnostic that sits before any forecasting choice (is the series
+    AR-ish? is there a 24h echo?) — the diagnostic companion to the
+    A106/A107 smoothing ladders and the A76 seasonal baseline.
+
+    Exactness discipline (A37/A80): hourly counts are INTEGERS, so
+    every moment is an exact BIGINT — per type N, S1 = Σx, S2 = Σx²
+    from one keyed aggregate, and per (type, lag) the pair sums
+    n_pairs, Σx_t·x_{t+k}, Σx_t, Σx_{t+k} from one equi-join. The
+    estimator is the classical ACF with full-series mean and
+    denominator, generalized to observed calendar pairs (missing
+    hours pair with nothing rather than imputing 0 — the irregular-
+    series convention), cleared of the rational mean by multiplying
+    through by N²:
+
+      acf_k = (N²·Sab − N·S1·(Sa+Sb) + n_pairs·S1²)
+            / (N²·S2 − N·S1²)
+
+    Both numerator and denominator are exact integers accumulated in
+    DECIMAL(38,0) (the A100/A105 overflow discipline: N²·S2 passes
+    2⁶³ around 10⁹ rows/type; 38 digits keep ~1e9 headroom beyond
+    that), with ONE double division rounded to 6dp at the edge — the
+    only step where engines could diverge, and 6dp is ~1e6 ulps of
+    margin on an O(1) ratio.
+
+    Scale shape: the hourly pre-aggregation is the only pass over
+    events (map-side combinable); the lag pairing EXPLODES each
+    hourly row into ACF_MAX_LAG keyed probes and equi-joins on
+    (type, hour+k) — linear in buckets, never the quadratic
+    type-keyed band join a naive BETWEEN spelling would plan. Output
+    is types × lags rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {ACF_HOUR_US}").alias("h"),
+        )
+        .agg(F.count("*").alias("x"))
+        .persist()
+    )
+    try:
+        mom = hourly.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        )
+        probes = hourly.select(
+            "event_type",
+            "h",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))
+            ).alias("lag"),
+            F.col("x").alias("xa"),
+        ).select(
+            "event_type",
+            "lag",
+            (F.col("h") + F.col("lag")).cast("bigint").alias("h"),
+            "xa",
+        )
+        b = hourly.select("event_type", "h", F.col("x").alias("xb"))
+        pairs = (
+            probes.join(b, ["event_type", "h"])
+            .groupBy("event_type", "lag")
+            .agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sab"),
+                F.sum("xa").cast("bigint").alias("sa"),
+                F.sum("xb").cast("bigint").alias("sb"),
+            )
+        )
+        # every product starts from a DECIMAL(38,0) factor so the
+        # arithmetic never passes through a BIGINT intermediate
+        # (mirrors the oracle's HUGEINT casts term-for-term)
+        dn = "CAST(n AS DECIMAL(38,0))"
+        dp = "CAST(n_pairs AS DECIMAL(38,0))"
+        out = (
+            pairs.join(mom, "event_type")
+            .select(
+                "event_type",
+                F.col("lag").cast("bigint").alias("lag"),
+                "n_pairs",
+                F.round(
+                    F.expr(
+                        f"CAST({dn}*n*sab - {dn}*s1*(sa + sb) + {dp}*s1*s1 AS DOUBLE)"
+                        f" / CAST({dn}*n*s2 - {dn}*s1*s1 AS DOUBLE)"
+                    ),
+                    6,
+                ).alias("acf"),
+            )
+        )
+        # one tiny result (types × lags): force it out of the persisted
+        # lineage before release
+        return out.localCheckpoint(eager=True)
+    finally:
+        hourly.unpersist()
+
+
+ORACLES["events_autocorrelation"] = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {ACF_HOUR_US} AS h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+  FROM hourly GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type, l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(a.x * b.x) AS sab, SUM(a.x) AS sa, SUM(b.x) AS sb
+  FROM hourly a
+  CROSS JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag) l
+  JOIN hourly b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+  GROUP BY 1, 2
+)
+SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+       ROUND(CAST(CAST(m.n AS HUGEINT)*m.n*p.sab - CAST(m.n AS HUGEINT)*m.s1*(p.sa + p.sb)
+                  + CAST(p.n_pairs AS HUGEINT)*m.s1*m.s1 AS DOUBLE)
+             / CAST(CAST(m.n AS HUGEINT)*m.n*m.s2 - CAST(m.n AS HUGEINT)*m.s1*m.s1 AS DOUBLE), 6) AS acf
+FROM pairs p JOIN mom m USING (event_type)
+"""
+
+
 QUERIES = {
+    "events_autocorrelation": events_autocorrelation,
     "events_exp_smoothing": events_exp_smoothing,
     "events_holt_trend": events_holt_trend,
     "events_attribution_models": events_attribution_models,

@@ -3196,7 +3196,109 @@ FROM dig2 d LEFT JOIN g2 g USING (cluster)
 ORACLES["ml_kmeans_ladder"] = _kmeans_ladder_oracle_sql()
 
 
+BFS_SEEDS = 3  # lexicographically-smallest node ids — deterministic
+BFS_ROUNDS = 4  # fixed hop bound, unrolled by the oracle's recursion guard
+
+
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A110 — multi-source BFS hop distance over the support-filtered
+    co-purchase graph: the one standard iterative-graph shape the
+    family still lacked (CC answers "same component?", PageRank
+    "how central?"; BFS answers "how FAR?" — the reachability-radius
+    / blast-impact query). Sources are the BFS_SEEDS smallest node
+    ids (plain integer ORDER BY — deterministic on both engines);
+    distances are exact hop counts capped at BFS_ROUNDS.
+
+    Execution is the textbook frontier loop (Pregel-lite), the same
+    per-round discipline as the T44b ladders: each round ONE
+    frontier⋈edges equi-join (both edge directions pre-materialized
+    once) + ONE anti-join against the visited set, then
+    localCheckpoint to truncate the iterative lineage. Work per round
+    is O(frontier-adjacent edges), never O(V²); the visited set only
+    grows, and the anti-join is key-partitioned — the shape that
+    holds on a 10⁹-node graph at 1000 executors. No driver-side
+    state: seeds, frontier, and visited stay distributed end-to-end.
+
+    Report: one row per distance 0..BFS_ROUNDS — node count and
+    Σnode membership digest — plus a dist = −1 row for nodes the cap
+    never reached (emitted only when non-empty, per-key groupBy so
+    both engines drop it identically). Value-oracled: DuckDB replays
+    the same bounded BFS with WITH RECURSIVE + MIN(dist) per node."""
+    edges = copurchase_edges_supported(spark, sf_dir)
+    und = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    try:
+        nodes = und.select(F.col("src").alias("node")).distinct().persist()
+        seeds = nodes.orderBy("node").limit(BFS_SEEDS)
+        visited = seeds.select(
+            "node", F.lit(0).cast("bigint").alias("dist")
+        ).localCheckpoint(eager=True)
+        frontier = visited.select("node")
+        for r in range(1, BFS_ROUNDS + 1):
+            nbrs = (
+                frontier.join(und, frontier.node == und.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            new = (
+                nbrs.join(visited, "node", "left_anti")
+                .select("node", F.lit(r).cast("bigint").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(new).localCheckpoint(eager=True)
+            frontier = new.select("node")
+        reached = visited.groupBy("dist").agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("node_digest"),
+        )
+        unreached = (
+            nodes.join(visited, "node", "left_anti")
+            .groupBy(F.lit(-1).cast("bigint").alias("dist"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_nodes"),
+                F.sum("node").cast("bigint").alias("node_digest"),
+            )
+        )
+        return reached.unionByName(unreached).localCheckpoint(eager=True)
+    finally:
+        nodes.unpersist()
+        und.unpersist()
+
+
+ORACLES["graph_bfs_distance"] = f"""
+WITH {_supported_edges_sql()},
+edges AS (SELECT u AS src, v AS dst FROM pair UNION ALL SELECT v, u FROM pair),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {BFS_SEEDS}),
+bfs AS (
+  WITH RECURSIVE b(node, dist) AS (
+    SELECT node, 0 FROM seeds
+    UNION
+    SELECT e.dst, b.dist + 1 FROM b JOIN edges e ON e.src = b.node
+    WHERE b.dist < {BFS_ROUNDS}
+  ) SELECT node, MIN(dist) AS dist FROM b GROUP BY node
+),
+reached AS (
+  SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(node) AS BIGINT) AS node_digest
+  FROM bfs GROUP BY 1
+),
+unreached AS (
+  SELECT CAST(-1 AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(n.node) AS BIGINT) AS node_digest
+  FROM nodes n LEFT JOIN bfs ON bfs.node = n.node
+  WHERE bfs.dist IS NULL
+  GROUP BY 1
+)
+SELECT * FROM reached UNION ALL SELECT * FROM unreached
+"""
+
+
 QUERIES = {
+    "graph_bfs_distance": graph_bfs_distance,
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,
     "ml_pagerank_bipartite": ml_pagerank_bipartite,

@@ -3227,3 +3227,96 @@ def test_data_vault_deletes_tombstone_propagate_resurrect(spark):
     assert got[(s2, "hub_order", True)][0] == n_gone
     assert got[(s3, "hub_order", True)][0] == n_gone - n_back, "resurrection"
     assert n_back > 0, "fixture must exercise the re-insert wave"
+
+
+def test_bfs_distance_on_literal_path_graph(spark, monkeypatch):
+    """A110 on a hand-checkable graph: a 1-2-3-4-5-6-7 path plus a
+    disconnected 100-101 pair. Seeds (3 smallest) = {1,2,3}; the path
+    tail is reached at exact hop counts, the pair never (dist -1)."""
+    from proceso_de_etl_spark.operators import ml
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (100, 101)],
+        "u long, v long",
+    )
+    monkeypatch.setattr(ml, "copurchase_edges_supported", lambda s, d: edges)
+    got = {
+        r.dist: (r.n_nodes, r.node_digest)
+        for r in ml.graph_bfs_distance(spark, "unused").collect()
+    }
+    # dist 0: seeds {1,2,3}; 1: {4}; 2: {5}; 3: {6}; 4: {7}; -1: {100,101}
+    assert got == {
+        0: (3, 6),
+        1: (1, 4),
+        2: (1, 5),
+        3: (1, 6),
+        4: (1, 7),
+        -1: (2, 201),
+    }
+
+
+def test_bfs_distance_invariants_at_gate_scale(spark):
+    """Σ n_nodes across distance rows == |V|; the dist-0 row is exactly
+    the seed set; distances stay within [-1, BFS_ROUNDS]."""
+    from proceso_de_etl_spark.operators.ml import (
+        BFS_ROUNDS,
+        BFS_SEEDS,
+        copurchase_edges_supported,
+        graph_bfs_distance,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = graph_bfs_distance(spark, sf).collect()
+    edges = copurchase_edges_supported(spark, sf)
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    by_dist = {r.dist: r for r in rows}
+    assert by_dist[0].n_nodes == BFS_SEEDS
+    assert all(-1 <= r.dist <= BFS_ROUNDS for r in rows)
+
+
+def test_autocorrelation_matches_python_replay(spark):
+    """A111 pinned against a pure-Python replay of the integer-moment
+    estimator over the real sf0.001 events table (hourly bucketing,
+    calendar-lag pairing, full-series mean/denominator, 6dp edge)."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.events import (
+        ACF_HOUR_US,
+        ACF_MAX_LAG,
+        events_autocorrelation,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.expr(f"unix_micros(ts) div {ACF_HOUR_US}").alias("h")
+    )
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in ev.collect():
+        hourly[r.event_type][r.h] += 1
+    want = {}
+    for et, series in hourly.items():
+        n = len(series)
+        s1 = sum(series.values())
+        s2 = sum(x * x for x in series.values())
+        den = n * n * s2 - n * s1 * s1
+        for lag in range(1, ACF_MAX_LAG + 1):
+            pairs = [(x, series[h + lag]) for h, x in series.items() if h + lag in series]
+            if not pairs:
+                continue
+            np_, sab = len(pairs), sum(a * b for a, b in pairs)
+            sa, sb = sum(a for a, _ in pairs), sum(b for _, b in pairs)
+            num = n * n * sab - n * s1 * (sa + sb) + np_ * s1 * s1
+            want[(et, lag)] = (np_, round(num / den, 6))
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.acf)
+        for r in events_autocorrelation(spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce pairs"

@@ -134,7 +134,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap0.write.parquet(state["cur"])
 
     # land each change set as one plain parquet file (the file source
-    # watches a flat dir; write-then-move keeps arrival atomic)
+    # watches a flat dir; write-then-move keeps arrival atomic).
+    # coalesce(1) is GATE-FIXTURE generation only — it simulates the
+    # upstream CDC feed dropping one file per change set; the operator
+    # path (stream -> merge) never coalesces
     for i, cs in enumerate(change_sets, 1):
         stage = os.path.join(workdir, f"_stage_{i}")
         cs.coalesce(1).write.parquet(stage)

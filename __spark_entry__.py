@@ -83,9 +83,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # advisor's delivery-order fix; E54 counts distinct on the business
 # key through the hub — the r11 advisor's collision fix; E53's path
 # dedup moved before the snapshot expansion — the r11 third-decade
-# fix; E56 vault deletes, A110 BFS, A111 ACF are NEW), then 35 of the
-# 50 r6-stale rows alphabetically. The 15 r6 keys past the cap lead
-# the r13 queue.
+# fix; E56 vault deletes, A110 BFS, A111 ACF, A112 KM survival are
+# NEW), then 34 of the 50 r6-stale rows alphabetically. The 16 r6
+# keys past the cap lead the r13 queue.
 _PRIORITY = (
     # --- 1. the 9 r5-overflow keys (freshness close-out) ---
     "stream_freshness_monitor",
@@ -98,15 +98,16 @@ _PRIORITY = (
     "text_novelty_decay",
     "text_quality_psi",
     # --- 2. plan-changed in r12 + NEW in r12 (E56 deletes, A110 BFS,
-    #     A111 ACF) — new keys outrank r6 re-checks for a fresh row ---
+    #     A111 ACF, A112 KM) — new keys outrank r6 re-checks ---
     "stream_data_vault_ingest",
     "etl_data_vault_mart",
     "etl_data_vault_bridge",
     "etl_data_vault_deletes",
     "graph_bfs_distance",
     "events_autocorrelation",
+    "events_survival_km",
     # --- 3. freshness re-checks: oldest full-pass rows (r6),
-    #     alphabetical; 35 of 50 fit under the cap (9 + 6 + 35) ---
+    #     alphabetical; 34 of 50 fit under the cap (9 + 7 + 34) ---
     "agg_filter_clause_matrix",
     "ann_sparse_tfidf_topk",
     "datetime_function_matrix",
@@ -141,9 +142,9 @@ _PRIORITY = (
     "sample_pack_sequences",
     "skew_key_diagnostics",
     "source_binary_files",
-    "source_federated_formats",
-    # ---- 50-row gate cap lands here (9 + 6 + 35) ----
+    # ---- 50-row gate cap lands here (9 + 7 + 34) ----
     # --- r6 overflow -> head of the r13 queue ---
+    "source_federated_formats",
     "stream_dedup_within_watermark",
     "stream_funnel",
     "stream_left_outer_join",

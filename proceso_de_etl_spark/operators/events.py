@@ -2061,6 +2061,183 @@ WHERE s1.t = s1.n
 """
 
 
+KM_SCALE = 10**8  # 8dp survival units (the ESM_SCALE family)
+KM_HOUR_US = 3_600_000_000  # one hour of epoch-microseconds
+KM_CENSOR_US = 12 * KM_HOUR_US  # users active this close to corpus end
+# are right-censored: their lifetime is only known to be >= observed
+# (sized to the gate corpus: a 30-day window whose users stay active
+# nearly end-to-end — hour-grain lifetimes + a 12h horizon give both
+# branches real membership at every gate SF)
+
+
+def _km_idiv(v, d):
+    """_esm_idiv with a VARIABLE divisor column (the risk-set size is
+    fold state, not a literal): (v − v % d) is an exact multiple of d
+    and the IEEE quotient of two exactly-representable doubles whose
+    true quotient is a representable integer is exact — valid while
+    v < 2^53 (headroom note in events_survival_km)."""
+    return ((v - F.pmod(v, d)) / d).cast("bigint")
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A112 — Kaplan-Meier survival (time-to-churn) per acquisition
+    segment: the one classic time-to-event family the analytics core
+    still lacked. A user's lifetime is last-minus-first activity in
+    whole hours; users still active within KM_CENSOR_US of corpus end
+    are RIGHT-CENSORED (lifetime known only as ≥ observed — the
+    property that makes this KM rather than a plain ECDF: censored
+    users leave the risk set without counting as churn). The segment
+    is the user's first event type (deterministic: MIN(event_type)
+    among the user's first-timestamp events), so the output reads as
+    churn curves by acquisition channel — the retention team's
+    companion to A103's cohort LTV and events_retention_cohorts.
+
+    The product-limit estimator S(t) = Π_{tᵢ≤t} (n_riskᵢ − dᵢ)/n_riskᵢ
+    is a sequential recurrence, so it runs as the A106/A107 ordered-
+    array fold: per segment ONE hours-bounded array (the A106 span-bounded
+    argument) of (duration,
+    n_all, d) steps, fold state = (remaining risk set, scaled
+    survival, emitted rows). Every step is exact integer arithmetic —
+    kmᵢ = (km·(n_risk − d)) div n_risk with all quantities
+    nonnegative (truncate == floor on both engines); d = 0 steps
+    update through (km·n) div n = km exactly, so censoring-only
+    durations shrink the risk set without moving the curve, the KM
+    invariant. Headroom: km·n_risk ≤ KM_SCALE·n_users must stay
+    < 2^53 for the in-lambda exact division — valid to ~9·10⁷ users
+    per segment at 8dp; past that drop KM_SCALE a decade per 10×
+    (the ESM_SCALE rule) or move the fold state to DECIMAL(38,0).
+
+    Scale shape: one user-keyed aggregate over events (map-side
+    combinable), one first-event equi-join for the segment, one
+    (segment, duration)-keyed rollup, then folds over arrays bounded
+    by the corpus TIME SPAN in hours — never by user count. The
+    corpus-end scalar enters the plan as a broadcast 1-row aggregate
+    (no collect). Output: one row per (segment, churn duration with
+    dᵢ > 0): risk-set size, events, censored-at count, S(t) scaled.
+    Value-oracled: DuckDB replays the identical recursion with
+    WITH RECURSIVE over the same MATERIALIZED step table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    base = ev.groupBy("user_id").agg(
+        F.min("us").alias("first_us"), F.max("us").alias("last_us")
+    )
+    seg = (
+        ev.join(base, ["user_id"])
+        .filter(F.col("us") == F.col("first_us"))
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("segment"))
+    )
+    cend = base.agg(F.max("last_us").alias("corpus_end"))
+    users = (
+        base.join(seg, "user_id")
+        .crossJoin(F.broadcast(cend))
+        .select(
+            "segment",
+            F.expr(f"(last_us - first_us) div {KM_HOUR_US}").alias("duration"),
+            (F.col("corpus_end") - F.col("last_us") >= KM_CENSOR_US)
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+    roll = users.groupBy("segment", "duration").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    arr = roll.groupBy("segment").agg(
+        F.array_sort(F.collect_list(F.struct("duration", "n_all", "d"))).alias(
+            "steps"
+        ),
+        F.sum("n_all").cast("bigint").alias("n0"),
+    )
+    out_t = (
+        "array<struct<duration:bigint,n_risk:bigint,n_events:bigint,"
+        "n_censored:bigint,km_scaled:bigint>>"
+    )
+
+    def km_fold(steps, n0):
+        init = F.struct(
+            n0.alias("remaining"),
+            F.lit(KM_SCALE).cast("bigint").alias("km"),
+            F.expr(f"CAST(array() AS {out_t})").alias("out"),
+        )
+
+        def step(acc, s):
+            n_risk = acc["remaining"]
+            km_new = _km_idiv(acc["km"] * (n_risk - s["d"]), n_risk)
+            row = F.struct(
+                s["duration"].alias("duration"),
+                n_risk.alias("n_risk"),
+                s["d"].alias("n_events"),
+                (s["n_all"] - s["d"]).alias("n_censored"),
+                km_new.alias("km_scaled"),
+            )
+            return F.struct(
+                (acc["remaining"] - s["n_all"]).alias("remaining"),
+                km_new.alias("km"),
+                F.when(s["d"] > 0, F.concat(acc["out"], F.array(row)))
+                .otherwise(acc["out"])
+                .alias("out"),
+            )
+
+        return F.aggregate(steps, init, step)["out"]
+
+    return arr.select(
+        "segment", F.explode(km_fold(F.col("steps"), F.col("n0"))).alias("r")
+    ).select(
+        "segment",
+        F.col("r.duration").alias("duration_hours"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("r.n_censored").alias("n_censored_at"),
+        F.col("r.km_scaled").alias("km_scaled"),
+    )
+
+
+ORACLES["events_survival_km"] = f"""
+WITH RECURSIVE u0 AS MATERIALIZED (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1
+),
+seg AS (
+  SELECT e.user_id, MIN(e.event_type) AS segment
+  FROM events e JOIN u0 ON u0.user_id = e.user_id AND epoch_us(e.ts) = u0.first_us
+  GROUP BY 1
+),
+users AS (
+  SELECT s.segment, (u0.last_us - u0.first_us) // {KM_HOUR_US} AS duration,
+         CASE WHEN (SELECT MAX(last_us) FROM u0) - u0.last_us >= {KM_CENSOR_US}
+              THEN 1 ELSE 0 END AS churned
+  FROM u0 JOIN seg s USING (user_id)
+),
+roll AS (
+  SELECT segment, duration, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(churned) AS BIGINT) AS d
+  FROM users GROUP BY 1, 2
+),
+o AS MATERIALIZED (
+  SELECT segment, duration, n_all, d,
+         row_number() OVER (PARTITION BY segment ORDER BY duration) AS t,
+         CAST(SUM(n_all) OVER (PARTITION BY segment) AS BIGINT) AS n0
+  FROM roll
+),
+km(segment, t, duration, n_risk, d, c, km, remaining) AS (
+  SELECT segment, t, duration, n0, d, n_all - d,
+         CAST(CAST({KM_SCALE} AS HUGEINT) * (n0 - d) // n0 AS BIGINT),
+         n0 - n_all
+  FROM o WHERE t = 1
+  UNION ALL
+  SELECT o.segment, o.t, o.duration, km.remaining, o.d, o.n_all - o.d,
+         CAST(CAST(km.km AS HUGEINT) * (km.remaining - o.d) // km.remaining AS BIGINT),
+         km.remaining - o.n_all
+  FROM km JOIN o ON o.segment = km.segment AND o.t = km.t + 1
+)
+SELECT segment, CAST(duration AS BIGINT) AS duration_hours, n_risk,
+       d AS n_events, c AS n_censored_at, km AS km_scaled
+FROM km WHERE d > 0
+"""
+
+
 ACF_MAX_LAG = 6  # hours — unrolled identically in the DuckDB oracle
 ACF_HOUR_US = 3_600_000_000  # one hour of epoch-microseconds
 
@@ -2190,6 +2367,7 @@ FROM pairs p JOIN mom m USING (event_type)
 
 
 QUERIES = {
+    "events_survival_km": events_survival_km,
     "events_autocorrelation": events_autocorrelation,
     "events_exp_smoothing": events_exp_smoothing,
     "events_holt_trend": events_holt_trend,

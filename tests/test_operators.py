@@ -3320,3 +3320,62 @@ def test_autocorrelation_matches_python_replay(spark):
     }
     assert got == want
     assert want, "fixture must produce pairs"
+
+
+def test_survival_km_matches_python_replay(spark):
+    """A112 pinned against a pure-Python Kaplan-Meier replay from raw
+    sf0.001 events: hour-grain lifetimes, 12h right-censoring, exact
+    integer product-limit ladder — and the KM invariants (monotone
+    non-increasing survival, risk-set conservation)."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.events import (
+        KM_CENSOR_US,
+        KM_HOUR_US,
+        KM_SCALE,
+        events_survival_km,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    first, last, types = {}, {}, defaultdict(list)
+    for r in ev.collect():
+        first[r.user_id] = min(first.get(r.user_id, r.us), r.us)
+        last[r.user_id] = max(last.get(r.user_id, r.us), r.us)
+        types[r.user_id].append((r.us, r.event_type))
+    corpus_end = max(last.values())
+    by_seg = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # seg -> dur -> [n, d]
+    for u in first:
+        seg = min(t for us, t in types[u] if us == first[u])
+        dur = (last[u] - first[u]) // KM_HOUR_US
+        cell = by_seg[seg][dur]
+        cell[0] += 1
+        cell[1] += int(corpus_end - last[u] >= KM_CENSOR_US)
+    want = {}
+    for seg, steps in by_seg.items():
+        remaining, km = sum(n for n, _ in steps.values()), KM_SCALE
+        for dur in sorted(steps):
+            n_all, d = steps[dur]
+            km = km * (remaining - d) // remaining
+            if d > 0:
+                want[(seg, dur)] = (remaining, d, n_all - d, km)
+            remaining -= n_all
+    got = {
+        (r.segment, r.duration_hours): (
+            r.n_risk,
+            r.n_events,
+            r.n_censored_at,
+            r.km_scaled,
+        )
+        for r in events_survival_km(spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce churn events"
+    # invariants: survival non-increasing within a segment, km <= SCALE
+    for seg in {s for s, _ in got}:
+        curve = [got[k][3] for k in sorted(got) if k[0] == seg]
+        assert all(a >= b for a, b in zip(curve, curve[1:]))
+        assert all(0 <= v <= KM_SCALE for v in curve)

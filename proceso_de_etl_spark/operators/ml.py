@@ -1130,17 +1130,33 @@ KCORE_MAX_ITER = 200
 def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
     """Iterative k-core peeling on an undirected (u < v) edge frame:
     repeatedly delete nodes of degree < k (and their edges) until a
-    fixpoint — the surviving subgraph is the k-core. Each round is
-    one degree aggregation + two anti-joins, then ``localCheckpoint``
-    truncates the lineage (the iterative-plan discipline from T4b's
-    connected components — persist alone leaves exponential analysis
-    cost). The only driver value per round is the count of peeled
-    nodes (a scalar action); peeling converges in at most
-    |V| rounds, in practice a handful. At scale every step is
-    key-partitioned — degrees shuffle on node, anti-joins on the
-    edge endpoint being filtered."""
-    cur = edges.localCheckpoint(eager=True)
+    fixpoint — the surviving subgraph is the k-core.
+
+    The iterative state is the REMOVED-NODE set, not the surviving
+    edge frame (r12): the original formulation localCheckpointed the
+    filtered EDGES every round, and since a localCheckpoint's blocks
+    are only reclaimed by GC + ContextCleaner, R rounds held R copies
+    of an edges-sized frame in storage — measured to starve execution
+    memory (UNABLE_TO_ACQUIRE_MEMORY) on the sf10 derived tier's
+    ~10⁸-edge co-purchase graph at 16g, and the same accumulation
+    would squeeze any executor at 100 TB. Peeling is equivalently
+    expressed against the ORIGINAL persisted edges minus the removed
+    set: per round one anti-join pair + one degree aggregation (all
+    key-partitioned), and the only thing checkpointed is the
+    node-sized removed frame — rounds × |V| instead of rounds × |E|.
+    The only driver value per round is an emptiness probe; peeling
+    converges in ≤ |V| rounds, in practice a handful."""
+    removed = (
+        edges.select(F.col("u").alias("node")).filter(F.lit(False))
+    ).localCheckpoint(eager=True)
+
+    def alive() -> DataFrame:
+        return edges.join(
+            removed.withColumnRenamed("node", "u"), "u", "left_anti"
+        ).join(removed.withColumnRenamed("node", "v"), "v", "left_anti")
+
     for _ in range(KCORE_MAX_ITER):
+        cur = alive()
         deg = (
             cur.select(F.col("u").alias("node"))
             .unionByName(cur.select(F.col("v").alias("node")))
@@ -1149,13 +1165,8 @@ def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
         )
         low = deg.filter(F.col("deg") < k).select("node")
         if low.isEmpty():
-            return cur
-        cur = (
-            cur.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
-            .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+            return cur.select("u", "v")
+        removed = removed.unionByName(low).localCheckpoint(eager=True)
     raise RuntimeError(f"k-core peeling did not converge in {KCORE_MAX_ITER} rounds")
 
 

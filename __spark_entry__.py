@@ -78,14 +78,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger row is older than r5). r12 rotation: the 9 r5-overflow keys
 # lead (the last pre-r6 rows — gating them completes the freshness
 # program begun in r7: every oracle-paired key re-gated within the
-# last 6 rounds), then the 6 keys whose PLAN changed or that are NEW
+# last 6 rounds), then the 9 keys whose PLAN changed or that are NEW
 # this round (ST28's merge is now min-aware full_outer — the r11
 # advisor's delivery-order fix; E54 counts distinct on the business
 # key through the hub — the r11 advisor's collision fix; E53's path
 # dedup moved before the snapshot expansion — the r11 third-decade
 # fix; E56 vault deletes, A110 BFS, A111 ACF, A112 KM survival are
-# NEW), then 34 of the 50 r6-stale rows alphabetically. The 16 r6
-# keys past the cap lead the r13 queue.
+# NEW; A113 MK/Theil-Sen and the kcore peel change joined mid-round),
+# then 32 of the 50 r6-stale rows alphabetically. The 18 r6 keys past
+# the cap lead the r13 queue.
 _PRIORITY = (
     # --- 1. the 9 r5-overflow keys (freshness close-out) ---
     "stream_freshness_monitor",
@@ -98,16 +99,20 @@ _PRIORITY = (
     "text_novelty_decay",
     "text_quality_psi",
     # --- 2. plan-changed in r12 + NEW in r12 (E56 deletes, A110 BFS,
-    #     A111 ACF, A112 KM) — new keys outrank r6 re-checks ---
+    #     A111 ACF, A112 KM, A113 MK/Theil-Sen; graph_kcore's peel
+    #     now accumulates removed nodes instead of checkpointing
+    #     edges) — new/changed keys outrank r6 re-checks ---
     "stream_data_vault_ingest",
     "etl_data_vault_mart",
     "etl_data_vault_bridge",
     "etl_data_vault_deletes",
     "graph_bfs_distance",
+    "graph_kcore",
     "events_autocorrelation",
     "events_survival_km",
+    "events_trend_mk_theilsen",
     # --- 3. freshness re-checks: oldest full-pass rows (r6),
-    #     alphabetical; 34 of 50 fit under the cap (9 + 7 + 34) ---
+    #     alphabetical; 32 of 50 fit under the cap (9 + 9 + 32) ---
     "agg_filter_clause_matrix",
     "ann_sparse_tfidf_topk",
     "datetime_function_matrix",
@@ -140,10 +145,10 @@ _PRIORITY = (
     "sample_group_aware_split",
     "sample_mixture_epochs",
     "sample_pack_sequences",
+    # ---- 50-row gate cap lands here (9 + 9 + 32) ----
+    # --- r6 overflow -> head of the r13 queue ---
     "skew_key_diagnostics",
     "source_binary_files",
-    # ---- 50-row gate cap lands here (9 + 7 + 34) ----
-    # --- r6 overflow -> head of the r13 queue ---
     "source_federated_formats",
     "stream_dedup_within_watermark",
     "stream_funnel",

@@ -2366,7 +2366,196 @@ FROM pairs p JOIN mom m USING (event_type)
 """
 
 
+def events_trend_mk_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A113 — Mann-Kendall trend test + Theil-Sen slope over the
+    per-type hourly count series: the nonparametric is-there-a-trend
+    answer that belongs next to A111's ACF (is there memory?) and the
+    A106/A107 smoothing ladders (what does the level do?) — MK/Sen is
+    the standard choice when the series is non-normal and has ties,
+    which integer count series always do.
+
+    Exactness discipline (A37/A80): the statistic is built from
+    INTEGER pair signs — per type S = Σ_{i<j} sign(x_j − x_i) over
+    hour-ordered buckets, an exact BIGINT, and the tie-corrected
+    variance is reported as the exact integer
+    var18 = N(N−1)(2N+5) − Σ_g t_g(t_g−1)(2t_g+5) (= 18·Var(S); the
+    /18 stays symbolic so the audit column is exact). The normal
+    z-score uses the classical continuity correction
+    z = (S − sign(S)) / sqrt(var18/18) — ONE double sqrt/division
+    rounded 6dp at the edge. Theil-Sen is the median of the pairwise
+    slopes (x_j − x_i)/(h_j − h_i): each slope is an IEEE division of
+    exact small integers (identical in both engines), and the median
+    is spelled as the explicit two-middle-positions average over the
+    slope-ordered pairs — position VALUES are determined by the
+    sorted multiset even when row_number permutes equal slopes, so
+    no engine-specific median interpolation is involved.
+
+    Scale shape: the hourly pre-aggregation is the only pass over
+    events (map-side combinable). The pair set is the type-keyed
+    upper triangle over HOURLY BUCKETS — C(N,2) per type where N is
+    CALENDAR-bounded (a 10× corpus in the same window grows x values,
+    not bucket count), so the quadratic lives on a spine that does
+    not scale with rows; at 100 TB the pair join is still thousands
+    of rows per type. Output = one row per type with ≥1 pair."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {ACF_HOUR_US}").alias("h"),
+        )
+        .agg(F.count("*").alias("x"))
+        .persist()
+    )
+    try:
+        mom = hourly.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_buckets")
+        )
+        ties = (
+            hourly.groupBy("event_type", "x")
+            .agg(F.count("*").cast("bigint").alias("t"))
+            .groupBy("event_type")
+            .agg(
+                F.sum(
+                    F.expr("t * (t - 1) * (2*t + 5)")
+                ).cast("bigint").alias("tie18")
+            )
+        )
+        a = hourly.select(
+            "event_type", F.col("h").alias("ha"), F.col("x").alias("xa")
+        )
+        b = hourly.select(
+            "event_type", F.col("h").alias("hb"), F.col("x").alias("xb")
+        )
+        pairs = (
+            a.join(b, "event_type")
+            .where(F.col("hb") > F.col("ha"))
+            .select(
+                "event_type",
+                F.expr("CAST(sign(xb - xa) AS BIGINT)").alias("sg"),
+                F.expr(
+                    "CAST(xb - xa AS DOUBLE) / CAST(hb - ha AS DOUBLE)"
+                ).alias("slope"),
+            )
+        )
+        from pyspark.sql import Window
+
+        ranked = pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("slope")
+            ),
+        )
+        agg = pairs.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("sg").cast("bigint").alias("s_mk"),
+        )
+        med = (
+            ranked.join(agg, "event_type")
+            .where(
+                (F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+                | (F.col("rn") == F.expr("(n_pairs + 2) div 2"))
+            )
+            .groupBy("event_type")
+            .agg(F.round(F.avg("slope"), 6).alias("theil_sen"))
+        )
+        out = (
+            agg.join(mom, "event_type")
+            .join(ties, "event_type")
+            .join(med, "event_type")
+            .select(
+                "event_type",
+                "n_buckets",
+                "n_pairs",
+                "s_mk",
+                F.expr(
+                    "n_buckets*(n_buckets - 1)*(2*n_buckets + 5) - tie18"
+                ).cast("bigint").alias("var18"),
+                F.expr(
+                    "CASE WHEN n_buckets*(n_buckets - 1)*(2*n_buckets + 5)"
+                    "          - tie18 > 0 AND s_mk <> 0"
+                    " THEN ROUND(CAST(s_mk - sign(s_mk) AS DOUBLE)"
+                    "      / SQRT(CAST(n_buckets*(n_buckets - 1)"
+                    "                  *(2*n_buckets + 5) - tie18"
+                    "             AS DOUBLE) / 18.0), 6)"
+                    " ELSE 0.0 END"
+                ).alias("z_mk"),
+                "theil_sen",
+                F.expr(
+                    "CASE WHEN s_mk > 0 THEN 'increasing'"
+                    " WHEN s_mk < 0 THEN 'decreasing'"
+                    " ELSE 'flat' END"
+                ).alias("trend"),
+            )
+        )
+        # tiny result (one row per type): force it out of the
+        # persisted lineage before release
+        return out.localCheckpoint(eager=True)
+    finally:
+        hourly.unpersist()
+
+
+ORACLES["events_trend_mk_theilsen"] = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {ACF_HOUR_US} AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM hourly GROUP BY 1
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie18
+  FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+        FROM hourly GROUP BY 1, 2)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(SIGN(b.x - a.x) AS BIGINT) AS sg,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+  FROM hourly a
+  JOIN hourly b ON b.event_type = a.event_type AND b.h > a.h
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(sg) AS BIGINT) AS s_mk
+  FROM pairs GROUP BY 1
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn
+  FROM pairs
+),
+med AS (
+  SELECT r.event_type, ROUND(AVG(r.slope), 6) AS theil_sen
+  FROM ranked r JOIN agg g USING (event_type)
+  WHERE r.rn IN ((g.n_pairs + 1) // 2, (g.n_pairs + 2) // 2)
+  GROUP BY 1
+)
+SELECT g.event_type, m.n_buckets, g.n_pairs, g.s_mk,
+       CAST(m.n_buckets*(m.n_buckets - 1)*(2*m.n_buckets + 5) - t.tie18
+            AS BIGINT) AS var18,
+       CASE WHEN m.n_buckets*(m.n_buckets - 1)*(2*m.n_buckets + 5)
+                 - t.tie18 > 0 AND g.s_mk <> 0
+            THEN ROUND(CAST(g.s_mk - SIGN(g.s_mk) AS DOUBLE)
+                 / SQRT(CAST(m.n_buckets*(m.n_buckets - 1)
+                             *(2*m.n_buckets + 5) - t.tie18
+                        AS DOUBLE) / 18.0), 6)
+            ELSE 0.0 END AS z_mk,
+       d.theil_sen,
+       CASE WHEN g.s_mk > 0 THEN 'increasing'
+            WHEN g.s_mk < 0 THEN 'decreasing'
+            ELSE 'flat' END AS trend
+FROM agg g
+JOIN mom m USING (event_type)
+JOIN ties t USING (event_type)
+JOIN med d USING (event_type)
+"""
+
+
 QUERIES = {
+    "events_trend_mk_theilsen": events_trend_mk_theilsen,
     "events_survival_km": events_survival_km,
     "events_autocorrelation": events_autocorrelation,
     "events_exp_smoothing": events_exp_smoothing,

@@ -3379,3 +3379,69 @@ def test_survival_km_matches_python_replay(spark):
         curve = [got[k][3] for k in sorted(got) if k[0] == seg]
         assert all(a >= b for a, b in zip(curve, curve[1:]))
         assert all(0 <= v <= KM_SCALE for v in curve)
+
+
+def test_trend_mk_theilsen_matches_python_replay(spark):
+    """A113 pinned against a pure-Python replay of the Mann-Kendall /
+    Theil-Sen pair statistics over the real sf0.001 events table:
+    exact S and tie-corrected var18, continuity-corrected z at 6dp,
+    and the explicit two-middle-positions Theil-Sen median."""
+    import math
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.events import (
+        ACF_HOUR_US,
+        events_trend_mk_theilsen,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.expr(f"unix_micros(ts) div {ACF_HOUR_US}").alias("h")
+    )
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in ev.collect():
+        hourly[r.event_type][r.h] += 1
+    want = {}
+    for et, series in hourly.items():
+        pts = sorted(series.items())
+        n = len(pts)
+        if n < 2:
+            continue
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = pts[j][1] - pts[i][1]
+                s += (d > 0) - (d < 0)
+                slopes.append(d / (pts[j][0] - pts[i][0]))
+        m = len(slopes)
+        counts = defaultdict(int)
+        for _, x in pts:
+            counts[x] += 1
+        tie18 = sum(t * (t - 1) * (2 * t + 5) for t in counts.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        z = (
+            round((s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0), 6)
+            if var18 > 0 and s != 0
+            else 0.0
+        )
+        slopes.sort()
+        lo, hi = (m + 1) // 2, (m + 2) // 2
+        ts = round((slopes[lo - 1] + slopes[hi - 1]) / 2, 6)
+        trend = "increasing" if s > 0 else "decreasing" if s < 0 else "flat"
+        want[et] = (n, m, s, var18, z, ts, trend)
+    got = {
+        r.event_type: (
+            r.n_buckets,
+            r.n_pairs,
+            r.s_mk,
+            r.var18,
+            r.z_mk,
+            r.theil_sen,
+            r.trend,
+        )
+        for r in events_trend_mk_theilsen(spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce hourly pairs"

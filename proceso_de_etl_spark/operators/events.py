@@ -2554,7 +2554,188 @@ JOIN med d USING (event_type)
 """
 
 
+DEC_HALF = 12  # centered moving-average half-width (25h window)
+DEC_WINDOW = 2 * DEC_HALF + 1
+DEC_SCALE = 1_000_000  # 6dp fixed-point for trend/seasonal/residual
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A114 — classical additive seasonal decomposition of the
+    per-type hourly count series: trend via a centered 25-hour
+    moving average, hour-of-day seasonal index from the DETRENDED
+    series, and a per-type residual-variance audit. This is the
+    decomposition that sits between A76 (raw same-hour profile — no
+    trend removal, so a growth trend leaks into its seasonal cells)
+    and the A106/A107 forecast ladders (which need to know whether
+    level or season dominates).
+
+    Exactness discipline (A37/A80 + the A107 floor rule): hourly
+    counts are integers, so every stage is exact fixed-point at
+    DEC_SCALE=1e6.
+      trend_t  = (Σ_{|k|≤12} x_{t+k} · SCALE) div 25 — defined ONLY
+                 on full calendar windows (RANGE frame on the hour
+                 integer + cnt=25 guard, the A80 range-frame
+                 discipline: ROWS would silently span gaps);
+                 Σx ≥ 0 ⇒ truncate == floor.
+      detr_t   = x_t·SCALE − trend_t, which goes NEGATIVE — so the
+                 seasonal mean uses the explicit pmod floor form
+                 (s − ((s % n) + n) % n) div n on BOTH engines
+                 (Spark div and DuckDB // truncate toward zero while
+                 the recursion is defined with floor; the A107
+                 planted-series test proves they diverge otherwise).
+      residual = detr − seasonal(hour-of-day); the SSE accumulates
+                 in DECIMAL(38,0) (= DuckDB HUGEINT term-for-term —
+                 squares reach ~1e22 at sf10-scale counts, far past
+                 BIGINT) and is reported as the exact variance floor
+                 resid_var_scaled = SSE div (n·SCALE).
+    Headroom: Σx·SCALE < 2⁶³ holds to ~3.7e11 events per 25h window
+    per type; SSE DECIMAL(38,0) holds to ~1e38 (≈1e7× past sf10).
+
+    Scale shape: ONE map-side-combinable pass over events builds the
+    hourly spine; everything after (RANGE window, hour-of-day agg,
+    broadcast per-type audit join) runs on the CALENDAR-bounded
+    spine that does not grow with data volume — the A113 law again.
+    Output = (type × hour-of-day) seasonal cells with the per-type
+    audit columns replicated."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {ACF_HOUR_US}").alias("h"),
+        )
+        .agg(F.count("*").alias("x"))
+        .persist()
+    )
+    try:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("h")
+            .rangeBetween(-DEC_HALF, DEC_HALF)
+        )
+        trended = (
+            hourly.withColumn("cnt", F.count("x").over(w))
+            .withColumn("sx", F.sum("x").over(w))
+            .where(F.col("cnt") == DEC_WINDOW)
+            .select(
+                "event_type",
+                "h",
+                F.expr(
+                    f"x * CAST({DEC_SCALE} AS BIGINT)"
+                    f" - (sx * CAST({DEC_SCALE} AS BIGINT)) div {DEC_WINDOW}"
+                ).alias("detr"),
+            )
+        )
+        seasonal = (
+            trended.groupBy(
+                "event_type",
+                F.expr("pmod(h, 24)").cast("int").alias("hour_of_day"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_cells"),
+                F.sum("detr").cast("bigint").alias("sd"),
+            )
+            .select(
+                "event_type",
+                "hour_of_day",
+                "n_cells",
+                F.expr(
+                    "(sd - (((sd % n_cells) + n_cells) % n_cells))"
+                    " div n_cells"
+                ).cast("bigint").alias("seasonal_scaled"),
+            )
+        )
+        resid = (
+            trended.withColumn(
+                "hour_of_day", F.expr("pmod(h, 24)").cast("int")
+            )
+            .join(
+                seasonal.select(
+                    "event_type", "hour_of_day", "seasonal_scaled"
+                ),
+                ["event_type", "hour_of_day"],
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_detrended"),
+                F.sum(
+                    F.expr(
+                        "CAST(detr - seasonal_scaled AS DECIMAL(38,0))"
+                        " * CAST(detr - seasonal_scaled AS DECIMAL(38,0))"
+                    )
+                ).alias("sse"),
+            )
+            .select(
+                "event_type",
+                "n_detrended",
+                F.expr(
+                    f"CAST(sse div (n_detrended"
+                    f" * CAST({DEC_SCALE} AS DECIMAL(38,0))) AS BIGINT)"
+                ).alias("resid_var_scaled"),
+            )
+        )
+        out = seasonal.join(F.broadcast(resid), "event_type").select(
+            "event_type",
+            "hour_of_day",
+            "n_cells",
+            "seasonal_scaled",
+            "n_detrended",
+            "resid_var_scaled",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        hourly.unpersist()
+
+
+ORACLES["events_seasonal_decompose"] = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {ACF_HOUR_US} AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, h,
+         x * {DEC_SCALE} - (sx * {DEC_SCALE}) // {DEC_WINDOW} AS detr
+  FROM (
+    SELECT event_type, h, x,
+           COUNT(x) OVER w AS cnt, SUM(x) OVER w AS sx
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN {DEC_HALF} PRECEDING
+                       AND {DEC_HALF} FOLLOWING)
+  )
+  WHERE cnt = {DEC_WINDOW}
+),
+seasonal AS (
+  SELECT event_type,
+         CAST(((h % 24) + 24) % 24 AS INTEGER) AS hour_of_day,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST((SUM(detr) - (((SUM(detr) % COUNT(*)) + COUNT(*))
+               % COUNT(*))) // COUNT(*) AS BIGINT) AS seasonal_scaled
+  FROM trended GROUP BY 1, 2
+),
+resid AS (
+  SELECT t.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_detrended,
+         CAST(SUM(CAST(t.detr - s.seasonal_scaled AS HUGEINT)
+                  * CAST(t.detr - s.seasonal_scaled AS HUGEINT))
+              // (COUNT(*) * CAST({DEC_SCALE} AS HUGEINT))
+              AS BIGINT) AS resid_var_scaled
+  FROM trended t
+  JOIN seasonal s
+    ON s.event_type = t.event_type
+   AND s.hour_of_day = CAST(((t.h % 24) + 24) % 24 AS INTEGER)
+  GROUP BY 1
+)
+SELECT s.event_type, s.hour_of_day, s.n_cells, s.seasonal_scaled,
+       r.n_detrended, r.resid_var_scaled
+FROM seasonal s JOIN resid r USING (event_type)
+"""
+
+
 QUERIES = {
+    "events_seasonal_decompose": events_seasonal_decompose,
     "events_trend_mk_theilsen": events_trend_mk_theilsen,
     "events_survival_km": events_survival_km,
     "events_autocorrelation": events_autocorrelation,

@@ -3445,3 +3445,81 @@ def test_trend_mk_theilsen_matches_python_replay(spark):
     }
     assert got == want
     assert want, "fixture must produce hourly pairs"
+
+
+def test_seasonal_decompose_matches_python_replay(spark):
+    """A114 pinned against a pure-Python replay of the additive
+    decomposition over the real sf0.001 events table: full-calendar
+    centered 25h MA trend, pmod-floor seasonal means over the
+    detrended series, and the exact SSE-floor residual variance."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.events import (
+        ACF_HOUR_US,
+        DEC_HALF,
+        DEC_SCALE,
+        DEC_WINDOW,
+        events_seasonal_decompose,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    # sf0.001 has NO full 25h calendar window (sparse hourly coverage
+    # -> empty result on both engines, verified); the replay pins the
+    # first SF with real windows
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.expr(f"unix_micros(ts) div {ACF_HOUR_US}").alias("h")
+    )
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in ev.collect():
+        hourly[r.event_type][r.h] += 1
+
+    def floordiv(a, b):
+        return (a - (((a % b) + b) % b)) // b  # == // for ints, kept
+        # in the operator's literal spelling to mirror both engines
+
+    want = {}
+    audits = {}
+    for et, series in hourly.items():
+        detr = {}
+        for h in series:
+            w = [series.get(h + k) for k in range(-DEC_HALF, DEC_HALF + 1)]
+            if all(v is not None for v in w):
+                trend = (sum(w) * DEC_SCALE) // DEC_WINDOW
+                detr[h] = series[h] * DEC_SCALE - trend
+        if not detr:
+            continue
+        cells = defaultdict(list)
+        for h, d in detr.items():
+            cells[h % 24].append(d)
+        seas = {}
+        for how, ds in cells.items():
+            seas[how] = floordiv(sum(ds), len(ds))
+        sse = sum((d - seas[h % 24]) ** 2 for h, d in detr.items())
+        n_detr = len(detr)
+        rvar = sse // (n_detr * DEC_SCALE)
+        audits[et] = (n_detr, rvar, sum(detr.values()))
+        for how, ds in cells.items():
+            want[(et, how)] = (len(ds), seas[how], n_detr, rvar)
+    got = {
+        (r.event_type, r.hour_of_day): (
+            r.n_cells,
+            r.seasonal_scaled,
+            r.n_detrended,
+            r.resid_var_scaled,
+        )
+        for r in events_seasonal_decompose(spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce full 25h windows"
+    # decomposition conservation: the count-weighted seasonal sum
+    # recovers the total detrended mass up to one floor unit per
+    # cell (seasonal means are FLOORS of cell means, each dropping
+    # [0, n_cells) units, so the deficit is bounded by n_detrended)
+    for et, (n, _rvar, sum_detr) in audits.items():
+        tot = sum(
+            want[(et, how)][1] * want[(et, how)][0]
+            for how in range(24)
+            if (et, how) in want
+        )
+        assert 0 <= sum_detr - tot < n

@@ -2554,6 +2554,182 @@ JOIN med d USING (event_type)
 """
 
 
+HW_PERIOD = 24  # hours — the daily season of the hourly series
+HW_GAMMA_NUM, HW_GAMMA_DEN = 3, 10  # γ = 0.3 as an exact ratio
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A115 — Holt-Winters ADDITIVE triple exponential smoothing
+    (α=0.2, β=0.3, γ=0.3, period 24h), closing the smoothing ladder
+    A106 (level) → A107 (level+trend) → A115 (level+trend+season):
+    the first member whose one-step forecast s + b + c_{t−m} can
+    track the daily cycle A114's decomposition measures.
+
+    Exactness discipline: the THREE-state exact integer recursion at
+    ESM_SCALE fixed-point, every division in the explicit pmod floor
+    form (level/trend/seasonal deltas all go negative — the A107
+    lesson that Spark `div` and DuckDB `//` truncate while the
+    recursion is defined with floor):
+      s_t = fdiv(2·(x_t·S − c_{t−m}) + 8·(s+b), 10)
+      b_t = fdiv(3·(s_t − s_{t−1}) + 7·b, 10)
+      c_t = fdiv(3·(x_t·S − s_t) + 7·c_{t−m}, 10)
+    Classic initialization on the first full period: s_m = fdiv(Σ_{m}
+    x·S, m), b_m = 0, c_i = x_i·S − s_m; the fold runs t = m+1..n and
+    requires n ≥ 2m (types with a shorter history are excluded —
+    identically on both engines). The seasonal state is the m-vector
+    carried as a ROTATING ARRAY in the fold accumulator (head =
+    c_{t−m}, the value due next); the DuckDB oracle replays the
+    identical recursion with WITH RECURSIVE carrying a LIST — every
+    reported state is value-verified, not just the scalar tail.
+    sae = Σ fdiv(|x·S − (s+b+c_{t−m})|, S) is the cumulative one-step
+    absolute forecast error in count units.
+
+    Scale shape: one map-side-combinable hourly pre-aggregation, one
+    type-keyed collect into HOURS-sized arrays (calendar-bounded —
+    the A106 rule), one fold per type with O(m) state. Headroom: the
+    fold terms stay double-exact while counts < ~10^8/hour (v <
+    2^53, the ESM rule); past that drop ESM_SCALE a decade per 100×.
+    Output: final level/trend, seasonal head + sum audit, sae, and
+    the one-step forecast."""
+    ev = load_table(spark, sf_dir, "events")
+    m = HW_PERIOD
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .select(F.unix_micros(F.col("w.start")).alias("h"), "event_type", "x")
+    )
+    arr = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    ).where(F.size("xs") >= 2 * m)
+
+    s0 = _esm_idiv(
+        F.aggregate(
+            F.slice("xs", 1, m),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        * ESM_SCALE,
+        m,
+    )
+
+    def hw_fold(xs, s_init):
+        init = F.struct(
+            s_init.alias("s"),
+            F.lit(0).cast("bigint").alias("b"),
+            F.transform(
+                F.slice(xs, 1, m), lambda x: (x * ESM_SCALE - s_init).cast("bigint")
+            ).alias("c"),
+            F.lit(0).cast("bigint").alias("sae"),
+        )
+
+        def step(acc, x):
+            cm = F.element_at(acc["c"], 1)
+            snew = _esm_idiv(
+                ESM_ALPHA_NUM * (x * ESM_SCALE - cm)
+                + (ESM_ALPHA_DEN - ESM_ALPHA_NUM) * (acc["s"] + acc["b"]),
+                ESM_ALPHA_DEN,
+            )
+            cnew = _esm_idiv(
+                HW_GAMMA_NUM * (x * ESM_SCALE - snew)
+                + (HW_GAMMA_DEN - HW_GAMMA_NUM) * cm,
+                HW_GAMMA_DEN,
+            )
+            return F.struct(
+                snew.alias("s"),
+                _esm_idiv(
+                    HOLT_BETA_NUM * (snew - acc["s"])
+                    + (HOLT_BETA_DEN - HOLT_BETA_NUM) * acc["b"],
+                    HOLT_BETA_DEN,
+                ).alias("b"),
+                F.concat(
+                    F.slice(acc["c"], 2, m - 1), F.array(cnew.cast("bigint"))
+                ).alias("c"),
+                (
+                    acc["sae"]
+                    + _esm_idiv(
+                        F.abs(x * ESM_SCALE - (acc["s"] + acc["b"] + cm)),
+                        ESM_SCALE,
+                    )
+                ).alias("sae"),
+            )
+
+        return F.aggregate(
+            F.slice(xs, m + 1, F.greatest(F.size(xs) - m, F.lit(0))), init, step
+        )
+
+    staged = arr.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        hw_fold(F.col("xs"), s0).alias("full"),
+    )
+    return staged.select(
+        "event_type",
+        "n_hours",
+        F.col("full.s").alias("s_final"),
+        F.col("full.b").alias("b_final"),
+        F.element_at(F.col("full.c"), 1).alias("c_head"),
+        F.aggregate(
+            F.col("full.c"), F.lit(0).cast("bigint"), lambda a, c: a + c
+        ).alias("c_sum"),
+        F.col("full.sae").alias("sae_units"),
+        (
+            F.col("full.s") + F.col("full.b") + F.element_at(F.col("full.c"), 1)
+        ).alias("forecast_1h"),
+    )
+
+
+ORACLES["events_holt_winters"] = f"""
+WITH RECURSIVE h AS MATERIALIZED (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hh,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+o AS MATERIALIZED (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+s0 AS MATERIALIZED (
+  SELECT event_type, (SUM(x) * {ESM_SCALE}) // {HW_PERIOD} AS s_init
+  FROM o WHERE t <= {HW_PERIOD} GROUP BY 1
+),
+c0 AS MATERIALIZED (
+  SELECT o.event_type,
+         list(o.x * {ESM_SCALE} - s0.s_init ORDER BY o.t) AS c
+  FROM o JOIN s0 USING (event_type)
+  WHERE o.t <= {HW_PERIOD} GROUP BY 1
+),
+hw AS (
+  SELECT o.event_type, CAST({HW_PERIOD} AS BIGINT) AS t,
+         s0.s_init AS s, CAST(0 AS BIGINT) AS b, c0.c AS c,
+         CAST(0 AS BIGINT) AS sae, o.n
+  FROM (SELECT DISTINCT event_type, n FROM o WHERE n >= {2 * HW_PERIOD}) o
+  JOIN s0 USING (event_type) JOIN c0 USING (event_type)
+  UNION ALL
+  SELECT event_type, t, snew,
+         {_holt_fdiv_sql(f"{HOLT_BETA_NUM} * (snew - sold) + {HOLT_BETA_DEN - HOLT_BETA_NUM} * bold", HOLT_BETA_DEN)},
+         list_concat(crest, [{_holt_fdiv_sql(f"{HW_GAMMA_NUM} * (xs - snew) + {HW_GAMMA_DEN - HW_GAMMA_NUM} * cm", HW_GAMMA_DEN)}]),
+         sae_new, n
+  FROM (
+    SELECT o.event_type, o.t, hw.s AS sold, hw.b AS bold, hw.n,
+           o.x * {ESM_SCALE} AS xs, hw.c[1] AS cm, hw.c[2:] AS crest,
+           {_holt_fdiv_sql(f"{ESM_ALPHA_NUM} * (o.x * {ESM_SCALE} - hw.c[1]) + {ESM_ALPHA_DEN - ESM_ALPHA_NUM} * (hw.s + hw.b)", ESM_ALPHA_DEN)} AS snew,
+           hw.sae + abs(o.x * {ESM_SCALE} - (hw.s + hw.b + hw.c[1])) // {ESM_SCALE} AS sae_new
+    FROM hw JOIN o ON o.event_type = hw.event_type AND o.t = hw.t + 1
+  )
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       CAST(s AS BIGINT) AS s_final, CAST(b AS BIGINT) AS b_final,
+       CAST(c[1] AS BIGINT) AS c_head, CAST(list_sum(c) AS BIGINT) AS c_sum,
+       CAST(sae AS BIGINT) AS sae_units,
+       CAST(s + b + c[1] AS BIGINT) AS forecast_1h
+FROM hw WHERE t = n
+"""
+
+
 DEC_HALF = 12  # centered moving-average half-width (25h window)
 DEC_WINDOW = 2 * DEC_HALF + 1
 DEC_SCALE = 1_000_000  # 6dp fixed-point for trend/seasonal/residual
@@ -2735,6 +2911,7 @@ FROM seasonal s JOIN resid r USING (event_type)
 
 
 QUERIES = {
+    "events_holt_winters": events_holt_winters,
     "events_seasonal_decompose": events_seasonal_decompose,
     "events_trend_mk_theilsen": events_trend_mk_theilsen,
     "events_survival_km": events_survival_km,

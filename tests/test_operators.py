@@ -3523,3 +3523,88 @@ def test_seasonal_decompose_matches_python_replay(spark):
             if (et, how) in want
         )
         assert 0 <= sum_detr - tot < n
+
+
+def _hw_replay(xs, m, scale, an, ad, bn, bd, gn, gd):
+    """pure-Python Holt-Winters additive replay (floor division)."""
+
+    def fdiv(v, d):
+        return (v - (((v % d) + d) % d)) // d
+
+    s = fdiv(sum(xs[:m]) * scale, m)
+    b = 0
+    c = [x * scale - s for x in xs[:m]]
+    sae = 0
+    for x in xs[m:]:
+        cm = c[0]
+        fc = s + b + cm
+        snew = fdiv(an * (x * scale - cm) + (ad - an) * (s + b), ad)
+        bnew = fdiv(bn * (snew - s) + (bd - bn) * b, bd)
+        cnew = fdiv(gn * (x * scale - snew) + (gd - gn) * cm, gd)
+        sae += fdiv(abs(x * scale - fc), scale)
+        s, b, c = snew, bnew, c[1:] + [cnew]
+    return s, b, c, sae
+
+
+def test_holt_winters_matches_python_replay(spark):
+    """A115 pinned against a pure-Python replay of the three-state
+    floor-division recursion over the real sf0.001 events table, and
+    a planted perfectly-periodic series where the one-step forecast
+    locks on (sae stops growing after the first season)."""
+    from collections import defaultdict
+
+    from proceso_de_etl_spark.operators.events import (
+        ESM_ALPHA_DEN,
+        ESM_ALPHA_NUM,
+        ESM_SCALE,
+        HOLT_BETA_DEN,
+        HOLT_BETA_NUM,
+        HW_GAMMA_DEN,
+        HW_GAMMA_NUM,
+        HW_PERIOD,
+        events_holt_winters,
+    )
+    from proceso_de_etl_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.expr("unix_micros(date_trunc('hour', ts))").alias("h")
+    )
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in ev.collect():
+        hourly[r.event_type][r.h] += 1
+    m = HW_PERIOD
+    want = {}
+    for et, series in hourly.items():
+        xs = [x for _, x in sorted(series.items())]
+        if len(xs) < 2 * m:
+            continue
+        s, b, c, sae = _hw_replay(
+            xs, m, ESM_SCALE,
+            ESM_ALPHA_NUM, ESM_ALPHA_DEN,
+            HOLT_BETA_NUM, HOLT_BETA_DEN,
+            HW_GAMMA_NUM, HW_GAMMA_DEN,
+        )
+        want[et] = (len(xs), s, b, c[0], sum(c), sae, s + b + c[0])
+    got = {
+        r.event_type: (
+            r.n_hours, r.s_final, r.b_final, r.c_head,
+            r.c_sum, r.sae_units, r.forecast_1h,
+        )
+        for r in events_holt_winters(spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture must produce >=2 full periods"
+    # planted series: exact period-24 pattern, zero trend. With the
+    # classic init the seasonal vector captures the pattern exactly,
+    # so every one-step forecast is exact and sae stays 0.
+    pattern = [10, 20, 5, 40, 8, 30] * 4  # 24 values
+    xs = pattern * 6  # 6 full days
+    s, b, c, sae = _hw_replay(
+        xs, HW_PERIOD, ESM_SCALE,
+        ESM_ALPHA_NUM, ESM_ALPHA_DEN,
+        HOLT_BETA_NUM, HOLT_BETA_DEN,
+        HW_GAMMA_NUM, HW_GAMMA_DEN,
+    )
+    assert sae == 0
+    assert b == 0

@@ -78,16 +78,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger row is older than r5). r12 rotation: the 9 r5-overflow keys
 # lead (the last pre-r6 rows — gating them completes the freshness
 # program begun in r7: every oracle-paired key re-gated within the
-# last 6 rounds), then the 11 keys whose PLAN changed or that are NEW
+# last 6 rounds), then the 12 keys whose PLAN changed or that are NEW
 # this round (ST28's merge is now min-aware full_outer — the r11
 # advisor's delivery-order fix; E54 counts distinct on the business
 # key through the hub — the r11 advisor's collision fix; E53's path
 # dedup moved before the snapshot expansion — the r11 third-decade
 # fix; E56 vault deletes, A110 BFS, A111 ACF, A112 KM survival are
 # NEW; A113 MK/Theil-Sen, A114 seasonal decomposition, A115
-# Holt-Winters and the kcore peel change joined mid-round), then 30
-# of the 50 r6-stale rows alphabetically. The 20 r6 keys past the
-# cap lead the r13 queue.
+# Holt-Winters, ST29 streaming Holt-Winters and the kcore peel
+# change joined mid-round), then 29 of the 50 r6-stale rows
+# alphabetically. The 21 r6 keys past the cap lead the r13 queue.
 _PRIORITY = (
     # --- 1. the 9 r5-overflow keys (freshness close-out) ---
     "stream_freshness_monitor",
@@ -104,6 +104,7 @@ _PRIORITY = (
     #     now accumulates removed nodes instead of checkpointing
     #     edges) — new/changed keys outrank r6 re-checks ---
     "stream_data_vault_ingest",
+    "stream_holt_winters",
     "etl_data_vault_mart",
     "etl_data_vault_bridge",
     "etl_data_vault_deletes",
@@ -115,7 +116,7 @@ _PRIORITY = (
     "events_seasonal_decompose",
     "events_holt_winters",
     # --- 3. freshness re-checks: oldest full-pass rows (r6),
-    #     alphabetical; 30 of 50 fit under the cap (9 + 11 + 30) ---
+    #     alphabetical; 29 of 50 fit under the cap (9 + 12 + 29) ---
     "agg_filter_clause_matrix",
     "ann_sparse_tfidf_topk",
     "datetime_function_matrix",
@@ -145,9 +146,9 @@ _PRIORITY = (
     "map_function_matrix",
     "multimodal_blob_dedup",
     "pipeline_training_data",
-    "sample_group_aware_split",
-    # ---- 50-row gate cap lands here (9 + 11 + 30) ----
+    # ---- 50-row gate cap lands here (9 + 12 + 29) ----
     # --- r6 overflow -> head of the r13 queue ---
+    "sample_group_aware_split",
     "sample_mixture_epochs",
     "sample_pack_sequences",
     "skew_key_diagnostics",

@@ -1595,6 +1595,138 @@ WHERE hl.t = m.t1 OR hl.t = m.tn
 ORACLES["stream_holt_trend"] = _holt_stream_oracle_sql()
 
 
+def stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST29 — A115's Holt-Winters additive recursion maintained LIVE,
+    closing the streaming smoothing ladder ST24 (SES) -> ST25 (Holt)
+    -> ST29 (level+trend+season): per event_type the THREE-state
+    recursion (level, trend, rotating 24h seasonal vector) rides
+    applyInPandasWithState keyed state across hour-boundary-split
+    micro-batches; the seasonal array doubles as the warmup buffer,
+    so an epoch boundary landing inside the first period is carried
+    exactly (the state op never re-reads history). Per-epoch
+    trajectory rows, every one value-oracled by A115's WITH RECURSIVE
+    list-carrying recursion evaluated at the epoch-boundary
+    cumulative-hour counts (warmup epochs report zeros — replayed by
+    the oracle's k < m arm). Same two-file fixture as ST25: halves
+    split on an hour boundary with distinct mtimes for deterministic
+    replay order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from proceso_de_etl_spark.sources.catalog import load_table
+    from proceso_de_etl_spark.streaming.stateful import hw_monitor_state
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).collect()[0]
+    split = mm["lo"] + (mm["hi"] - mm["lo"]) // 2
+    split -= split % HOUR_US
+    stage = tempfile.mkdtemp(prefix="stream_hw_src_")
+    for i, pred in enumerate(
+        (F.unix_micros("ts") < split, F.unix_micros("ts") >= split)
+    ):
+        half_dir = tempfile.mkdtemp(prefix=f"stream_hw_b{i}_")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(half_dir)
+        part = glob.glob(os.path.join(half_dir, "part-*.parquet"))[0]
+        shutil.copyfile(part, os.path.join(stage, f"b{i}_events.parquet"))
+        if i == 0:
+            _time.sleep(1.1)  # distinct mtime -> deterministic replay order
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    enriched = raw.withColumn("hr_us", F.unix_micros(F.date_trunc("hour", "ts")))
+    mem = run_to_memory(hw_monitor_state(enriched), "update")
+    return mem.select(
+        "event_type", "n_hours", "s_scaled", "b_scaled", "c_head", "c_sum",
+        "sae_units",
+    ).distinct()
+
+
+def _hw_stream_oracle_sql() -> str:
+    from proceso_de_etl_spark.operators.events import (
+        ESM_ALPHA_DEN,
+        ESM_ALPHA_NUM,
+        ESM_SCALE,
+        HOLT_BETA_DEN,
+        HOLT_BETA_NUM,
+        HW_GAMMA_DEN,
+        HW_GAMMA_NUM,
+        HW_PERIOD,
+        _holt_fdiv_sql,
+    )
+
+    m = HW_PERIOD
+    return f"""
+WITH RECURSIVE bounds AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+sp AS (
+  SELECT (lo + (hi - lo) // 2) - ((lo + (hi - lo) // 2) % {HOUR_US}) AS split
+  FROM bounds
+),
+h AS MATERIALIZED (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hh, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+o AS MATERIALIZED (
+  SELECT event_type, x, row_number() OVER (PARTITION BY event_type ORDER BY hh) AS t, hh
+  FROM h
+),
+s0 AS MATERIALIZED (
+  SELECT event_type, CAST((SUM(x) * {ESM_SCALE}) // {m} AS BIGINT) AS s_init
+  FROM o WHERE t <= {m} GROUP BY 1
+  HAVING COUNT(*) = {m}
+),
+c0 AS MATERIALIZED (
+  SELECT o.event_type,
+         list(CAST(o.x * {ESM_SCALE} - s0.s_init AS BIGINT) ORDER BY o.t) AS c
+  FROM o JOIN s0 USING (event_type)
+  WHERE o.t <= {m} GROUP BY 1
+),
+hw AS (
+  SELECT event_type, CAST({m} AS BIGINT) AS t, s0.s_init AS s,
+         CAST(0 AS BIGINT) AS b, c0.c AS c, CAST(0 AS BIGINT) AS sae
+  FROM s0 JOIN c0 USING (event_type)
+  UNION ALL
+  SELECT event_type, t, snew,
+         {_holt_fdiv_sql(f"{HOLT_BETA_NUM} * (snew - sold) + {HOLT_BETA_DEN - HOLT_BETA_NUM} * bold", HOLT_BETA_DEN)},
+         list_concat(crest, [CAST({_holt_fdiv_sql(f"{HW_GAMMA_NUM} * (xs - snew) + {HW_GAMMA_DEN - HW_GAMMA_NUM} * cm", HW_GAMMA_DEN)} AS BIGINT)]),
+         sae_new
+  FROM (
+    SELECT o.event_type, o.t, hw.s AS sold, hw.b AS bold,
+           o.x * {ESM_SCALE} AS xs, hw.c[1] AS cm, hw.c[2:] AS crest,
+           CAST({_holt_fdiv_sql(f"{ESM_ALPHA_NUM} * (o.x * {ESM_SCALE} - hw.c[1]) + {ESM_ALPHA_DEN - ESM_ALPHA_NUM} * (hw.s + hw.b)", ESM_ALPHA_DEN)} AS BIGINT) AS snew,
+           hw.sae + abs(o.x * {ESM_SCALE} - (hw.s + hw.b + hw.c[1])) // {ESM_SCALE} AS sae_new
+    FROM hw JOIN o ON o.event_type = hw.event_type AND o.t = hw.t + 1
+  )
+),
+marks AS (
+  SELECT event_type,
+         SUM(CASE WHEN hh < sp.split THEN 1 ELSE 0 END) AS t1,
+         COUNT(*) AS tn
+  FROM h, sp GROUP BY 1
+),
+mk AS (SELECT event_type, t1 AS k FROM marks UNION SELECT event_type, tn FROM marks)
+SELECT DISTINCT hl.event_type, CAST(hl.t AS BIGINT) AS n_hours,
+       CAST(hl.s AS BIGINT) AS s_scaled, CAST(hl.b AS BIGINT) AS b_scaled,
+       CAST(hl.c[1] AS BIGINT) AS c_head, CAST(list_sum(hl.c) AS BIGINT) AS c_sum,
+       CAST(hl.sae AS BIGINT) AS sae_units
+FROM hw hl JOIN mk ON mk.event_type = hl.event_type AND hl.t = mk.k
+UNION ALL
+SELECT DISTINCT event_type, CAST(k AS BIGINT) AS n_hours,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM mk WHERE k < {m}
+"""
+
+
+ORACLES["stream_holt_winters"] = _hw_stream_oracle_sql()
+
+
 def stream_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST9 companion (r6 verdict item 7) — EXACT per-hour distinct
     users in a stream, value-oracled. Exact COUNT(DISTINCT) is
@@ -2063,6 +2195,7 @@ _batch_twin_oracles()
 QUERIES = {
     "stream_exp_smoothing": stream_exp_smoothing,
     "stream_holt_trend": stream_holt_trend,
+    "stream_holt_winters": stream_holt_winters,
     "stream_attribution_models": stream_attribution_models,
     "stream_cohort_ltv": stream_cohort_ltv,
     "stream_cusum_monitor": stream_cusum_monitor,

@@ -411,3 +411,113 @@ def holt_monitor_state(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HW_OUT_SCHEMA = (
+    "event_type string, n_hours bigint, s_scaled bigint, b_scaled bigint,"
+    " c_head bigint, c_sum bigint, sae_units bigint"
+)
+HW_STATE_SCHEMA = (
+    "n_hours bigint, s bigint, b bigint, c array<bigint>, sae bigint"
+)
+
+
+def hw_monitor_state(events: DataFrame) -> DataFrame:
+    """ST29 core — A115's three-state Holt-Winters additive recursion
+    with explicit keyed state: per event_type over hourly counts,
+    carrying (n_hours, s, b, seasonal 24-vector, sae) across
+    triggers. The seasonal vector doubles as the WARMUP BUFFER: while
+    n_hours < m the array accumulates the raw first-period counts;
+    the hour that completes the period triggers the classic init
+    (s_m = floor period mean at SCALE, b = 0, c_i = deviations) and
+    the recursion takes over — so an epoch boundary landing mid-
+    warmup is carried exactly, not re-derived. Python's // IS floor
+    division (the recursion's definition), so no pmod translation is
+    needed here; the batch twin and the oracle spell the pmod form.
+    Same hour-boundary micro-batch contract as ses/holt_monitor_state.
+    Warmup epochs report zeros (state not yet defined) — the oracle
+    replays that rule."""
+    from proceso_de_etl_spark.operators.events import (
+        ESM_ALPHA_DEN,
+        ESM_ALPHA_NUM,
+        ESM_SCALE,
+        HOLT_BETA_DEN,
+        HOLT_BETA_NUM,
+        HW_GAMMA_DEN,
+        HW_GAMMA_NUM,
+        HW_PERIOD,
+    )
+
+    m = HW_PERIOD
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n_hours, s, b, c, sae = (
+            state.get if state.exists else (0, 0, 0, [], 0)
+        )
+        c = list(c)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            g = (
+                pd.DataFrame({"hr": pdf["hr_us"].to_numpy(dtype="int64")})
+                .groupby("hr")
+                .size()
+                .sort_index()
+            )
+            for _, x in g.items():
+                x = int(x)
+                if n_hours < m:
+                    c.append(x)  # warmup buffer of raw counts
+                    n_hours += 1
+                    if n_hours == m:
+                        s = (sum(c) * ESM_SCALE) // m
+                        b = 0
+                        c = [v * ESM_SCALE - s for v in c]
+                    continue
+                cm = c[0]
+                fc = s + b + cm
+                sae += abs(x * ESM_SCALE - fc) // ESM_SCALE
+                snew = (
+                    ESM_ALPHA_NUM * (x * ESM_SCALE - cm)
+                    + (ESM_ALPHA_DEN - ESM_ALPHA_NUM) * (s + b)
+                ) // ESM_ALPHA_DEN
+                b = (
+                    HOLT_BETA_NUM * (snew - s)
+                    + (HOLT_BETA_DEN - HOLT_BETA_NUM) * b
+                ) // HOLT_BETA_DEN
+                cnew = (
+                    HW_GAMMA_NUM * (x * ESM_SCALE - snew)
+                    + (HW_GAMMA_DEN - HW_GAMMA_NUM) * cm
+                ) // HW_GAMMA_DEN
+                c = c[1:] + [cnew]
+                s = snew
+                n_hours += 1
+        state.update((n_hours, s, b, c, sae))
+        ready = n_hours >= m
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "n_hours": n_hours,
+                    "s_scaled": s if ready else 0,
+                    "b_scaled": b if ready else 0,
+                    "c_head": c[0] if ready else 0,
+                    "c_sum": sum(c) if ready else 0,
+                    "sae_units": sae if ready else 0,
+                }
+            ]
+        )
+
+    return (
+        events.select("event_type", "hr_us")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HW_OUT_SCHEMA,
+            stateStructType=HW_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

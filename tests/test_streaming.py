@@ -650,3 +650,87 @@ def test_stream_holt_state_carries_across_triggers(spark, tmp_path):
     # the planted reversal bends the carried trend downward (β=0.3
     # damping keeps it positive after only two declining hours)
     assert rows[3].b_scaled > 0 and rows[5].b_scaled < rows[3].b_scaled
+
+
+def test_stream_holt_winters_warmup_carries_across_triggers(spark, tmp_path):
+    """ST29's state contract: the seasonal 24-vector AND the warmup
+    buffer must continue across micro-batches — the epoch boundary is
+    planted MID-WARMUP (10 of 24 init hours in batch 1), so a
+    per-batch reset would re-initialize the seasonal vector on batch
+    2's first 24 hours and provably diverge from the single-series
+    replay."""
+    from tests.test_operators import _hw_replay
+
+    from proceso_de_etl_spark.operators.events import (
+        ESM_ALPHA_DEN,
+        ESM_ALPHA_NUM,
+        ESM_SCALE,
+        HOLT_BETA_DEN,
+        HOLT_BETA_NUM,
+        HW_GAMMA_DEN,
+        HW_GAMMA_NUM,
+        HW_PERIOD,
+    )
+    from proceso_de_etl_spark.streaming.stateful import hw_monitor_state
+
+    HOUR = 3_600_000_000
+    xs1 = [10, 20, 5, 40, 8, 30, 12, 22, 7, 41]  # 10 warmup hours
+    xs2 = [9, 31, 11, 23, 6, 39, 10, 20, 5, 40, 8, 30, 12, 22,
+           25, 14, 33, 9, 18, 27, 6, 35, 16, 28, 11, 21, 30, 7,
+           19, 24, 13, 32, 8, 29, 15, 26, 10, 17]  # crosses init
+    src = str(tmp_path / "src")
+    cols = "event_type string, hr_us long"
+
+    def frame(vals, start):
+        data = [
+            ("a", (start + i) * HOUR) for i, n in enumerate(vals) for _ in range(n)
+        ]
+        return spark.createDataFrame(data, cols)
+
+    frame(xs1, 1).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(frame(xs1, 1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "hw_state_test"
+    q = (
+        hw_monitor_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        frame(xs2, 1 + len(xs1)).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.n_hours: r for r in spark.table(name).collect()}
+    assert set(rows) == {len(xs1), len(xs1) + len(xs2)}
+    # mid-warmup epoch reports zeros (state not yet defined)
+    r1 = rows[len(xs1)]
+    assert (r1.s_scaled, r1.b_scaled, r1.c_head, r1.c_sum, r1.sae_units) == (
+        0, 0, 0, 0, 0,
+    )
+    # final state == single-series replay across the boundary
+    s, b, c, sae = _hw_replay(
+        xs1 + xs2, HW_PERIOD, ESM_SCALE,
+        ESM_ALPHA_NUM, ESM_ALPHA_DEN,
+        HOLT_BETA_NUM, HOLT_BETA_DEN,
+        HW_GAMMA_NUM, HW_GAMMA_DEN,
+    )
+    rf = rows[len(xs1) + len(xs2)]
+    assert (rf.s_scaled, rf.b_scaled, rf.c_head, rf.c_sum, rf.sae_units) == (
+        s, b, c[0], sum(c), sae,
+    )
+    # a per-batch reset re-inits on xs2's first 24 hours: diverges
+    s2, b2, c2, sae2 = _hw_replay(
+        xs2, HW_PERIOD, ESM_SCALE,
+        ESM_ALPHA_NUM, ESM_ALPHA_DEN,
+        HOLT_BETA_NUM, HOLT_BETA_DEN,
+        HW_GAMMA_NUM, HW_GAMMA_DEN,
+    )
+    assert (s2, b2, sae2) != (s, b, sae)

@@ -78,16 +78,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger row is older than r5). r12 rotation: the 9 r5-overflow keys
 # lead (the last pre-r6 rows — gating them completes the freshness
 # program begun in r7: every oracle-paired key re-gated within the
-# last 6 rounds), then the 12 keys whose PLAN changed or that are NEW
+# last 6 rounds), then the 13 keys whose PLAN changed or that are NEW
 # this round (ST28's merge is now min-aware full_outer — the r11
 # advisor's delivery-order fix; E54 counts distinct on the business
 # key through the hub — the r11 advisor's collision fix; E53's path
 # dedup moved before the snapshot expansion — the r11 third-decade
 # fix; E56 vault deletes, A110 BFS, A111 ACF, A112 KM survival are
 # NEW; A113 MK/Theil-Sen, A114 seasonal decomposition, A115
-# Holt-Winters, ST29 streaming Holt-Winters and the kcore peel
-# change joined mid-round), then 29 of the 50 r6-stale rows
-# alphabetically. The 21 r6 keys past the cap lead the r13 queue.
+# Holt-Winters, ST29 streaming Holt-Winters, A116 k-truss and the
+# kcore peel change joined mid-round), then 28 of the 50 r6-stale
+# rows alphabetically. The 22 r6 keys past the cap lead the r13
+# queue.
 _PRIORITY = (
     # --- 1. the 9 r5-overflow keys (freshness close-out) ---
     "stream_freshness_monitor",
@@ -110,13 +111,14 @@ _PRIORITY = (
     "etl_data_vault_deletes",
     "graph_bfs_distance",
     "graph_kcore",
+    "graph_ktruss",
     "events_autocorrelation",
     "events_survival_km",
     "events_trend_mk_theilsen",
     "events_seasonal_decompose",
     "events_holt_winters",
     # --- 3. freshness re-checks: oldest full-pass rows (r6),
-    #     alphabetical; 29 of 50 fit under the cap (9 + 12 + 29) ---
+    #     alphabetical; 28 of 50 fit under the cap (9 + 13 + 28) ---
     "agg_filter_clause_matrix",
     "ann_sparse_tfidf_topk",
     "datetime_function_matrix",
@@ -145,9 +147,9 @@ _PRIORITY = (
     "lateral_explode_matrix",
     "map_function_matrix",
     "multimodal_blob_dedup",
-    "pipeline_training_data",
-    # ---- 50-row gate cap lands here (9 + 12 + 29) ----
+    # ---- 50-row gate cap lands here (9 + 13 + 28) ----
     # --- r6 overflow -> head of the r13 queue ---
+    "pipeline_training_data",
     "sample_group_aware_split",
     "sample_mixture_epochs",
     "sample_pack_sequences",

@@ -3308,7 +3308,154 @@ SELECT * FROM reached UNION ALL SELECT * FROM unreached
 """
 
 
+def _truss_support(cur: DataFrame) -> DataFrame:
+    """per-edge triangle support over an undirected (u < v) edge
+    frame: symmetric adjacency, then edge x common-neighbor wedge
+    join — every column renamed unique so the self-join resolves
+    unambiguously (the A59 wedge shape)."""
+    sym = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    s1 = sym.select(F.col("a").alias("eu"), F.col("b").alias("w1"))
+    s2 = sym.select(F.col("a").alias("ev"), F.col("b").alias("w2"))
+    return (
+        cur.join(s1, F.col("u") == F.col("eu"))
+        .join(s2, (F.col("v") == F.col("ev")) & (F.col("w1") == F.col("w2")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+    )
+
+
+KTRUSS_K = 3  # every surviving edge sits in >= k-2 = 1 triangle
+# (k=4 cascades the SPARSE support-filtered graph to empty past
+# sf0.001 — measured: 3445 -> 0 edges at sf0.01 — so the gate-scale
+# member of the family is the 3-truss: triangle-supported edges)
+# Measured convergence at the gate SFs: 1-2 peel rounds; 8 unrolled
+# rounds is 4x margin, and the convergence test asserts the real loop
+# settles within this budget so the oracle ladder can never
+# silently under-peel (the KCORE_ORACLE_UNROLL discipline).
+KTRUSS_ORACLE_UNROLL = 8
+
+
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A116 — k-truss decomposition (membership at k=KTRUSS_K) of the
+    SUPPORT-FILTERED co-purchase graph: the edge-cohesion companion
+    to A77's k-core (a k-core keeps nodes with >= k neighbors; a
+    k-truss keeps EDGES lying in >= k-2 triangles — the stricter,
+    community-grade filter that kills bridge/hub edges a degree
+    criterion keeps). Peeling loop: per round ONE symmetric-adjacency
+    self-join pair computes each surviving edge's triangle support
+    (edge (u,v) x common neighbors w), then edges below k-2 drop;
+    repeat to fixpoint under a fixed round cap. Support counting is
+    the A59 wedge join on the SPARSE support-filtered graph (~3% of
+    raw co-purchase edges), so the quadratic lives where
+    market_basket/community already bounded it. State is inherently
+    EDGE-valued (unlike the kcore peel, which accumulates a
+    node-sized removed set — the r12 lesson), but survivors shrink
+    monotonically and the sparse graph is ~3% of raw edges, so the
+    rounds x |E_sparse| checkpoint footprint stays far below the
+    raw-edge peel that starved memory at sf10; each round
+    localCheckpoints the survivor frame to truncate the iterative
+    lineage. One summary row: edge/node counts, min recomputed
+    support (>= k-2 at the fixpoint — asserted in test, not just
+    claimed), and an edge checksum pinning membership. Value-oracled
+    via the fixed-unroll ladder (peeling is idempotent once
+    converged, the graph_kcore discipline)."""
+    cur = copurchase_edges_supported(spark, sf_dir)
+    prev_n = None
+    for _ in range(KTRUSS_ORACLE_UNROLL):
+        nxt = (
+            _truss_support(cur)
+            .filter(F.col("support") >= KTRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == prev_n:
+            break
+        prev_n = n
+    deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # recomputed support of the fixpoint survivors (min >= k-2)
+    fsupp = _truss_support(cur)
+    return (
+        cur.agg(
+            F.count("*").cast("bigint").alias("n_truss_edges"),
+            F.coalesce(
+                F.sum(F.col("u") * F.lit(1000003) + F.col("v")), F.lit(0)
+            ).cast("bigint").alias("edge_checksum"),
+        )
+        .crossJoin(deg.agg(F.count("*").cast("bigint").alias("n_truss_nodes")))
+        .crossJoin(
+            fsupp.agg(
+                F.coalesce(F.min("support"), F.lit(0)).cast("bigint").alias(
+                    "min_edge_support"
+                )
+            )
+        )
+        .select(
+            F.lit(KTRUSS_K).cast("bigint").alias("k"),
+            "n_truss_nodes",
+            "n_truss_edges",
+            "min_edge_support",
+            "edge_checksum",
+        )
+    )
+
+
+def _ktruss_oracle_sql() -> str:
+    rounds = []
+    for i in range(1, KTRUSS_ORACLE_UNROLL + 1):
+        p = i - 1
+        rounds.append(
+            f"""sym{p} AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e{p} UNION ALL SELECT v, u FROM e{p}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM e{p} e
+  JOIN sym{p} s1 ON s1.a = e.u
+  JOIN sym{p} s2 ON s2.a = e.v AND s2.b = s1.b
+  GROUP BY e.u, e.v
+  HAVING COUNT(*) >= {KTRUSS_K - 2}
+)"""
+        )
+    n = KTRUSS_ORACLE_UNROLL
+    ladder = ",\n".join(rounds)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+),
+{ladder},
+symf AS (SELECT u AS a, v AS b FROM e{n} UNION ALL SELECT v, u FROM e{n}),
+fsupp AS (
+  SELECT e.u, e.v, COUNT(*) AS support
+  FROM e{n} e
+  JOIN symf s1 ON s1.a = e.u
+  JOIN symf s2 ON s2.a = e.v AND s2.b = s1.b
+  GROUP BY e.u, e.v
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM e{n} UNION ALL SELECT v FROM e{n}))
+SELECT CAST({KTRUSS_K} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_truss_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{n}) AS n_truss_edges,
+       (SELECT CAST(COALESCE(MIN(support), 0) AS BIGINT) FROM fsupp) AS min_edge_support,
+       (SELECT CAST(COALESCE(SUM(u * 1000003 + v), 0) AS BIGINT) FROM e{n}) AS edge_checksum
+"""
+
+
+ORACLES["graph_ktruss"] = _ktruss_oracle_sql()
+
+
 QUERIES = {
+    "graph_ktruss": graph_ktruss,
     "graph_bfs_distance": graph_bfs_distance,
     "graph_kcore": graph_kcore,
     "ml_kmeans_embeddings": ml_kmeans_embeddings,

@@ -3608,3 +3608,62 @@ def test_holt_winters_matches_python_replay(spark):
     )
     assert sae == 0
     assert b == 0
+
+
+def test_ktruss_converges_within_oracle_unroll_and_invariants(spark):
+    """A116's ORACLE is a fixed KTRUSS_ORACLE_UNROLL-round peel
+    ladder — correct only if the real fixpoint lands within that
+    budget at the gate SF (the kcore discipline). Pin it with a
+    DuckDB replica of the peel, then assert the truss invariants on
+    the operator result: min recomputed support >= k-2 when any edge
+    survives, and the truss is a SUBSET of the support-filtered edge
+    set (peeling only removes)."""
+    import duckdb
+
+    from proceso_de_etl_spark.operators.ml import (
+        KTRUSS_K,
+        KTRUSS_ORACLE_UNROLL,
+        MIN_SUPPORT,
+        copurchase_edges_supported,
+        graph_ktruss,
+    )
+    from tests.conftest import SF_CORRECT
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_CORRECT}/lineitem.parquet')"
+    )
+    con.execute(
+        f"""CREATE TABLE e AS
+        WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+        SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+        ON a.ok = b.ok AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}"""
+    )
+    peel_sql = f"""CREATE OR REPLACE TABLE e AS
+        WITH sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)
+        SELECT e.u, e.v FROM e
+        JOIN sym s1 ON s1.a = e.u
+        JOIN sym s2 ON s2.a = e.v AND s2.b = s1.b
+        GROUP BY e.u, e.v HAVING COUNT(*) >= {KTRUSS_K - 2}"""
+    rounds = 0
+    prev = -1
+    while True:
+        n = con.sql("SELECT COUNT(*) FROM e").fetchone()[0]
+        if n == prev:
+            break
+        prev = n
+        rounds += 1
+        assert rounds <= KTRUSS_ORACLE_UNROLL, (
+            f"peel needs more than the {KTRUSS_ORACLE_UNROLL}-round budget"
+        )
+        con.execute(peel_sql)
+    con.close()
+
+    sf = SF_CORRECT
+    row = graph_ktruss(spark, sf).collect()[0]
+    assert row.n_truss_edges == prev
+    if row.n_truss_edges > 0:
+        assert row.min_edge_support >= KTRUSS_K - 2
+    assert row.n_truss_edges <= copurchase_edges_supported(spark, sf).count()

@@ -1826,12 +1826,17 @@ ESM_ALPHA_NUM, ESM_ALPHA_DEN = 2, 10  # α = 0.2 as an exact ratio
 
 
 def _esm_idiv(v, d: int):
-    """Exact nonneg-integer division inside a HOF lambda, where SQL
-    `div` is unreachable (lambda vars can't cross into F.expr):
-    (v − v % d) is an exact multiple of d, and an IEEE division of
-    two exactly-representable doubles whose true quotient is a
-    representable integer is exact — valid while v < 2^53, which the
-    operator's headroom note bounds."""
+    """Exact FLOOR division (toward −∞) for any integer v with
+    |v| < 2^53 by positive integer d, inside a HOF lambda where SQL
+    `div` is unreachable (lambda vars can't cross into F.expr).
+    F.pmod's remainder is nonnegative even for negative v, so
+    (v − pmod(v, d)) is the exact floor multiple of d, and an IEEE
+    division of two exactly-representable doubles whose true quotient
+    is a representable integer is exact. This floor-for-negatives
+    behavior is load-bearing: the A115 Holt-Winters fold feeds
+    negative level/trend/seasonal deltas through it, matching the
+    pmod-floor form the A115/A107 oracles spell — do not "simplify"
+    to truncating division."""
     return ((v - F.pmod(v, F.lit(d))) / F.lit(d)).cast("bigint")
 
 
@@ -2406,6 +2411,7 @@ def events_trend_mk_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("x"))
         .persist()
     )
+    pairs = None
     try:
         mom = hourly.groupBy("event_type").agg(
             F.count("*").cast("bigint").alias("n_buckets")
@@ -2426,6 +2432,11 @@ def events_trend_mk_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = hourly.select(
             "event_type", F.col("h").alias("hb"), F.col("x").alias("xb")
         )
+        # persist (r12 advisor): the quadratic pair expansion is the
+        # expensive frame here and three consumers scan it (agg, the
+        # ranked window, the med join) — without this the type-keyed
+        # triangle join recomputes per consumer while only the cheap
+        # hourly pre-agg was cached
         pairs = (
             a.join(b, "event_type")
             .where(F.col("hb") > F.col("ha"))
@@ -2436,6 +2447,7 @@ def events_trend_mk_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "CAST(xb - xa AS DOUBLE) / CAST(hb - ha AS DOUBLE)"
                 ).alias("slope"),
             )
+            .persist()
         )
         from pyspark.sql import Window
 
@@ -2492,6 +2504,8 @@ def events_trend_mk_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         hourly.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
 
 
 ORACLES["events_trend_mk_theilsen"] = f"""

@@ -3363,6 +3363,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     converged, the graph_kcore discipline)."""
     cur = copurchase_edges_supported(spark, sf_dir)
     prev_n = None
+    converged = False
     for _ in range(KTRUSS_ORACLE_UNROLL):
         nxt = (
             _truss_support(cur)
@@ -3373,8 +3374,24 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = nxt.count()
         cur = nxt
         if n == prev_n:
+            converged = True
             break
         prev_n = n
+    # Count-stability assertion at EVERY tier, not just the sf0.01
+    # pytest (r12 advisor): an under-converged peel is silently
+    # oracle-consistent (both sides stop at round KTRUSS_ORACLE_UNROLL),
+    # so without this check the green gate could certify a non-truss at
+    # scale. The per-round counts are already computed, so the check is
+    # free; raising the shared unroll constant fixes engine AND oracle
+    # together.
+    if not converged:
+        raise RuntimeError(
+            f"graph_ktruss: peel did not reach a fixpoint within "
+            f"KTRUSS_ORACLE_UNROLL={KTRUSS_ORACLE_UNROLL} rounds "
+            f"(last survivor counts {prev_n} -> {n}); raise the shared "
+            f"unroll constant so the engine loop and the oracle ladder "
+            f"stay in lockstep"
+        )
     deg = (
         cur.select(F.col("u").alias("node"))
         .unionByName(cur.select(F.col("v").alias("node")))

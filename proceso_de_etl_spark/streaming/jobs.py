@@ -1710,7 +1710,12 @@ marks AS (
          COUNT(*) AS tn
   FROM h, sp GROUP BY 1
 ),
-mk AS (SELECT event_type, t1 AS k FROM marks UNION SELECT event_type, tn FROM marks)
+-- k > 0 (r12 advisor): a type with no events before the split has
+-- t1 = 0, but the stream emits no row for a key absent from a
+-- micro-batch — an epoch mark with no emission must not reach
+-- either oracle arm (the warmup arm would invent a zeros row)
+mk AS (SELECT event_type, t1 AS k FROM marks WHERE t1 > 0
+       UNION SELECT event_type, tn FROM marks)
 SELECT DISTINCT hl.event_type, CAST(hl.t AS BIGINT) AS n_hours,
        CAST(hl.s AS BIGINT) AS s_scaled, CAST(hl.b AS BIGINT) AS b_scaled,
        CAST(hl.c[1] AS BIGINT) AS c_head, CAST(list_sum(hl.c) AS BIGINT) AS c_sum,
@@ -1720,7 +1725,7 @@ UNION ALL
 SELECT DISTINCT event_type, CAST(k AS BIGINT) AS n_hours,
        CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
        CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-FROM mk WHERE k < {m}
+FROM mk WHERE k < {m} AND k > 0
 """
 
 

@@ -785,6 +785,131 @@ SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
 """
 
 
+# E16b gate constant: HLL++ default rsd is 0.05 (one standard error);
+# 3x that is the flag-it threshold, matching A21b's
+# APPROX_DISTINCT_REL_BOUND rationale — a sketch straying past 3σ is
+# broken or misconfigured, which is exactly what the audit exists to
+# catch. +1 absolute headroom so tiny columns (l_returnflag, nd=3,
+# where HLL is exact) never flap on integer rounding.
+PROFILE_APPROX_REL_BOUND = 0.15
+
+
+def etl_profile_table_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16b — the SCALE PATH for E16's column profile (r12 verdict
+    item 6). E16's five exact ``countDistinct`` in one aggregate plan
+    an Expand that multiplies the scan's row stream x11 (52 s at
+    sf10, 7.87x/decade — the worst remaining ETL curve). This twin
+    keeps the profile's exact facts (null count, min/max) but takes
+    distinct cardinality from HLL sketches, and audits every sketch
+    against an exact count computed WITHOUT an Expand: the A21b
+    bound-audit pattern fused with the r12 bridge lesson (pre-group
+    instead of Expand — SURVEY §4).
+
+    Plan shape, deliberately: (1) ONE scan computes count/null/min/
+    max plus five ``approx_count_distinct`` sketches — sketch
+    aggregates are partial-mergeable, so this aggregate plans with NO
+    Expand (asserted in tests/test_plans.py); at 100 TB this is the
+    only full-width pass. (2) The exact audit stacks (column, value)
+    pairs via explode — 5n narrow rows — and pre-groups on
+    (column, value) before counting distinct per column: two-phase
+    map-side-combinable aggregation whose shuffle carries only the
+    DEDUPED pairs, never an 11x row stream, and whose single
+    countDistinct-per-group plans Expand-free. (3) A 5-row broadcast
+    join emits per column the exact profile plus
+    ``distinct_within_bound`` — TRUE iff the HLL estimate sits within
+    PROFILE_APPROX_REL_BOUND of the exact count — so a sketch
+    regression is a driver-visible value mismatch (oracle pins TRUE).
+    The HLL ESTIMATE itself never reaches the output: it is
+    engine-internal, exactly as in A21/A21b.
+
+    At 100 TB a user runs stage (1) alone for the everyday profile
+    (one scan, fixed-size state) and schedules this audited key as
+    the periodic trust check; E16 stays the exact oracle twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    base = li.agg(
+        F.count("*").alias("_total"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.approx_count_distinct(c).alias(f"ad_{c}") for c in cols],
+        *[F.min(F.col(c).cast("string")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("string")).alias(f"mx_{c}") for c in cols],
+    )
+    profile = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        (F.col("_total") - F.col(f"nn_{c}")).alias("n_nulls"),
+                        F.col(f"ad_{c}").alias("approx_distinct"),
+                        F.col(f"mn_{c}").alias("min_str"),
+                        F.col(f"mx_{c}").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    # exact-distinct audit, Expand-free: stack (column, value) and
+    # pre-group; the string cast unifies types so one narrow shuffle
+    # carries all five columns' deduped pairs
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    exact_nd = (
+        stacked.where(F.col("v").isNotNull())
+        .groupBy("column_name", "v")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("column_name")
+        .agg(F.count("*").cast("bigint").alias("n_distinct"))
+    )
+    return (
+        profile.join(exact_nd, "column_name")
+        .select(
+            "column_name",
+            "n_nulls",
+            "n_distinct",
+            "min_str",
+            "max_str",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+                <= F.lit(PROFILE_APPROX_REL_BOUND) * F.col("n_distinct") + 1
+            ).alias("distinct_within_bound"),
+        )
+    )
+
+
+ORACLES["etl_profile_table_approx"] = """
+SELECT 'l_orderkey' AS column_name, COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+       COUNT(DISTINCT l_orderkey) AS n_distinct,
+       MIN(CAST(l_orderkey AS VARCHAR)) AS min_str, MAX(CAST(l_orderkey AS VARCHAR)) AS max_str,
+       TRUE AS distinct_within_bound
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+       MIN(CAST(l_quantity AS VARCHAR)), MAX(CAST(l_quantity AS VARCHAR)), TRUE FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+       MIN(CAST(l_extendedprice AS VARCHAR)), MAX(CAST(l_extendedprice AS VARCHAR)), TRUE FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', COUNT(*) - COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+       MIN(CAST(l_returnflag AS VARCHAR)), MAX(CAST(l_returnflag AS VARCHAR)), TRUE FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
+       MIN(CAST(l_shipdate AS VARCHAR)), MAX(CAST(l_shipdate AS VARCHAR)), TRUE FROM lineitem
+"""
+
+
 def etl_load_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load audit / lineage ledger — the reference's ``RegistroCargas``
     table (reference main.py:93-99: which load ran, from which
@@ -3640,6 +3765,7 @@ QUERIES = {
     "etl_atomic_write": etl_atomic_write,
     "etl_aggregate_upsert": etl_aggregate_upsert,
     "etl_profile_table": etl_profile_table,
+    "etl_profile_table_approx": etl_profile_table_approx,
     "etl_load_audit": etl_load_audit,
     "etl_cdc_apply": etl_cdc_apply,
     "etl_zorder_write": etl_zorder_write,

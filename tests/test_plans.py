@@ -712,3 +712,24 @@ def test_r7_companions_stay_jvm_side(spark):
         plan = plan_of(fn(spark, SF_CORRECT))
         assert "PythonUDF" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_profile_approx_expand_free(spark):
+    """E16b's reason to exist (r12 verdict item 6): the exact E16
+    profile plans an Expand (x11 row stream) for its five
+    countDistincts; the approx twin must plan NO Expand anywhere —
+    the sketch aggregate is partial-mergeable and the exact-distinct
+    audit pre-groups instead of expanding. If an Expand ever appears
+    here the scale path silently degraded to the exact plan."""
+    from proceso_de_etl_spark.operators.etl import (
+        etl_profile_table,
+        etl_profile_table_approx,
+    )
+
+    approx_plan = plan_of(etl_profile_table_approx(spark, SF_CORRECT))
+    assert "Expand" not in approx_plan, "approx profile regressed to Expand"
+    # contrast pin: the exact twin DOES Expand — if Spark ever learns
+    # to plan multi-countDistinct without Expand, this pin flags that
+    # the twin pair's cost rationale needs re-measuring
+    exact_plan = plan_of(etl_profile_table(spark, SF_CORRECT))
+    assert "Expand" in exact_plan, "exact profile no longer Expands"

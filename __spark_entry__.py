@@ -73,82 +73,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. The r11 gate passed
-# 50/50 (zero wrong answers in eleven rounds; after it no green
-# ledger row is older than r5). r12 rotation: the 9 r5-overflow keys
-# lead (the last pre-r6 rows — gating them completes the freshness
-# program begun in r7: every oracle-paired key re-gated within the
-# last 6 rounds), then the 13 keys whose PLAN changed or that are NEW
-# this round (ST28's merge is now min-aware full_outer — the r11
-# advisor's delivery-order fix; E54 counts distinct on the business
-# key through the hub — the r11 advisor's collision fix; E53's path
-# dedup moved before the snapshot expansion — the r11 third-decade
-# fix; E56 vault deletes, A110 BFS, A111 ACF, A112 KM survival are
-# NEW; A113 MK/Theil-Sen, A114 seasonal decomposition, A115
-# Holt-Winters, ST29 streaming Holt-Winters, A116 k-truss and the
-# kcore peel change joined mid-round), then 28 of the 50 r6-stale
-# rows alphabetically. The 22 r6 keys past the cap lead the r13
-# queue.
+# whatever keys most need a FRESH driver row. The r12 gate passed
+# 50/50 (zero wrong answers in twelve rounds; after it no green
+# ledger row is older than r6). r13 rotation: the final 22 r6-stale
+# keys lead — gating them COMPLETES the freshness program begun in
+# r7 (every oracle-paired key re-gated within the last 6 rounds) —
+# then the keys that are NEW or whose PLAN changes this round
+# (E16b `etl_profile_table_approx` is NEW post-r12; the triangle
+# family A59/A77/A109/A116 shares a persisted oriented adjacency —
+# the r12 verdict's amortization item; A64b HITS and ST28 ingest
+# carry the r13 profile-driven rewrites; A69/A82 ride the
+# decomposed basket pair frame), then the oldest r7-fresh rows
+# alphabetically to the 50-row cap. Remaining r7 keys queue for r14.
 _PRIORITY = (
-    # --- 1. the 9 r5-overflow keys (freshness close-out) ---
-    "stream_freshness_monitor",
-    "stream_markov_transitions",
-    "stream_novelty_rate",
-    "stream_pit_enrichment",
-    "text_bigram_lm_score",
-    "text_bpe_roundtrip",
-    "text_chunk_udtf",
-    "text_novelty_decay",
-    "text_quality_psi",
-    # --- 2. plan-changed in r12 + NEW in r12 (E56 deletes, A110 BFS,
-    #     A111 ACF, A112 KM, A113 MK/Theil-Sen; graph_kcore's peel
-    #     now accumulates removed nodes instead of checkpointing
-    #     edges) — new/changed keys outrank r6 re-checks ---
-    "stream_data_vault_ingest",
-    "stream_holt_winters",
-    "etl_data_vault_mart",
-    "etl_data_vault_bridge",
-    "etl_data_vault_deletes",
-    "graph_bfs_distance",
-    "graph_kcore",
-    "graph_ktruss",
-    "events_autocorrelation",
-    "events_survival_km",
-    "events_trend_mk_theilsen",
-    "events_seasonal_decompose",
-    "events_holt_winters",
-    # --- 3. freshness re-checks: oldest full-pass rows (r6),
-    #     alphabetical; 28 of 50 fit under the cap (9 + 13 + 28) ---
-    "agg_filter_clause_matrix",
-    "ann_sparse_tfidf_topk",
-    "datetime_function_matrix",
-    "dedup_duplicate_spans",
-    "dedup_leakproof_split",
-    "dedup_source_overlap",
-    "dedup_span_excise",
-    "dedup_threshold_curve",
-    "embedding_int8_quantize",
-    "etl_aggregate_retract",
-    "etl_backfill_plan",
-    "etl_dynamic_partition_overwrite",
-    "etl_entity_resolution",
-    "etl_erasure_propagation",
-    "etl_masked_export",
-    "etl_multisource_harmonize",
-    "etl_observed_load",
-    "etl_reject_routing",
-    "etl_ri_audit",
-    "etl_scd_type_matrix",
-    "etl_snapshot_diff",
-    "etl_surrogate_hwm",
-    "etl_write_audit_publish",
-    "graph_triangle_count",
-    "interval_islands",
-    "lateral_explode_matrix",
-    "map_function_matrix",
-    "multimodal_blob_dedup",
-    # ---- 50-row gate cap lands here (9 + 13 + 28) ----
-    # --- r6 overflow -> head of the r13 queue ---
+    # --- 1. the last 22 r6-stale keys (freshness close-out) ---
     "pipeline_training_data",
     "sample_group_aware_split",
     "sample_mixture_epochs",
@@ -171,6 +109,69 @@ _PRIORITY = (
     "text_perplexity_buckets",
     "text_quality_dedup_interaction",
     "text_quality_terciles",
+    # --- 2. NEW in r13 + plan-changed in r13 (E16b approx profile;
+    #     triangle family on the shared oriented adjacency; HITS /
+    #     vault-ingest / basket-family r13 rewrites) ---
+    "etl_profile_table_approx",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_ktruss",
+    "graph_clustering_coeff",
+    "graph_hits_ladder",
+    "stream_data_vault_ingest",
+    "market_basket_rules",
+    "item_similarity_cf",
+    # --- 3. freshness re-checks: oldest full-pass rows (r7),
+    #     alphabetical; 19 of 48 fit under the cap (22 + 9 + 19) ---
+    "agg_argmax_no_window",
+    "agg_mode_per_group",
+    "ann_ivf_pinned_topk",
+    "ann_lsh_bucketed",
+    "asof_direction_matrix",
+    "decimal_semantics_matrix",
+    "dedup_embedding_lsh_pairs",
+    "dedup_incremental_minhash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "etl_atomic_write",
+    "events_anomaly_zscore",
+    "events_cusum_changepoint",
+    "events_funnel_conversion",
+    "events_time_weighted_avg",
+    "events_variant_extract",
+    "graph_coarsen",
+    "graph_connected_components",
+    "graph_label_propagation",
+    # ---- 50-row gate cap lands here (22 + 9 + 19) ----
+    # --- r7 overflow -> head of the r14 queue ---
+    "graph_louvain_move",
+    "graph_modularity",
+    "json_function_matrix",
+    "lateral_join_topn",
+    "multimodal_audio_energy",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_resize",
+    "multimodal_phash_dedup",
+    "null_ordering_matrix",
+    "q10_returned_items_v2",
+    "q12_priority_classes_v2",
+    "q17_small_qty_revenue_v2",
+    "q18_large_orders_v2",
+    "q19_disjunctive_filter_v2",
+    "q4_order_priority_v2",
+    "q9_product_profit_v2",
+    "recursive_cte_closure",
+    "semdedup_pairs",
+    "sketch_cms_portable",
+    "sketch_hll_portable",
+    "sort_global_rank",
+    "stream_cusum_monitor",
+    "stream_distinct_exact",
+    "stream_late_data_exact",
+    "string_function_matrix",
+    "timeseries_feature_frame",
+    "window_function_matrix",
     # --- never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

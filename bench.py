@@ -66,6 +66,11 @@ HEADLINE = (
     # timed entry run FIRST, so triangle/kcore measure warm-edge work
     # only instead of the first-in-family query paying the build cold
     "graph_copurchase_edges",
+    # r13: the shared deg→oriented→adj build is its own timed entry
+    # (r12 verdict item 3) run BEFORE triangle, so triangle/kcore
+    # measure warm-adjacency work only — the same cost-attribution
+    # move as graph_copurchase_edges itself
+    "graph_oriented_adjacency",
     "graph_triangle_count",
     "agg_equidepth_histogram",
     "text_hashed_tf",
@@ -165,6 +170,21 @@ HEADLINE = (
     "stream_data_vault_ingest",
     "etl_data_vault_mart",
     "etl_data_vault_mart_refresh",
+    # r13 additions (r12 verdict item 2): the nine r12 keys that had
+    # 4-tier scale curves but no regression floors — a 3x slowdown in
+    # any of them was invisible to `regressed` — plus the r13 E16b
+    # approx-profile twin. graph_ktruss rides the supported-edge
+    # persist warm behind the community family, like LPA/modularity.
+    "etl_data_vault_deletes",
+    "graph_bfs_distance",
+    "graph_ktruss",
+    "events_autocorrelation",
+    "events_survival_km",
+    "events_trend_mk_theilsen",
+    "events_seasonal_decompose",
+    "events_holt_winters",
+    "stream_holt_winters",
+    "etl_profile_table_approx",
 )
 
 # Per-query regression floors (sf0.1 local[32]): r1 entries from

@@ -727,6 +727,67 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # when a consumer batch (bench suite, test session) finishes.
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PURCHASE_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ORIENTED_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def oriented_adjacency(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(deg, oriented, adj) of the raw co-purchase graph — the shared
+    triangle-family state (r12 verdict item 3), built ONCE per
+    (applicationId, sf_dir) and persisted:
+
+    - ``deg``      (node, deg): undirected degrees,
+    - ``oriented`` (s, d): every undirected edge oriented from its
+      (degree, id)-smaller endpoint — the O(sqrt m) out-degree cap,
+    - ``adj``      (s, nbrs, outdeg): sorted out-neighbor arrays.
+
+    Before this cache, graph_triangle_count (A59) and
+    graph_clustering_coeff (A109) each rebuilt the identical three
+    frames from the shared edge set (two degree shuffles + two
+    orientation joins + two collect_list aggregations per session),
+    and at sf10 the rebuild — not the intersection join — dominated
+    the 262 s cold triangle timing. Sharing follows the
+    copurchase_edges discipline: memoized per session, released by
+    unpersist_copurchase() between bench/scale passes, and the build
+    is REGISTERED as its own timed query (graph_oriented_adjacency)
+    so downstream keys measure warm-adjacency work only."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ORIENTED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    und = copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
+        )
+        .persist()
+    )
+    adj = (
+        oriented.groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list("d")).alias("nbrs"),
+            F.count("*").cast("bigint").alias("outdeg"),
+        )
+        .persist()
+    )
+    _ORIENTED_CACHE[key] = (deg, oriented, adj)
+    return deg, oriented, adj
 
 
 def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,11 +842,12 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def unpersist_copurchase() -> None:
-    """Release every cached graph edge set (co-purchase AND purchase)
-    and destroy the tracked assign_clusters_lsh broadcasts; safe on a
-    stopped session (mirrors dedup.unpersist_shingles). Call between
-    passes, never mid-plan: a destroyed broadcast fails any LATER
-    action on a plan that closes over it."""
+    """Release every cached graph edge set (co-purchase AND purchase),
+    the shared oriented-adjacency frames, and destroy the tracked
+    assign_clusters_lsh broadcasts; safe on a stopped session (mirrors
+    dedup.unpersist_shingles). Call between passes, never mid-plan: a
+    destroyed broadcast fails any LATER action on a plan that closes
+    over it."""
     for cache in (_EDGE_CACHE, _PURCHASE_EDGE_CACHE):
         for df in cache.values():
             try:
@@ -793,6 +855,13 @@ def unpersist_copurchase() -> None:
             except Exception:
                 pass  # session already gone - storage went with it
         cache.clear()
+    for frames in _ORIENTED_CACHE.values():
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _ORIENTED_CACHE.clear()
     for bc in _LSH_BROADCASTS:
         try:
             bc.destroy()
@@ -817,6 +886,80 @@ ORACLES["graph_copurchase_edges"] = """
 WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
 SELECT DISTINCT a.p AS u, b.p AS v
 FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+"""
+
+
+def graph_oriented_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared degree-ordered oriented-adjacency build (deg →
+    oriented edges → sorted out-neighbor arrays) that A59 triangle
+    counting and A109 clustering coefficients consume — registered as
+    its own timed query in the A59b cost-attribution pattern (r12
+    verdict item 3), so the suite times the build+persist ONCE and
+    the downstream keys measure warm-adjacency work only. The one-row
+    summary forces the full persisted pipeline (deg, oriented, adj)
+    to materialize under the timer and value-pins the oriented
+    structure: max_outdeg witnesses the orientation's O(sqrt m)
+    out-degree cap, n_wedges the Σ C(outdeg,2) wedge space, and
+    edge_digest the exact oriented edge SET (s·1000003+d summed
+    through DECIMAL(38,0) and Mersenne-reduced to BIGINT — the
+    _dv_digest_col overflow law; a plain BIGINT sum would wrap
+    silently on derived tiers while DuckDB promotes to HUGEINT)."""
+    deg, oriented, adj = oriented_adjacency(spark, sf_dir)
+    digest = oriented.agg(
+        F.expr(
+            "CAST(SUM(CAST(s * 1000003 + d AS DECIMAL(38,0)))"
+            f" % {(1 << 61) - 1} AS BIGINT)"
+        ).alias("edge_digest")
+    )
+    return (
+        adj.agg(
+            F.count("*").cast("bigint").alias("n_src_nodes"),
+            F.sum("outdeg").cast("bigint").alias("n_oriented_edges"),
+            F.max("outdeg").cast("bigint").alias("max_outdeg"),
+            F.sum(F.expr("outdeg * (outdeg - 1) div 2"))
+            .cast("bigint")
+            .alias("n_wedges"),
+        )
+        .join(deg.agg(F.count("*").cast("bigint").alias("n_nodes")))
+        .join(digest)
+        .select(
+            "n_nodes",
+            "n_src_nodes",
+            "n_oriented_edges",
+            "max_outdeg",
+            "n_wedges",
+            "edge_digest",
+        )
+    )
+
+
+ORACLES["graph_oriented_adjacency"] = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS s,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS d
+  FROM und
+  JOIN deg du ON du.node = u
+  JOIN deg dv ON dv.node = v
+),
+adj AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS outdeg FROM oriented GROUP BY s
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM adj) AS n_src_nodes,
+       (SELECT CAST(SUM(outdeg) AS BIGINT) FROM adj) AS n_oriented_edges,
+       (SELECT CAST(MAX(outdeg) AS BIGINT) FROM adj) AS max_outdeg,
+       (SELECT CAST(SUM(outdeg * (outdeg - 1) // 2) AS BIGINT) FROM adj) AS n_wedges,
+       (SELECT CAST(SUM(s * 1000003 + d) % {(1 << 61) - 1} AS BIGINT) FROM oriented) AS edge_digest
 """
 
 
@@ -871,46 +1014,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     if a real corpus ever produces in-degree skew beyond executor
     memory, salt the `d` key (relational.py's salted join), don't
     count on AQE."""
-    und = copurchase_edges(spark, sf_dir)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    lower_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        und.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
-        )
-    )
-    # The report scalars all hang off `oriented`; persist it so the
-    # pair-generation join runs once, not once per scalar. Counting
-    # uses the compact-forward/adjacency-intersection form: triangles
-    # for an oriented edge (u,v) are |N⁺(u) ∩ N⁺(v)|, computed by
-    # joining each edge to the two sorted out-neighbor arrays and
+    # deg/oriented/adj come from the SHARED persisted build (r13):
+    # graph_oriented_adjacency is the timed build entry; this key
+    # measures warm-adjacency intersection work. Counting uses the
+    # compact-forward/adjacency-intersection form: triangles for an
+    # oriented edge (u,v) are |N⁺(u) ∩ N⁺(v)|, computed by joining
+    # each edge to the two sorted out-neighbor arrays and
     # intersecting IN-MEMORY — no wedge ROWS ever materialize or
     # shuffle (the wedge-join formulation shuffles O(Σ deg²) rows;
     # this shuffles O(m) rows carrying O(√m)-bounded arrays, the
     # orientation's degree cap). Wedge count = Σ C(outdeg, 2) from
     # the same adjacency frame. Final 1-row combines are bounded
     # broadcast joins.
-    oriented = oriented.persist()
-    adj = (
-        oriented.groupBy("s")
-        .agg(
-            F.sort_array(F.collect_list("d")).alias("nbrs"),
-            F.count("*").alias("outdeg"),
-        )
-        .persist()
-    )
+    deg, oriented, adj = oriented_adjacency(spark, sf_dir)
     tri = (
         oriented.join(
             adj.select(F.col("s").alias("u2"), F.col("nbrs").alias("nu")),
@@ -934,11 +1050,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         oriented.agg(F.count("*").alias("n_edges"))
-        .join(
-            oriented.select(F.col("s").alias("node"))
-            .unionByName(oriented.select(F.col("d").alias("node")))
-            .agg(F.countDistinct("node").alias("n_nodes"))
-        )
+        # every node with an edge has a deg row and vice versa, so
+        # n_nodes is one count over the persisted deg frame instead
+        # of a distinct over the re-unioned oriented endpoints
+        .join(deg.agg(F.count("*").alias("n_nodes")))
         .join(wedges)
         .join(tri)
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
@@ -1005,28 +1120,10 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ref: reference has no graph surface; extends A59."""
     from proceso_de_etl_spark.operators.windows import ranked_topk
 
-    und = copurchase_edges(spark, sf_dir)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    lower_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        und.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("d"),
-        )
-        .persist()
-    )
-    adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("d")).alias("nbrs"))
+    # deg/oriented/adj come from the SHARED persisted build (r13, see
+    # oriented_adjacency): A109 previously rebuilt the identical three
+    # frames A59 had just built in the same session.
+    deg, oriented, adj = oriented_adjacency(spark, sf_dir)
     inter = (
         oriented.join(
             adj.select(F.col("s").alias("u2"), F.col("nbrs").alias("nu")),
@@ -1066,14 +1163,16 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " div (deg * (deg - 1))").alias("cc_scaled"),
         )
     )
-    out = ranked_topk(
+    # shared frames stay persisted for the rest of the family; the
+    # eager checkpoint decouples the 20-row result from them so a
+    # later unpersist_copurchase() cannot invalidate a held handle
+    return ranked_topk(
         scored,
         [F.desc("cc_scaled"), F.desc("triangles"), F.asc("node")],
         CC_TOPK,
-    ).select("rank", "node", "deg", "triangles", "cc_scaled")
-    out = out.localCheckpoint(eager=True)
-    oriented.unpersist()
-    return out
+    ).select("rank", "node", "deg", "triangles", "cc_scaled").localCheckpoint(
+        eager=True
+    )
 
 
 ORACLES["graph_clustering_coeff"] = f"""
@@ -1127,7 +1226,7 @@ KCORE_K = 64
 KCORE_MAX_ITER = 200
 
 
-def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
+def kcore_edges(edges: DataFrame, k: int, deg0: DataFrame | None = None) -> DataFrame:
     """Iterative k-core peeling on an undirected (u < v) edge frame:
     repeatedly delete nodes of degree < k (and their edges) until a
     fixpoint — the surviving subgraph is the k-core.
@@ -1145,7 +1244,13 @@ def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
     key-partitioned), and the only thing checkpointed is the
     node-sized removed frame — rounds × |V| instead of rounds × |E|.
     The only driver value per round is an emptiness probe; peeling
-    converges in ≤ |V| rounds, in practice a handful."""
+    converges in ≤ |V| rounds, in practice a handful.
+
+    ``deg0`` (optional): precomputed full-graph degrees. Round 1's
+    alive() equals the full edge frame (the removed set is empty), so
+    a caller holding the shared persisted degree frame
+    (oriented_adjacency) hands it in and the first — largest —
+    degree shuffle is skipped entirely."""
     removed = (
         edges.select(F.col("u").alias("node")).filter(F.lit(False))
     ).localCheckpoint(eager=True)
@@ -1155,14 +1260,17 @@ def kcore_edges(edges: DataFrame, k: int) -> DataFrame:
             removed.withColumnRenamed("node", "u"), "u", "left_anti"
         ).join(removed.withColumnRenamed("node", "v"), "v", "left_anti")
 
-    for _ in range(KCORE_MAX_ITER):
+    for it in range(KCORE_MAX_ITER):
         cur = alive()
-        deg = (
-            cur.select(F.col("u").alias("node"))
-            .unionByName(cur.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
-        )
+        if it == 0 and deg0 is not None:
+            deg = deg0
+        else:
+            deg = (
+                cur.select(F.col("u").alias("node"))
+                .unionByName(cur.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
         low = deg.filter(F.col("deg") < k).select("node")
         if low.isEmpty():
             return cur.select("u", "v")
@@ -1185,7 +1293,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolling KCORE_ORACLE_UNROLL rounds (4x the measured 1-2
     rounds at gate scale) replays the exact fixpoint."""
     und = copurchase_edges(spark, sf_dir)
-    core = kcore_edges(und, KCORE_K)
+    # round 1 peels against full-graph degrees == the shared persisted
+    # degree frame (persist is lazy, so this materializes ONLY deg —
+    # not the oriented/adj frames — when kcore runs first in a session)
+    deg0, _, _ = oriented_adjacency(spark, sf_dir)
+    core = kcore_edges(und, KCORE_K, deg0=deg0)
     deg = (
         core.select(F.col("u").alias("node"))
         .unionByName(core.select(F.col("v").alias("node")))
@@ -3481,6 +3593,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_clustering_coeff": graph_clustering_coeff,
     "graph_copurchase_edges": graph_copurchase_edges,
+    "graph_oriented_adjacency": graph_oriented_adjacency,
     "graph_copurchase_supported": graph_copurchase_supported,
     "graph_purchase_edges": graph_purchase_edges,
     "graph_connected_components": graph_connected_components,

@@ -68,6 +68,10 @@ OFF = {
 CURVE_KEYS = (
     "etl_star_flagship",
     "graph_copurchase_edges",
+    # r13: the shared deg→oriented→adj build measured on its own, so
+    # the triangle curve reads warm-adjacency work (cell ordering is
+    # build-first, same attribution as the bench suite)
+    "graph_oriented_adjacency",
     "graph_triangle_count",
     "graph_pagerank_ladder",
     "graph_hits_ladder",

@@ -79,6 +79,10 @@ HEADLINE = (
     # round-8 additions: the basket self-join, the iterative peel, the
     # bigram-model chain, the sessionized path collect, and the
     # distributed prefix sum
+    # r13: the shared basket distinct+self-join+pair-agg build timed
+    # on its own (r12 verdict item 7), so market_basket_rules (and
+    # A82, which shares it) measure warm rule work only
+    "basket_pair_counts",
     "market_basket_rules",
     "graph_kcore",
     "text_bigram_lm_score",

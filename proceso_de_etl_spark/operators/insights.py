@@ -29,6 +29,122 @@ ORACLES: dict[str, str] = {}
 # meaningful at sf0.001 smoke scale too.
 BASKET_MIN_PAIR_ORDERS = 2
 
+_PAIR_DIGEST_MOD = (1 << 61) - 1
+
+
+def _basket_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(baskets, item_n, pairs) — the shared basket-analytics state
+    (r12 verdict item 7), memoized per session via cachereg so A69
+    market-basket rules and A82 item-item CF stop paying the SAME
+    distinct + keyed self-join + pair aggregation independently (82 s
+    + 67 s at sf10, dominated by this build):
+
+    - ``baskets`` (l_orderkey, l_partkey): distinct order→part rows,
+    - ``item_n``  (item, item_orders): per-part order counts,
+    - ``pairs``   (ante, cons, pair_orders): UNFILTERED ordered-pair
+      co-occurrence counts — each consumer applies its own support
+      threshold on top (A69 BASKET_MIN_PAIR_ORDERS, A82 CF_MIN_CO),
+      so the shared frame stays correct if the thresholds diverge.
+
+    The pair blow-up is bounded by max-basket-size² per order (TPC-H
+    baskets ≤7 lines), NOT corpus size — the a-priori candidate-pair
+    shape that survives 100 TB. Release: cachereg.release_all() (the
+    bench/scale pass hook)."""
+    from proceso_de_etl_spark import cachereg
+
+    baskets = cachereg.memo(
+        spark,
+        "basket_baskets",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
+    item_n = cachereg.memo(
+        spark,
+        "basket_item_n",
+        sf_dir,
+        lambda: baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+            F.count("*").alias("item_orders")
+        ),
+    )
+
+    def build_pairs() -> DataFrame:
+        a = baskets.select("l_orderkey", F.col("l_partkey").alias("ante"))
+        b = baskets.select("l_orderkey", F.col("l_partkey").alias("cons"))
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("ante") != F.col("cons"))
+            .groupBy("ante", "cons")
+            .agg(F.count("*").alias("pair_orders"))
+        )
+
+    pairs = cachereg.memo(spark, "basket_pairs", sf_dir, build_pairs)
+    return baskets, item_n, pairs
+
+
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared basket pair-frame build registered as its own
+    timed, value-oracled query (the A59b cost-attribution pattern):
+    the suite times the distinct + self-join + pair aggregation ONCE
+    and A69/A82 measure only their warm rule/similarity work. The
+    one-row summary forces all three shared frames to materialize
+    under the timer and pins the pair MULTISET exactly:
+    pair_digest sums (ante·1000003+cons)·pair_orders through
+    DECIMAL(38,0) and Mersenne-reduces to BIGINT (the overflow-safe
+    digest law — DuckDB's SUM promotes to HUGEINT, Spark's BIGINT
+    sum would wrap silently on derived tiers)."""
+    baskets, item_n, pairs = _basket_frames(spark, sf_dir)
+    return (
+        pairs.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("pair_orders") >= BASKET_MIN_PAIR_ORDERS, 1))
+            .cast("bigint")
+            .alias("n_supported_pairs"),
+            F.max("pair_orders").cast("bigint").alias("max_pair_orders"),
+            F.expr(
+                "CAST(SUM(CAST((ante * 1000003 + cons) * pair_orders"
+                f" AS DECIMAL(38,0))) % {_PAIR_DIGEST_MOD} AS BIGINT)"
+            ).alias("pair_digest"),
+        )
+        .join(
+            baskets.agg(
+                F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets")
+            )
+        )
+        .join(item_n.agg(F.count("*").cast("bigint").alias("n_items")))
+        .select(
+            "n_baskets",
+            "n_items",
+            "n_pairs",
+            "n_supported_pairs",
+            "max_pair_orders",
+            "pair_digest",
+        )
+    )
+
+
+ORACLES["basket_pair_counts"] = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item_n AS (SELECT l_partkey AS item, COUNT(*) AS item_orders FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS pair_orders
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM baskets) AS n_baskets,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM item_n) AS n_items,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+         WHERE pair_orders >= {BASKET_MIN_PAIR_ORDERS}) AS n_supported_pairs,
+       (SELECT CAST(MAX(pair_orders) AS BIGINT) FROM pairs) AS max_pair_orders,
+       (SELECT CAST(SUM((ante * 1000003 + cons) * pair_orders)
+               % {_PAIR_DIGEST_MOD} AS BIGINT) FROM pairs) AS pair_digest
+"""
+
 
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A69 — association rules over order baskets: for every ordered
@@ -45,28 +161,15 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with SF → no broadcast hint; AQE may still choose one).
     All ratios divide exact BIGINT counts in double and round 6dp.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    # persist: four consumers (both self-join sides, item counts, the
-    # order total) otherwise re-scan lineitem and re-shuffle the
-    # distinct four times — plan-audited 13 exchanges / 0 reused
-    # before, 1 scan + 1 distinct shuffle after. Callers that loop
-    # this operator clearCache between reps (the bench contract).
-    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    # shared memoized basket/item/pair frames (r13): one distinct
+    # shuffle + one pair aggregation per session feeds A69 AND A82
+    # (plan-audited 13 exchanges / 0 reused before the r1 persist;
+    # now the build itself is timed once as basket_pair_counts)
+    baskets, item_n, all_pairs = _basket_frames(spark, sf_dir)
     n_orders = baskets.select(
         F.countDistinct("l_orderkey").cast("double").alias("n_orders")
     )
-    item_n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count("*").alias("item_orders")
-    )
-    a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("ante"))
-    b = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("cons"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("ante") != F.col("cons"))
-        .groupBy("ante", "cons")
-        .agg(F.count("*").alias("pair_orders"))
-        .filter(F.col("pair_orders") >= BASKET_MIN_PAIR_ORDERS)
-    )
+    pairs = all_pairs.filter(F.col("pair_orders") >= BASKET_MIN_PAIR_ORDERS)
     return (
         pairs.join(item_n.withColumnRenamed("item", "ante"), "ante")
         .withColumnRenamed("item_orders", "ante_orders")
@@ -673,20 +776,13 @@ def item_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosine = exact integer counts through √ (IEEE-exact on identical
     inputs), 6dp edge; ties broken by neighbor id for a
     deterministic top-k."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
-    item_n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count("*").alias("n")
-    )
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("item"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("nbr"))
-    co = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("item") != F.col("nbr"))
-        .groupBy("item", "nbr")
-        .agg(F.count("*").alias("co"))
-        .filter(F.col("co") >= CF_MIN_CO)
-    )
+    # shared memoized basket/item/pair frames (r13): A82's co frame
+    # IS A69's pair frame under its own threshold — see _basket_frames
+    _, item_n_shared, all_pairs = _basket_frames(spark, sf_dir)
+    item_n = item_n_shared.selectExpr("item", "item_orders AS n")
+    co = all_pairs.selectExpr(
+        "ante AS item", "cons AS nbr", "pair_orders AS co"
+    ).filter(F.col("co") >= CF_MIN_CO)
     sim = (
         co.join(item_n, "item")
         .join(
@@ -1706,6 +1802,7 @@ QUERIES = {
     "item_similarity_cf": item_similarity_cf,
     "agg_robust_outliers": agg_robust_outliers,
     "agg_group_ols": agg_group_ols,
+    "basket_pair_counts": basket_pair_counts,
     "market_basket_rules": market_basket_rules,
     "events_markov_transitions": events_markov_transitions,
     "customer_rfm_segments": customer_rfm_segments,

@@ -816,6 +816,31 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def purchase_edges_directed(
+    spark: SparkSession, sf_dir: str, key: str
+) -> DataFrame:
+    """The shared purchase graph repartitioned on ONE endpoint
+    (``key`` in {"src", "dst"}) and persisted — the in-session
+    equivalent of a bucketed edge table. The iterative rankings join
+    score frames against the edges on src (authority step / rank
+    push) or dst (hub step) EVERY round; against the base frame —
+    hash-partitioned on (src, dst) by its build aggregation, which
+    satisfies neither single-key join — each round re-shuffles the
+    edge-sized side. With a directional copy the persisted
+    partitioning matches the join key, so only the node-sized score
+    frame moves per round: shuffle volume per round drops from
+    O(|E|) to O(|V|). One extra reshuffle of the persisted base at
+    first use per direction; same memo/release lifecycle as
+    purchase_edges."""
+    cache_key = (spark.sparkContext.applicationId, f"{sf_dir}#by-{key}")
+    hit = _PURCHASE_EDGE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+    part = purchase_edges(spark, sf_dir).repartition(F.col(key)).persist()
+    _PURCHASE_EDGE_CACHE[cache_key] = part
+    return part
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected (u < v) co-purchase part edges: parts are adjacent
     when they co-occur in an order. Per-order pair generation is
@@ -2316,49 +2341,60 @@ def graph_hits_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherit hub mass) and ONE dst-keyed join + agg (hubs inherit
     authority mass), each normalized via an in-plan broadcast 1-row
     max — no driver round-trip, per-round localCheckpoint to cut the
-    lineage exactly like the PageRank ladder. Returns the top
-    HITS_TOPK per side as one (side, rank, node, score_scaled)
-    ledger via TakeOrderedAndProject — never a global window.
+    lineage exactly like the PageRank ladder. The edge sides are the
+    DIRECTIONAL co-partitioned copies (purchase_edges_directed), so
+    when the score frame outgrows the broadcast threshold and the
+    join sort-merges, the persisted partitioning satisfies the join
+    key and only the node-sized score frame shuffles per round.
+    Returns the top HITS_TOPK per side as one
+    (side, rank, node, score_scaled) ledger via
+    TakeOrderedAndProject — never a global window.
     Ref: reference has no graph surface; Kleinberg's HITS (JACM 46(5))
     re-expressed for the §2.2 graph family."""
     from proceso_de_etl_spark.operators.windows import ranked_topk
 
-    edges = purchase_edges(spark, sf_dir)  # shared persisted frame
+    e_src = purchase_edges_directed(spark, sf_dir, "src")
+    e_dst = purchase_edges_directed(spark, sf_dir, "dst")
     hubs = (
-        edges.select(F.col("src").alias("node"))
+        e_src.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.lit(HITS_SCALE).cast("bigint").alias("h"))
         .localCheckpoint(eager=True)
     )
     auth = None
     for _ in range(HITS_ITERS):
+        # the RAW per-node aggregates are what gets checkpointed (node-
+        # sized frames): in the old shape — max as a broadcast over
+        # the UN-materialized araw/hraw — the executed plan showed the
+        # edge-sized join+agg subtree DUPLICATED under every broadcast
+        # side (r13 plan audit), so each round paid the two big joins
+        # twice, plus once more for the final auth at output. With
+        # araw/hraw materialized, the max and the rescale are
+        # projections over node-sized state and each big join
+        # executes exactly once per round.
         araw = (
-            hubs.join(edges, hubs.node == edges.src)
+            hubs.join(e_src, hubs.node == e_src.src)
             .groupBy("dst")
             .agg(F.sum(F.col("h") * F.col("weight")).alias("raw"))
+            .localCheckpoint(eager=True)
         )
         amax = araw.agg(F.max("raw").alias("mx"))
-        # intermediate auths are consumed exactly once by the hub
-        # checkpoint below (which already truncates the lineage), so
-        # they are never checkpointed themselves; the final auth rides
-        # the shared persisted edges when top_auth executes
         auth = araw.join(F.broadcast(amax)).select(
             F.col("dst").alias("node"),
             F.expr(f"(raw * CAST({HITS_SCALE} AS BIGINT)) div mx").alias("a"),
         )
         hraw = (
-            auth.join(edges, auth.node == edges.dst)
+            auth.join(e_dst, auth.node == e_dst.dst)
             .groupBy("src")
             .agg(F.sum(F.col("a") * F.col("weight")).alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hmax = hraw.agg(F.max("raw").alias("mx"))
-        hubs = (
-            hraw.join(F.broadcast(hmax))
-            .select(
-                F.col("src").alias("node"),
-                F.expr(f"(raw * CAST({HITS_SCALE} AS BIGINT)) div mx").alias("h"),
-            )
-            .localCheckpoint(eager=True)
+        # hubs is now a cheap projection over the checkpointed hraw —
+        # no per-round hubs checkpoint needed (lineage is already cut)
+        hubs = hraw.join(F.broadcast(hmax)).select(
+            F.col("src").alias("node"),
+            F.expr(f"(raw * CAST({HITS_SCALE} AS BIGINT)) div mx").alias("h"),
         )
     top_auth = ranked_topk(
         auth.select(F.lit("authority").alias("side"), "node", F.col("a").alias("score_scaled")),

@@ -3667,3 +3667,95 @@ def test_ktruss_converges_within_oracle_unroll_and_invariants(spark):
     if row.n_truss_edges > 0:
         assert row.min_edge_support >= KTRUSS_K - 2
     assert row.n_truss_edges <= copurchase_edges_supported(spark, sf).count()
+
+
+def test_kcore_deg0_equivalence(spark):
+    """kcore_edges(deg0=...) — the r13 shared-degree round-1 shortcut —
+    must peel identically to the self-computed form on the golden
+    bowtie-with-tails graph (deg0 IS the full-graph degree frame, so
+    any divergence is a wiring bug, not a semantics choice)."""
+    from pyspark.sql import functions as F
+
+    from proceso_de_etl_spark.operators.ml import kcore_edges
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5), (6, 7), (7, 8), (3, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    deg0 = (
+        df.select(F.col("u").alias("node"))
+        .unionByName(df.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    for k in (2, 3):
+        plain = {(r.u, r.v) for r in kcore_edges(df, k).collect()}
+        seeded = {(r.u, r.v) for r in kcore_edges(df, k, deg0=deg0).collect()}
+        assert plain == seeded, f"k={k}"
+
+
+def test_shared_builds_memoize_and_release(spark):
+    """The r13 shared-build caches (oriented adjacency, basket pair
+    frames) must return the SAME persisted objects on repeat calls —
+    the whole point is one build per session — and release cleanly:
+    after the family release hooks, a fresh call rebuilds new frames
+    (so bench/scale passes measure the same work every pass)."""
+    from proceso_de_etl_spark import cachereg
+    from proceso_de_etl_spark.operators.insights import _basket_frames
+    from proceso_de_etl_spark.operators.ml import (
+        oriented_adjacency,
+        unpersist_copurchase,
+    )
+    from tests.conftest import SF_SMOKE
+
+    deg1, ori1, adj1 = oriented_adjacency(spark, SF_SMOKE)
+    deg2, ori2, adj2 = oriented_adjacency(spark, SF_SMOKE)
+    assert deg1 is deg2 and ori1 is ori2 and adj1 is adj2
+    assert ori1.storageLevel.useMemory or ori1.storageLevel.useDisk
+
+    b1 = _basket_frames(spark, SF_SMOKE)
+    b2 = _basket_frames(spark, SF_SMOKE)
+    assert all(x is y for x, y in zip(b1, b2))
+
+    unpersist_copurchase()
+    cachereg.release_all()
+    deg3, ori3, adj3 = oriented_adjacency(spark, SF_SMOKE)
+    assert ori3 is not ori1
+    unpersist_copurchase()
+
+
+def test_triangle_family_shares_cached_adjacency(spark):
+    """Plan pin for the r13 amortization: graph_triangle_count and
+    graph_clustering_coeff must BOTH read the oriented/adjacency
+    frames from cache (InMemoryTableScan) — a regression that drops
+    either back to rebuilding from lineitem would show parquet scans
+    of lineitem in the warm plan."""
+    from proceso_de_etl_spark.operators.ml import (
+        graph_clustering_coeff,
+        graph_triangle_count,
+        oriented_adjacency,
+        unpersist_copurchase,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # materialize the shared frames (the build entry's role)
+    _deg, ori, adj = oriented_adjacency(spark, SF_SMOKE)
+    ori.count(), adj.count()
+    try:
+        plan = (
+            graph_triangle_count(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # InMemoryRelation pretty-prints its STORED child plan (the
+        # lineitem scan) even when serving from cache, so absence of
+        # file scans can't be asserted on the string; what can: every
+        # consumer branch reads a cache scan — triangle touches the
+        # shared frames >= 4 times (oriented x2, adj x2, deg)
+        assert plan.count("InMemoryTableScan") >= 4, plan.count("InMemoryTableScan")
+        cc_plan_df = graph_clustering_coeff(spark, SF_SMOKE)
+        # clustering returns an eager checkpoint; pin instead that the
+        # shared frames are still the cached objects after the call
+        assert oriented_adjacency(spark, SF_SMOKE)[1] is ori
+        assert cc_plan_df.count() >= 0
+    finally:
+        unpersist_copurchase()

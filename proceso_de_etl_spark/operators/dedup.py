@@ -62,6 +62,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
+        # re-pin when an external spark.catalog.clearCache() dropped
+        # the storage without going through unpersist_shingles — the
+        # same guard cachereg.memo / ml._repin carry (r8 advisor)
+        if not hit.storageLevel.useMemory and not hit.storageLevel.useDisk:
+            hit.persist()
         return hit
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))

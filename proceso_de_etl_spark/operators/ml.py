@@ -730,6 +730,17 @@ _PURCHASE_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ORIENTED_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
+def _repin(*frames: DataFrame) -> None:
+    """Re-pin memoized frames whose storage an EXTERNAL
+    spark.catalog.clearCache() dropped (gate harnesses, test
+    teardowns bypass unpersist_copurchase) — otherwise a memo hit
+    silently recomputes per consumer, the exact fan-out cost the memo
+    exists to avoid. Same guard cachereg.memo carries (r8 advisor)."""
+    for df in frames:
+        if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
+            df.persist()
+
+
 def oriented_adjacency(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -755,6 +766,7 @@ def oriented_adjacency(
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _ORIENTED_CACHE.get(key)
     if hit is not None:
+        _repin(*hit)
         return hit
     und = copurchase_edges(spark, sf_dir)
     deg = (
@@ -800,6 +812,7 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PURCHASE_EDGE_CACHE.get(key)
     if hit is not None:
+        _repin(hit)
         return hit
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -835,6 +848,7 @@ def purchase_edges_directed(
     cache_key = (spark.sparkContext.applicationId, f"{sf_dir}#by-{key}")
     hit = _PURCHASE_EDGE_CACHE.get(cache_key)
     if hit is not None:
+        _repin(hit)
         return hit
     part = purchase_edges(spark, sf_dir).repartition(F.col(key)).persist()
     _PURCHASE_EDGE_CACHE[cache_key] = part
@@ -850,6 +864,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
+        _repin(hit)
         return hit
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select(
@@ -887,6 +902,10 @@ def unpersist_copurchase() -> None:
             except Exception:
                 pass
     _ORIENTED_CACHE.clear()
+    # LPA labels are eager checkpoints (no storage to unpersist);
+    # dropping the references lets the ContextCleaner reclaim the
+    # checkpoint RDDs and makes the next pass rebuild fresh
+    _LPA_CACHE.clear()
     for bc in _LSH_BROADCASTS:
         try:
             bc.destroy()
@@ -1530,10 +1549,28 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LPA_ROUNDS synchronous label-propagation loop shared by
-    A92's community sizes and A93's modularity score; see
-    ``graph_label_propagation`` for the determinism contract."""
+    A92's community sizes, A93's modularity score, and the A94/A97
+    Louvain seeds; see ``graph_label_propagation`` for the determinism
+    contract.
+
+    Memoized per (applicationId, sf_dir) since r13: each of the four
+    consumers re-ran the full LPA_ROUNDS loop (one edge⋈labels join +
+    keyed argmax + eager localCheckpoint per round) for the identical
+    deterministic result. The memo follows the oriented_adjacency
+    discipline — released by unpersist_copurchase() between bench/
+    scale passes so every pass measures the same work — and also
+    REDUCES checkpoint-RDD leakage: one LPA checkpoint chain per
+    session instead of one per consumer. The output is a node-sized
+    eager-checkpointed frame, so no persist is needed on top."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LPA_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
     sym_edges = copurchase_edges_supported(spark, sf_dir)
     sym = sym_edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
@@ -1581,6 +1618,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges_supported(spark, sf_dir)
     lu = labels.withColumnRenamed("node", "u").withColumnRenamed("community", "cu")
     lv = labels.withColumnRenamed("node", "v").withColumnRenamed("community", "cv")
+    # NOTE (r13): a pair-aggregate + node-sized-members form was tried
+    # and REVERTED — see graph_louvain_move.q_total: at the gate SF
+    # the support graph is tiny (m = 3,573 at sf0.1), the repeated
+    # joins are broadcast-cheap, and the added exchanges cost more
+    # than the saved re-executions (interleaved A/B ~+1.1 s).
     labeled_edges = edges.join(lu, "u").join(lv, "v")
     m = labeled_edges.agg(F.count("*").alias("m"))
     intra = (
@@ -1757,24 +1799,47 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("score", 2 * F.col("m") * F.col("kic") - F.col("tot_adj") * F.col("k"))
     )
+    # best and stay folded into ONE aggregate over scored (r13): the
+    # former best⋈stay join re-executed the whole scored subtree —
+    # including the edge-sized kic join — a second time. cand
+    # guarantees exactly one c == own row per node, so
+    # max(when(c == own, score)) IS the stay score; tie-break and the
+    # strict-improvement rule are unchanged.
     best = (
         scored.groupBy("node", "own")
-        .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"))
-        .select("node", "own", F.col("b.score").alias("best_score"), (-F.col("b.negc")).cast("bigint").alias("best_c"))
-    )
-    stay = scored.filter(F.col("c") == F.col("own")).select(
-        "node", F.col("score").alias("stay_score")
-    )
-    moved = (
-        best.join(stay, "node")
-        .withColumn(
-            "new_comm",
-            F.when(F.col("best_score") > F.col("stay_score"), F.col("best_c")).otherwise(F.col("own")),
+        .agg(
+            F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"),
+            F.max(F.when(F.col("c") == F.col("own"), F.col("score"))).alias("stay_score"),
         )
-        .select("node", "own", "new_comm")
+        .select(
+            "node",
+            "own",
+            F.col("b.score").alias("best_score"),
+            (-F.col("b.negc")).cast("bigint").alias("best_c"),
+            "stay_score",
+        )
     )
+    # eager checkpoint (r13): moved fans out to the after-Q ledger and
+    # the move count — without it each consumer re-executed the whole
+    # move plan (kic join included) from the parquet scan up
+    moved = best.select(
+        "node",
+        "own",
+        F.when(F.col("best_score") > F.col("stay_score"), F.col("best_c"))
+        .otherwise(F.col("own"))
+        .alias("new_comm"),
+    ).localCheckpoint(eager=True)
 
     def q_total(lbl: DataFrame) -> DataFrame:
+        # NOTE (r13): a pair-aggregate form (group the labeled edges
+        # by (cu, cv) once, derive intra + degree sums from the tiny
+        # pair frame) was tried and REVERTED: at the gate SF the
+        # support graph is tiny (m = 3,573 at sf0.1) so these joins
+        # are broadcast-cheap and the extra pair exchange + explode
+        # stages cost more scheduling than the saved re-executions
+        # (interleaved A/B: ~+1.1 s on graph_modularity). The win
+        # kept from that experiment is the moved-checkpoint + stay
+        # fold above, measured 18.6 → 8.7 s interleaved.
         lu = lbl.withColumnRenamed("node", "u").withColumnRenamed("lab", "cu")
         lv = lbl.withColumnRenamed("node", "v").withColumnRenamed("lab", "cv")
         le = edges.join(lu, "u").join(lv, "v")
@@ -2597,28 +2662,32 @@ def _weighted_louvain_move(labels: DataFrame, wedges: DataFrame, m_row: DataFram
         )
         .withColumn("score", 2 * F.col("m") * F.col("kic") - F.col("tot_adj") * F.col("k"))
     )
+    # best and stay folded into ONE aggregate over scored (r13): the
+    # former best⋈stay join re-executed the whole scored subtree —
+    # including the edge-sized kic join — a second time per round.
+    # cand guarantees exactly one c == own row per node, so
+    # max(when(c == own, score)) IS the stay score; tie-break and the
+    # strict-improvement rule are unchanged.
     best = (
         scored.groupBy("node", "own")
-        .agg(F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"))
+        .agg(
+            F.max(F.struct(F.col("score"), (-F.col("c")).alias("negc"))).alias("b"),
+            F.max(F.when(F.col("c") == F.col("own"), F.col("score"))).alias("stay_score"),
+        )
         .select(
             "node",
             "own",
             F.col("b.score").alias("best_score"),
             (-F.col("b.negc")).cast("bigint").alias("best_c"),
+            "stay_score",
         )
     )
-    stay = scored.filter(F.col("c") == F.col("own")).select(
-        "node", F.col("score").alias("stay_score")
-    )
-    return (
-        best.join(stay, "node")
-        .withColumn(
-            "new_comm",
-            F.when(F.col("best_score") > F.col("stay_score"), F.col("best_c")).otherwise(
-                F.col("own")
-            ),
-        )
-        .select("node", "own", "new_comm")
+    return best.select(
+        "node",
+        "own",
+        F.when(F.col("best_score") > F.col("stay_score"), F.col("best_c"))
+        .otherwise(F.col("own"))
+        .alias("new_comm"),
     )
 
 
@@ -2861,6 +2930,10 @@ def graph_louvain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def q_row(lbl: DataFrame, stage: str) -> DataFrame:
+        # NOTE (r13): a pair-aggregate form was tried and REVERTED —
+        # see q_total in graph_louvain_move: at the gate SF the
+        # support graph is tiny and the saved join re-executions are
+        # broadcast-cheap while the added exchanges are not.
         lu = lbl.withColumnRenamed("node", "u").withColumnRenamed("comm", "cu")
         lv = lbl.withColumnRenamed("node", "v").withColumnRenamed("comm", "cv")
         le = edges.join(lu, "u").join(lv, "v")

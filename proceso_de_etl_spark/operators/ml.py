@@ -1596,6 +1596,7 @@ def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    _LPA_CACHE[memo_key] = nodes
     return nodes
 
 

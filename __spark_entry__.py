@@ -73,79 +73,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order IS gate order and the driver's correctness gate
 # truncates at 50 rows per round, so _PRIORITY rotates each round to
-# whatever keys most need a FRESH driver row. The r12 gate passed
-# 50/50 (zero wrong answers in twelve rounds; after it no green
-# ledger row is older than r6). r13 rotation: the final 22 r6-stale
-# keys lead — gating them COMPLETES the freshness program begun in
-# r7 (every oracle-paired key re-gated within the last 6 rounds) —
-# then the keys that are NEW or whose PLAN changes this round
-# (E16b `etl_profile_table_approx` is NEW post-r12; the triangle
-# family A59/A77/A109/A116 shares a persisted oriented adjacency —
-# the r12 verdict's amortization item; A64b HITS and ST28 ingest
-# carry the r13 profile-driven rewrites; A69/A82 ride the
-# decomposed basket pair frame), then the oldest r7-fresh rows
-# alphabetically to the 50-row cap. Remaining r7 keys queue for r14.
+# whatever keys most need a FRESH driver row. The r13 gate passed
+# 50/50 (zero wrong answers in thirteen rounds). r14 rotation (the
+# r13 verdict's item 3): the six community/build keys the r13 Louvain
+# stay-score fold and shared builds actually touched lead — they were
+# in NEITHER the r12 nor r13 sample — then the keys whose plans this
+# round audits or changes (the T44b/T44d ladders, ST28 ingest), then
+# the remaining 27 r7-stale keys (closing out the r7 freshness
+# queue), then the oldest r8-stale rows alphabetically to the 50-row
+# cap. Remaining r8 keys queue for r15.
 _PRIORITY = (
-    # --- 1. the last 22 r6-stale keys (freshness close-out) ---
-    "pipeline_training_data",
-    "sample_group_aware_split",
-    "sample_mixture_epochs",
-    "sample_pack_sequences",
-    "skew_key_diagnostics",
-    "source_binary_files",
-    "source_federated_formats",
-    "stream_dedup_within_watermark",
-    "stream_funnel",
-    "stream_left_outer_join",
-    "stream_quota_per_source",
-    "stream_topk",
-    "subquery_semantics_matrix",
-    "text_chunk_dedup_stats",
-    "text_chunk_documents",
-    "text_corpus_datasheet",
-    "text_gopher_quality",
-    "text_hashed_tf",
-    "text_lang_confusion",
-    "text_perplexity_buckets",
-    "text_quality_dedup_interaction",
-    "text_quality_terciles",
-    # --- 2. NEW in r13 + plan-changed in r13 (E16b approx profile;
-    #     triangle family on the shared oriented adjacency; HITS /
-    #     vault-ingest / basket-family r13 rewrites) ---
-    "etl_profile_table_approx",
-    "graph_triangle_count",
-    "graph_kcore",
-    "graph_ktruss",
-    "graph_clustering_coeff",
-    "graph_hits_ladder",
-    "stream_data_vault_ingest",
-    "market_basket_rules",
-    "item_similarity_cf",
-    # --- 3. freshness re-checks: oldest full-pass rows (r7),
-    #     alphabetical; 19 of 48 fit under the cap (22 + 9 + 19) ---
-    "agg_argmax_no_window",
-    "agg_mode_per_group",
-    "ann_ivf_pinned_topk",
-    "ann_lsh_bucketed",
-    "asof_direction_matrix",
-    "decimal_semantics_matrix",
-    "dedup_embedding_lsh_pairs",
-    "dedup_incremental_minhash",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "etl_atomic_write",
-    "events_anomaly_zscore",
-    "events_cusum_changepoint",
-    "events_funnel_conversion",
-    "events_time_weighted_avg",
-    "events_variant_extract",
-    "graph_coarsen",
-    "graph_connected_components",
-    "graph_label_propagation",
-    # ---- 50-row gate cap lands here (22 + 9 + 19) ----
-    # --- r7 overflow -> head of the r14 queue ---
+    # --- 1. r13-touched community/build keys (r13 verdict item 3:
+    #     the round's biggest semantic-touching change — the Louvain
+    #     stay-score fold + shared LPA/basket/adjacency builds — was
+    #     in neither r12's nor r13's driver sample) ---
     "graph_louvain_move",
+    "graph_louvain_ladder",
     "graph_modularity",
+    "graph_label_propagation",
+    "basket_pair_counts",
+    "graph_oriented_adjacency",
+    # --- 2. plan-audited/changed this round (r13 verdict items 4-6:
+    #     LPA checkpoint cadence rides the four keys above; the T44b
+    #     pagerank ladder + its PPR twin carry the HITS-style plan
+    #     audit; ST28 carries the over-floor investigation) ---
+    "graph_pagerank_ladder",
+    "graph_ppr_ladder",
+    "stream_data_vault_ingest",
+    # --- 3. freshness re-checks: the 27 remaining r7-stale keys
+    #     (closing the r7 queue begun in r13) ---
     "json_function_matrix",
     "lateral_join_topn",
     "multimodal_audio_energy",
@@ -153,6 +109,7 @@ _PRIORITY = (
     "multimodal_frame_sample",
     "multimodal_image_resize",
     "multimodal_phash_dedup",
+    "multimodal_scene_cuts",
     "null_ordering_matrix",
     "q10_returned_items_v2",
     "q12_priority_classes_v2",
@@ -172,6 +129,52 @@ _PRIORITY = (
     "string_function_matrix",
     "timeseries_feature_frame",
     "window_function_matrix",
+    # --- 4. oldest r8-stale rows, alphabetical; 14 of 43 fit under
+    #     the cap (6 + 3 + 27 + 14) ---
+    "ab_bootstrap_se",
+    "ab_ks_test",
+    "ab_mann_whitney",
+    "ab_test_battery",
+    "agg_approx_bound",
+    "agg_cube",
+    "agg_rollup",
+    "ann_ivfpq_pinned_topk",
+    "ann_pq_pinned_topk",
+    "ann_rank_fusion",
+    "ann_recall_eval",
+    "etl_fk_discovery",
+    "events_asof_join",
+    "events_attribution_models",
+    # ---- 50-row gate cap lands here (6 + 3 + 27 + 14) ----
+    # --- r8 overflow -> head of the r15 queue ---
+    "events_chi2_independence",
+    "events_cohort_ltv",
+    "events_exp_smoothing",
+    "events_funnel",
+    "events_gap_fill",
+    "events_json_extract",
+    "events_retention_cohorts",
+    "events_rolling_window",
+    "events_sessionize",
+    "events_timeseries_backtest",
+    "events_tumbling_window",
+    "events_value_band_join",
+    "graph_assortativity",
+    "graph_copurchase_edges",
+    "graph_copurchase_supported",
+    "graph_link_prediction",
+    "graph_purchase_edges",
+    "ml_kmeans_ladder",
+    "ml_logreg_pinned_score",
+    "sketch_sample_quantiles",
+    "stream_cohort_ltv",
+    "stream_exp_smoothing",
+    "stream_holt_trend",
+    "text_zipf_profile",
+    "window_lag_delta",
+    "window_rank_ntile",
+    "window_running_sum",
+    "window_topk_per_group",
     # --- never-gated, no oracle by design (cross-engine
     #     nondeterminism or iterative float algorithms): rows-only
     #     driver signal only, so they sit below every pass-capable

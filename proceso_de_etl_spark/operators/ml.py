@@ -735,7 +735,14 @@ def _repin(*frames: DataFrame) -> None:
     spark.catalog.clearCache() dropped (gate harnesses, test
     teardowns bypass unpersist_copurchase) — otherwise a memo hit
     silently recomputes per consumer, the exact fan-out cost the memo
-    exists to avoid. Same guard cachereg.memo carries (r8 advisor)."""
+    exists to avoid. Same guard cachereg.memo carries (r8 advisor).
+
+    Contract (r13 advisor): every memoized frame in this module is
+    pinned with plain .persist() — the default MEMORY_AND_DISK — so
+    re-pinning with the default is level-preserving, and the
+    useMemory/useDisk "dropped" test is exact (no off-heap levels in
+    play). A memo that ever adopts a custom StorageLevel must record
+    it alongside the cache entry and re-pin with it here."""
     for df in frames:
         if not df.storageLevel.useMemory and not df.storageLevel.useDisk:
             df.persist()
@@ -848,6 +855,14 @@ def purchase_edges_directed(
     cache_key = (spark.sparkContext.applicationId, f"{sf_dir}#by-{key}")
     hit = _PURCHASE_EDGE_CACHE.get(cache_key)
     if hit is not None:
+        # re-pin the shared BASE frame too (r13 advisor): after an
+        # external clearCache, re-pinning only the repartitioned
+        # derivative leaves purchase_edges unpinned, so the first
+        # rematerialization of this frame — and every other consumer
+        # of the base — would silently recompute the lineitem⋈orders
+        # build from scratch. purchase_edges() is the memo hit path
+        # itself, so this is one dict lookup + storage-level check.
+        purchase_edges(spark, sf_dir)
         _repin(hit)
         return hit
     part = purchase_edges(spark, sf_dir).repartition(F.col(key)).persist()
@@ -1549,6 +1564,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LIVENESS NOTE (r13 advisor): _LPA_CACHE hands back a
+# localCheckpoint-backed frame with no _repin-style guard —
+# localCheckpoint blocks are stored non-replicated on executors with
+# NO recompute path (lineage is truncated), so on a multi-executor
+# cluster a lost executor would strand every memo hit until
+# unpersist_copurchase() rebuilds. This module runs local-mode only
+# (one executor = the driver JVM; blocks live exactly as long as the
+# session), so the guard is deliberately omitted; a cluster port must
+# either wrap consumers with a lost-block retry that evicts this
+# entry or switch the memo to persist() + _repin like the others.
 _LPA_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -1581,21 +1606,36 @@ def lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(LPA_ROUNDS):
+    def step(lbl: DataFrame) -> DataFrame:
         neigh = (
-            sym.join(nodes, sym.dst == nodes.id)
+            sym.join(lbl, sym.dst == lbl.id)
             .groupBy("src", "label")
             .agg(F.count("*").alias("c"))
         )
-        nodes = (
+        return (
             neigh.groupBy("src")
             .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("best"))
             .select(
                 F.col("src").alias("id"),
                 (-F.col("best.neg")).cast("bigint").alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+
+    # two propagation rounds composed per checkpointed job (r13
+    # verdict item 5): each step consumes the previous labels exactly
+    # once, so stacking two steps in one plan duplicates no subtree —
+    # it just halves the checkpoint-materialization job count (3
+    # jobs -> 2 at LPA_ROUNDS=3). The computation per round is
+    # byte-identical to the one-checkpoint-per-round form; only the
+    # lineage-cut cadence changes, so every consumer's oracle ladder
+    # replays unchanged.
+    done = 0
+    while done < LPA_ROUNDS:
+        take = min(2, LPA_ROUNDS - done)
+        for _ in range(take):
+            nodes = step(nodes)
+        nodes = nodes.localCheckpoint(eager=True)
+        done += take
     _LPA_CACHE[memo_key] = nodes
     return nodes
 

@@ -1201,15 +1201,37 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("common"),
         )
     )
-    corner_sd = inter.select(
-        F.explode(F.array("s", "d")).alias("node"),
-        F.size("common").cast("bigint").alias("t"),
-    )
-    corner_w = inter.select(
-        F.explode("common").alias("node"), F.lit(1).cast("bigint").alias("t")
+    # ONE pass over inter (r14): the former corner_sd ∪ corner_w union
+    # referenced the un-materialized inter subtree from BOTH branches,
+    # so the executed plan ran the two adjacency joins + intersection
+    # TWICE per call — measured 453 s vs triangle's single-execution
+    # 281 s at the derived sf10 tier (SCALE_r14). Emitting every
+    # corner attribution from one row — [(s,|c|), (d,|c|)] ++
+    # [(w,1) ∀ w ∈ c] — as a single exploded struct array keeps the
+    # identical contribution multiset (same tri_node result) while the
+    # intersection executes exactly once; plan-pinned in
+    # tests/test_plans.py::test_clustering_coeff_single_intersection.
+    corner_t = F.size("common").cast("bigint")
+    contrib = inter.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("s").alias("node"), corner_t.alias("t")),
+                    F.struct(F.col("d").alias("node"), corner_t.alias("t")),
+                ),
+                F.transform(
+                    "common",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).cast("bigint").alias("t")
+                    ),
+                ),
+            )
+        ).alias("c")
     )
     tri_node = (
-        corner_sd.unionByName(corner_w).groupBy("node").agg(F.sum("t").alias("tri"))
+        contrib.select(F.col("c.node").alias("node"), F.col("c.t").alias("t"))
+        .groupBy("node")
+        .agg(F.sum("t").alias("tri"))
     )
     scored = (
         deg.filter(F.col("deg") >= 2)

@@ -333,11 +333,17 @@ def stream_data_vault_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(os.path.join(stage, part), os.path.join(landing, f"wave_{i}.parquet"))
         shutil.rmtree(stage)
 
-    empty = spark.createDataFrame(
-        [], "vault_table string, hk bigint, hd bigint, load_epoch int"
-    )
-    state = {"cur": os.path.join(workdir, "store_v0")}
-    empty.write.parquet(state["cur"])
+    # r14 (guide §6): the store starts as an in-memory EMPTY relation
+    # instead of a written-then-re-read empty parquet dir — the v0
+    # write cost ~0.65 s of pure fixed overhead per invocation
+    # (profile_vault_ingest.py phase table) and epoch 1 then paid a
+    # listing + scan + full_outer shuffle against a provably empty
+    # side; with a LocalRelation store AQE's empty-relation
+    # propagation collapses that first merge to a projection of the
+    # candidates. Store contents after epoch 1 are identical (merge
+    # with an empty store = the candidate rows), so the final state
+    # and its oracle are unchanged.
+    state: dict[str, str | None] = {"cur": None}
 
     stream = (
         spark.readStream.schema(INGEST_SCHEMA)
@@ -347,7 +353,12 @@ def stream_data_vault_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        store = sess.read.parquet(state["cur"])
+        if state["cur"] is None:
+            store = sess.createDataFrame(
+                [], "vault_table string, hk bigint, hd bigint, load_epoch int"
+            )
+        else:
+            store = sess.read.parquet(state["cur"])
         nxt = os.path.join(workdir, f"store_v{epoch_id + 1}")
         merge_vault_batch(store, batch_df).write.mode("overwrite").parquet(nxt)
         state["cur"] = nxt  # pointer flip = atomic promote

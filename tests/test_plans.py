@@ -714,6 +714,29 @@ def test_r7_companions_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan, fn.__name__
 
 
+def test_clustering_coeff_single_intersection(spark):
+    """A109's r14 fix: the corner-attribution union used to reference
+    the un-materialized inter subtree (two adjacency joins + the
+    array_intersect) from BOTH branches, so the executed plan ran the
+    intersection TWICE per call (measured 453 s vs triangle's
+    single-execution 281 s at the derived sf10 tier). The single
+    exploded struct-array form must plan exactly ONE array_intersect.
+    The operator checkpoints its 20-row result, which would hide the
+    real plan — disable localCheckpoint for the capture."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    from proceso_de_etl_spark.operators import ml
+
+    orig = _CDF.localCheckpoint
+    _CDF.localCheckpoint = lambda self, eager=True: self
+    try:
+        plan = plan_of(ml.graph_clustering_coeff(spark, SF_CORRECT))
+    finally:
+        _CDF.localCheckpoint = orig
+    n = plan.count("array_intersect")
+    assert n == 1, f"expected exactly 1 array_intersect in the plan, saw {n}"
+
+
 def test_profile_approx_expand_free(spark):
     """E16b's reason to exist (r12 verdict item 6): the exact E16
     profile plans an Expand (x11 row stream) for its five

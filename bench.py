@@ -385,6 +385,31 @@ BASELINE.update(
         "market_basket_rules": 1.256,
     }
 )
+# r14 re-seeds, from TWO settled suite passes (run 1: sentinel_ratio
+# 1.0 / suite_drift 1.0, run 2: 1.088 / 1.0 — the r10 rule's two
+# quiet passes; values = min of the two pass medians):
+# - graph_modularity 1.847 -> 0.598 and graph_louvain_ladder 8.531 ->
+#   5.863: the old floors predate the r13 lpa_labels memo + stay-score
+#   fold (deferred re-seed, r13 "Not yet optimized" item 5).
+# - dedup_semantic_semdedup 11.603 -> 8.591, basket_pair_counts 4.293
+#   -> 3.59: r6/r13 floors seeded on slower epochs sat 26-35% above
+#   both quiet-pass medians — a regression to the old floor level
+#   would never have flagged.
+# - graph_label_propagation 1.652 -> 2.2, re-pinned UP (the r12
+#   ann_recall_eval precedent): the r7 floor is not reproducible on
+#   current code — four consecutive quiet-box readings (r13 driver
+#   2.872, r13 run-3 2.713, r14 runs 2.200/2.278) sit 33-74% above
+#   it. LPA pays the 3-round loop as the memo's first payer by bench
+#   order (deliberate attribution); 2.2 is the min quiet median.
+BASELINE.update(
+    {
+        "graph_modularity": 0.598,
+        "graph_louvain_ladder": 5.863,
+        "dedup_semantic_semdedup": 8.591,
+        "basket_pair_counts": 3.59,
+        "graph_label_propagation": 2.2,
+    }
+)
 REGRESSION_FACTOR = 1.5
 # short queries are timer noise at this scale; only flag a regression
 # when the absolute slowdown is also material
